@@ -1,0 +1,260 @@
+"""Paraformer SANM decoder (reference funasr/models/paraformer/decoder.py:225).
+
+Bidirectional (no causal mask) decoder over the CIF acoustic-embedding grid:
+each layer is FFN -> FSMN "self-attention" (a depthwise conv memory block,
+attention.py:471) -> cross-attention into the encoder memory.  The
+``att_layer_num`` identical layers run under ``nn.scan``; a final FFN-only
+layer (``decoders3``) and output projection follow.
+
+TPU notes: token grid U is static (padded); tgt masks are (B, U, 1) floats;
+cross-attention key masks are (B, 1, T).  All matmuls are MXU-shaped; softmax
+f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from funasr_tpu.models.sanm import (
+    LayerNormF32,
+    fsmn_memory,
+    masked_softmax,
+)
+from funasr_tpu.ops.masks import key_mask, sequence_mask
+from funasr_tpu.registry import tables
+
+Dtype = Any
+
+
+class FeedForwardDecoderSANM(nn.Module):
+    """w_2(norm(dropout(relu(w_1 x)))), w_2 bias-free
+    (sanm/positionwise_feed_forward.py ``PositionwiseFeedForwardDecoderSANM``)."""
+
+    hidden_units: int
+    out_units: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.hidden_units, name="w_1",
+                     dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = LayerNormF32(self.dtype, self.param_dtype, name="norm")(h)
+        return nn.Dense(self.out_units, name="w_2", use_bias=False,
+                        dtype=self.dtype, param_dtype=self.param_dtype)(h)
+
+
+class FsmnSelfAttention(nn.Module):
+    """Decoder 'self-attention': pure FSMN depthwise memory
+    (attention.py:471 ``MultiHeadedAttentionSANMDecoder``)."""
+
+    n_feat: int
+    kernel_size: int = 11
+    sanm_shift: int = 0
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        left = (self.kernel_size - 1) // 2 + max(self.sanm_shift, 0)
+        right = self.kernel_size - 1 - left
+        kernel = self.param(
+            "fsmn_block", nn.initializers.lecun_normal(),
+            (self.kernel_size, 1, self.n_feat), self.param_dtype,
+        )
+        out = fsmn_memory(x, kernel, mask, left, right)
+        return nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention with fused KV projection
+    (attention.py:568 ``MultiHeadedAttentionCrossAtt``)."""
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, memory_mask, deterministic: bool = True):
+        d_k = self.n_feat // self.n_head
+        B, U, _ = x.shape
+        T = memory.shape[1]
+        q = nn.Dense(self.n_feat, name="linear_q",
+                     dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        kv = nn.Dense(2 * self.n_feat, name="linear_k_v",
+                      dtype=self.dtype, param_dtype=self.param_dtype)(memory)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(B, U, self.n_head, d_k) * (d_k ** -0.5)
+        k = k.reshape(B, T, self.n_head, d_k)
+        v = v.reshape(B, T, self.n_head, d_k)
+        scores = jnp.einsum("buhd,bthd->bhut", q, k)
+        attn = masked_softmax(
+            scores, None if memory_mask is None else memory_mask[:, None, :, :]
+        )
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        ctx = jnp.einsum("bhut,bthd->buhd", attn.astype(v.dtype), v)
+        return nn.Dense(self.n_feat, name="linear_out",
+                        dtype=self.dtype, param_dtype=self.param_dtype)(
+            ctx.reshape(B, U, self.n_feat)
+        )
+
+
+class DecoderLayerSANM(nn.Module):
+    """FFN -> FSMN self-memory -> cross-attention, pre-norm
+    (paraformer/decoder.py:26 ``DecoderLayerSANM`` forward, :78-121)."""
+
+    size: int
+    n_head: int
+    linear_units: int
+    kernel_size: int = 11
+    sanm_shift: int = 0
+    dropout_rate: float = 0.0
+    self_attention_dropout_rate: float = 0.0
+    src_attention_dropout_rate: float = 0.0
+    has_self_attn: bool = True
+    has_src_attn: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, carry_inputs, deterministic: bool = True):
+        """carry_inputs = (tgt_mask (B,U,1), memory (B,T,D), memory_mask (B,1,T)).
+
+        Returns ``(x, None)`` for nn.scan compatibility.
+        """
+        tgt_mask, memory, memory_mask = carry_inputs
+        residual = tgt
+        h = LayerNormF32(self.dtype, self.param_dtype, name="norm1")(tgt)
+        h = FeedForwardDecoderSANM(
+            self.linear_units, self.size, self.dropout_rate,
+            self.dtype, self.param_dtype, name="feed_forward",
+        )(h, deterministic)
+
+        x = h
+        if self.has_self_attn:
+            h2 = LayerNormF32(self.dtype, self.param_dtype, name="norm2")(h)
+            x = FsmnSelfAttention(
+                self.size, self.kernel_size, self.sanm_shift,
+                self.self_attention_dropout_rate, self.dtype, self.param_dtype,
+                name="self_attn",
+            )(h2, tgt_mask, deterministic)
+            x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+            x = residual + x
+
+        if self.has_src_attn:
+            residual = x
+            h3 = LayerNormF32(self.dtype, self.param_dtype, name="norm3")(x)
+            s = CrossAttention(
+                self.n_head, self.size, self.src_attention_dropout_rate,
+                self.dtype, self.param_dtype, name="src_attn",
+            )(h3, memory, memory_mask, deterministic)
+            s = nn.Dropout(self.dropout_rate)(s, deterministic=deterministic)
+            x = residual + s
+
+        return x, None
+
+
+@tables.register("decoder_classes", "ParaformerSANMDecoder")
+class ParaformerSANMDecoder(nn.Module):
+    """Stack of DecoderLayerSANM + FFN-only tail layer + output projection
+    (paraformer/decoder.py:225 ``ParaformerSANMDecoder``)."""
+
+    vocab_size: int
+    encoder_output_size: int
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    att_layer_num: int = 6
+    kernel_size: int = 11
+    sanm_shift: int = 0
+    dropout_rate: float = 0.1
+    self_attention_dropout_rate: float = 0.0
+    src_attention_dropout_rate: float = 0.0
+    use_output_layer: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d = self.encoder_output_size
+        self.embed = nn.Embed(
+            self.vocab_size, d, name="embed", param_dtype=self.param_dtype,
+            dtype=self.dtype,
+        )
+        self.decoders = nn.scan(
+            DecoderLayerSANM,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.att_layer_num,
+            in_axes=(nn.broadcast, nn.broadcast),
+        )(
+            d, self.attention_heads, self.linear_units, self.kernel_size,
+            self.sanm_shift, self.dropout_rate,
+            self.self_attention_dropout_rate, self.src_attention_dropout_rate,
+            True, True, self.dtype, self.param_dtype, name="decoders",
+        )
+        if self.num_blocks - self.att_layer_num > 0:
+            self.decoders2 = nn.scan(
+                DecoderLayerSANM,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_blocks - self.att_layer_num,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )(
+                d, self.attention_heads, self.linear_units, self.kernel_size,
+                0, self.dropout_rate, self.self_attention_dropout_rate,
+                self.src_attention_dropout_rate, True, False,
+                self.dtype, self.param_dtype, name="decoders2",
+            )
+        else:
+            self.decoders2 = None
+        self.decoders3 = DecoderLayerSANM(
+            d, self.attention_heads, self.linear_units, self.kernel_size,
+            self.sanm_shift, self.dropout_rate,
+            self.self_attention_dropout_rate, self.src_attention_dropout_rate,
+            False, False, self.dtype, self.param_dtype, name="decoders3",
+        )
+        self.after_norm = LayerNormF32(self.dtype, self.param_dtype,
+                                       name="after_norm")
+        if self.use_output_layer:
+            self.output_layer = nn.Dense(
+                self.vocab_size, name="output_layer",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )
+
+    def __call__(
+        self,
+        memory: jnp.ndarray,  # (B, T, D) encoder output
+        memory_lengths: jnp.ndarray,  # (B,)
+        semantic_embeds: jnp.ndarray,  # (B, U, D) CIF embeddings
+        token_lengths: jnp.ndarray,  # (B,)
+        deterministic: bool = True,
+    ):
+        """Returns logits (B, U, vocab) (or hidden if no output layer)."""
+        B, U, _ = semantic_embeds.shape
+        T = memory.shape[1]
+        tgt_mask = sequence_mask(token_lengths, U, dtype=jnp.float32)[:, :, None]
+        memory_mask = key_mask(memory_lengths, T, dtype=jnp.float32)
+
+        x = semantic_embeds.astype(self.dtype)
+        inputs = (tgt_mask, memory.astype(self.dtype), memory_mask)
+        x, _ = self.decoders(x, inputs, deterministic)
+        if self.decoders2 is not None:
+            x, _ = self.decoders2(x, inputs, deterministic)
+        x, _ = self.decoders3(x, inputs, deterministic)
+        hidden = self.after_norm(x)
+        if self.use_output_layer:
+            return self.output_layer(hidden)
+        return hidden
+
+    def embed_tokens(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """Token embedding lookup (used by the GLM sampler)."""
+        return self.embed(ids)

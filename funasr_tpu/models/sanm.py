@@ -1,0 +1,279 @@
+"""SAN-M: self-attention with an FSMN memory branch, TPU-native.
+
+Re-design of the reference SAN-M stack (funasr/models/sanm/attention.py:140
+``MultiHeadedAttentionSANM``, funasr/models/sanm/encoder.py:44/188) in
+flax.linen with TPU discipline:
+
+- fused QKV projection (one MXU matmul),
+- the FSMN memory branch (depthwise conv over V, residual) expressed as
+  ``lax.conv_general_dilated`` with ``feature_group_count = D`` — XLA lowers
+  this to a VPU sliding window fused with the surrounding elementwise ops,
+- softmax and layernorm in float32, everything else in the module ``dtype``
+  (bfloat16 in production),
+- the 49 identical encoder layers are stacked with ``nn.scan`` so the layer
+  body is traced/compiled once, and ``nn.remat`` can be applied for training
+  memory,
+- masks are (B, 1, T) float key masks; fully-masked rows stay NaN-free
+  (finite fill + re-mask, matching attention.py:272-280 semantics).
+
+Parameter names mirror the torch module names (``linear_q_k_v``,
+``fsmn_block``, ``linear_out``, ``norm1``...) so reference checkpoints map
+mechanically (see funasr_tpu/convert.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import lax
+
+from funasr_tpu.ops.masks import mask_fill
+from funasr_tpu.ops.posenc import sinusoidal_encoding
+from funasr_tpu.registry import tables
+
+Dtype = Any
+
+
+def fsmn_memory(
+    v: jnp.ndarray,
+    kernel: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    left_padding: int,
+    right_padding: int,
+) -> jnp.ndarray:
+    """Depthwise FSMN block (attention.py:207 ``forward_fsmn``):
+    mask -> depthwise conv1d (no bias) -> +residual -> mask.
+
+    v: (B, T, D); kernel: (K, 1, D) depthwise filters.
+    """
+    if mask is not None:
+        v = v * mask
+    out = lax.conv_general_dilated(
+        v,
+        kernel.astype(v.dtype),
+        window_strides=(1,),
+        padding=[(left_padding, right_padding)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=v.shape[-1],
+    )
+    out = out + v
+    if mask is not None:
+        out = out * mask
+    return out
+
+
+def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Softmax over the last axis with key masking, f32 accumulation.
+
+    mask: broadcastable to scores, nonzero = valid.  Matches the reference's
+    masked_fill(-inf) -> softmax -> masked_fill(0) (attention.py:272-280).
+    """
+    scores = scores.astype(jnp.float32)
+    if mask is not None:
+        scores = mask_fill(scores, mask)
+    attn = jax.nn.softmax(scores, axis=-1)
+    if mask is not None:
+        attn = jnp.where(mask != 0, attn, 0.0)
+    return attn
+
+
+class MultiHeadedAttentionSANM(nn.Module):
+    """Self-attention + FSMN memory, output = attention(QKV) + FSMN(V)."""
+
+    n_head: int
+    n_feat: int
+    kernel_size: int = 11
+    sanm_shift: int = 0
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        d_k = self.n_feat // self.n_head
+        qkv = nn.Dense(
+            3 * self.n_feat, name="linear_q_k_v",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        left = (self.kernel_size - 1) // 2 + max(self.sanm_shift, 0)
+        right = self.kernel_size - 1 - left
+        fsmn_kernel = self.param(
+            "fsmn_block",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, 1, self.n_feat),
+            self.param_dtype,
+        )
+        mask_t = None if mask is None else jnp.swapaxes(mask, 1, 2).astype(v.dtype)
+        mem = fsmn_memory(v, fsmn_kernel, mask_t, left, right)
+        mem = nn.Dropout(self.dropout_rate)(mem, deterministic=deterministic)
+
+        B, T, _ = x.shape
+        q = q.reshape(B, T, self.n_head, d_k) * (d_k ** -0.5)
+        k = k.reshape(B, T, self.n_head, d_k)
+        v = v.reshape(B, T, self.n_head, d_k)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k)
+        attn = masked_softmax(scores, None if mask is None else mask[:, None, :, :])
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
+        ctx = ctx.reshape(B, T, self.n_feat)
+        out = nn.Dense(
+            self.n_feat, name="linear_out",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(ctx)
+        return out + mem
+
+
+class PositionwiseFeedForward(nn.Module):
+    """w_2(dropout(relu(w_1(x)))) — transformer/positionwise_feed_forward.py."""
+
+    hidden_units: int
+    out_units: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.hidden_units, name="w_1",
+                     dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.out_units, name="w_2",
+                        dtype=self.dtype, param_dtype=self.param_dtype)(h)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in float32, cast back to the compute dtype."""
+
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(
+            x.astype(jnp.float32)
+        )
+        return y.astype(self.dtype)
+
+
+class EncoderLayerSANM(nn.Module):
+    """Pre-norm SANM encoder layer (sanm/encoder.py:44).
+
+    When ``in_size != size`` (the first layer, 560 -> 512 for
+    Paraformer-large) the attention residual is skipped, matching the
+    reference (encoder.py:120-137).
+    """
+
+    in_size: int
+    size: int
+    n_head: int
+    linear_units: int
+    kernel_size: int = 11
+    sanm_shift: int = 0
+    dropout_rate: float = 0.0
+    attention_dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        """Returns ``(x, None)`` — the (carry, out) shape ``nn.scan`` needs."""
+        residual = x
+        h = LayerNormF32(self.dtype, self.param_dtype, name="norm1")(x)
+        attn = MultiHeadedAttentionSANM(
+            self.n_head, self.size, self.kernel_size, self.sanm_shift,
+            self.attention_dropout_rate, self.dtype, self.param_dtype,
+            name="self_attn",
+        )(h, mask, deterministic)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        x = residual + attn if self.in_size == self.size else attn
+
+        residual = x
+        h = LayerNormF32(self.dtype, self.param_dtype, name="norm2")(x)
+        ff = PositionwiseFeedForward(
+            self.linear_units, self.size, self.dropout_rate,
+            self.dtype, self.param_dtype, name="feed_forward",
+        )(h, deterministic)
+        ff = nn.Dropout(self.dropout_rate)(ff, deterministic=deterministic)
+        return residual + ff, None
+
+
+@tables.register("encoder_classes", "SANMEncoder")
+class SANMEncoder(nn.Module):
+    """SAN-M encoder (sanm/encoder.py:188 ``SANMEncoder``).
+
+    Structure: x * sqrt(d) -> sinusoidal PE (at input width) -> encoders0
+    (in_size -> size) -> nn.scan over (num_blocks - 1) identical layers ->
+    after_norm.  The scanned stack compiles the layer body once regardless of
+    depth (50 layers for Paraformer-large).
+    """
+
+    input_size: int
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    kernel_size: int = 11
+    sanm_shift: int = 0
+    input_layer: str = "pe"
+    normalize_before: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, xs, lengths, deterministic: bool = True):
+        """xs: (B, T, input_size); lengths: (B,). Returns (out, lengths)."""
+        from funasr_tpu.ops.masks import key_mask
+
+        B, T, _ = xs.shape
+        mask = key_mask(lengths, T, dtype=jnp.float32)  # (B, 1, T)
+
+        x = xs.astype(self.dtype) * (self.output_size ** 0.5)
+        if self.input_layer == "pe":
+            pe = sinusoidal_encoding(T, self.input_size, dtype=jnp.float32)
+            x = x + pe[None, :, :].astype(self.dtype)
+        elif self.input_layer is not None:
+            raise NotImplementedError(
+                f"input_layer={self.input_layer!r} (only 'pe' for SANM)"
+            )
+
+        x, _ = EncoderLayerSANM(
+            self.input_size, self.output_size, self.attention_heads,
+            self.linear_units, self.kernel_size, self.sanm_shift,
+            self.dropout_rate, self.attention_dropout_rate,
+            self.dtype, self.param_dtype, name="encoders0",
+        )(x, mask, deterministic)
+
+        n_rest = self.num_blocks - 1
+        if n_rest > 0:
+            layer_cls = EncoderLayerSANM
+            if self.remat:
+                layer_cls = nn.remat(
+                    layer_cls, static_argnums=(3,),
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                )
+            ScanStack = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=n_rest,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )
+            x, _ = ScanStack(
+                self.output_size, self.output_size, self.attention_heads,
+                self.linear_units, self.kernel_size, self.sanm_shift,
+                self.dropout_rate, self.attention_dropout_rate,
+                self.dtype, self.param_dtype, name="encoders",
+            )(x, mask, deterministic)
+
+        if self.normalize_before:
+            x = LayerNormF32(self.dtype, self.param_dtype, name="after_norm")(x)
+        return x, lengths

@@ -1,0 +1,264 @@
+"""Kaldi-compatible log-mel fbank + LFR + CMVN as fused device ops.
+
+The reference frontend (funasr/frontends/wav_frontend.py:79 ``WavFrontend``)
+loops per utterance on the host calling ``torchaudio.compliance.kaldi.fbank``,
+then LFR-stacks with ``as_strided`` and applies affine CMVN.  Here the whole
+chain is one jitted, batched XLA program with static shapes:
+
+  frames (gather) -> dither -> DC removal -> preemphasis -> hamming window
+  -> power spectrum (DFT as an MXU matmul) -> mel filterbank (matmul) -> log
+  -> LFR stacking (gather) -> CMVN (affine)
+
+Kaldi semantics preserved bit-close (golden-tested against an independent
+NumPy reference in tests/test_fbank.py):
+
+- ``snip_edges=True`` framing: ``num_frames = 1 + (N - 400) // 160``,
+- waveform scaled by ``1 << 15`` (wav_frontend.py:131),
+- ``remove_dc_offset``: per-frame mean subtraction,
+- preemphasis 0.97 with first-sample duplication,
+- hamming window ``0.54 - 0.46 cos(2 pi n / (M-1))``,
+- zero-pad to 512 (round to power of two), power spectrum,
+- kaldi mel banks: 80 triangular bins on mel(20)..mel(nyquist), nyquist FFT
+  bin zeroed (torchaudio pads the last mel column with 0),
+- ``log(max(e, eps_f32))``,
+- LFR (wav_frontend.py:58): left-pad ``(m-1)//2`` copies of frame 0, window
+  ``m`` stride ``n``, tail replicates the last frame,
+- CMVN (wav_frontend.py:41): ``(x + means) * vars``.
+
+The DFT is evaluated as two (512, 257) matmuls instead of an FFT: at these
+sizes the MXU finishes the contraction faster than a VPU butterfly network,
+and it fuses with the mel matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_LOG_EPS = float(np.finfo(np.float32).eps)  # kaldi uses f32 epsilon
+
+
+def _round_to_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def mel_to_hz(mel):
+    return 700.0 * (np.exp(mel / 1127.0) - 1.0)
+
+
+def hz_to_mel(hz):
+    return 1127.0 * np.log1p(np.asarray(hz, dtype=np.float64) / 700.0)
+
+
+@functools.lru_cache(maxsize=8)
+def kaldi_mel_banks(
+    num_bins: int, padded_window_size: int, sample_freq: float,
+    low_freq: float = 20.0, high_freq: float = 0.0,
+) -> np.ndarray:
+    """Kaldi triangular mel filterbank, shape (num_fft_bins+1, num_bins).
+
+    Matches kaldi ``MelBanks``: bins laid out uniformly in mel space between
+    ``low_freq`` and ``high_freq`` (<=0 means offset from nyquist), evaluated
+    at FFT bin centre frequencies 0..nyquist; the nyquist column is zero.
+    """
+    nyquist = 0.5 * sample_freq
+    if high_freq <= 0.0:
+        high_freq = nyquist + high_freq
+    num_fft_bins = padded_window_size // 2
+    fft_bin_width = sample_freq / padded_window_size
+    mel_low = hz_to_mel(low_freq)
+    mel_high = hz_to_mel(high_freq)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+    mel_of_bin = hz_to_mel(np.arange(num_fft_bins) * fft_bin_width)  # (F,)
+    left = mel_low + np.arange(num_bins) * mel_delta  # (M,)
+    center = left + mel_delta
+    right = center + mel_delta
+    up = (mel_of_bin[None, :] - left[:, None]) / (center - left)[:, None]
+    down = (right[:, None] - mel_of_bin[None, :]) / (right - center)[:, None]
+    weights = np.where(mel_of_bin[None, :] <= center[:, None], up, down)
+    weights = np.maximum(weights, 0.0)
+    weights = np.where(
+        (mel_of_bin[None, :] > left[:, None]) & (mel_of_bin[None, :] < right[:, None]),
+        weights, 0.0,
+    )
+    banks = np.zeros((num_fft_bins + 1, num_bins), dtype=np.float64)
+    banks[:num_fft_bins, :] = weights.T  # nyquist row stays zero
+    return banks
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(window_size: int, padded_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT matrices (window_size, padded_size//2 + 1).
+
+    Only the first ``window_size`` input rows are kept — the zero padding
+    contributes nothing, so the matmul contracts over 400 not 512 rows.
+    """
+    n_out = padded_size // 2 + 1
+    k = np.arange(n_out)[None, :]
+    n = np.arange(window_size)[:, None]
+    ang = -2.0 * np.pi * n * k / padded_size
+    return np.cos(ang), np.sin(ang)
+
+
+@functools.lru_cache(maxsize=8)
+def _window(window_type: str, size: int) -> np.ndarray:
+    n = np.arange(size, dtype=np.float64)
+    a = 2.0 * np.pi / (size - 1)
+    if window_type == "hamming":
+        return 0.54 - 0.46 * np.cos(a * n)
+    if window_type == "hanning":
+        return 0.5 - 0.5 * np.cos(a * n)
+    if window_type == "povey":
+        return (0.5 - 0.5 * np.cos(a * n)) ** 0.85
+    if window_type == "rectangular":
+        return np.ones(size)
+    raise ValueError(f"unknown window type {window_type!r}")
+
+
+def num_fbank_frames(num_samples, frame_length: int, frame_shift: int):
+    """snip_edges frame count; works on ints or arrays."""
+    n = (num_samples - frame_length) // frame_shift + 1
+    return jnp.maximum(n, 0) if isinstance(n, jnp.ndarray) else max(int(n), 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_mel_bins", "frame_length_ms", "frame_shift_ms", "fs",
+        "window_type", "dither", "preemphasis", "remove_dc_offset", "upscale",
+    ),
+)
+def fbank(
+    waveform: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    num_mel_bins: int = 80,
+    frame_length_ms: float = 25.0,
+    frame_shift_ms: float = 10.0,
+    fs: int = 16000,
+    window_type: str = "hamming",
+    dither: float = 0.0,
+    preemphasis: float = 0.97,
+    remove_dc_offset: bool = True,
+    upscale: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched kaldi fbank.
+
+    Args:
+      waveform: (B, N) float waveform in [-1, 1] (scaled by 1<<15 internally
+        when ``upscale``, matching wav_frontend.py:131).
+      lengths: (B,) valid sample counts.
+    Returns:
+      feats: (B, T, num_mel_bins) log-mel, T = max frame count (pad garbage
+        beyond per-utterance frame counts — always carry ``feat_lengths``).
+      feat_lengths: (B,) int32 valid frame counts.
+    """
+    B, N = waveform.shape
+    frame_length = int(fs * frame_length_ms / 1000)
+    frame_shift = int(fs * frame_shift_ms / 1000)
+    padded = _round_to_pow2(frame_length)
+
+    x = waveform.astype(jnp.float32)
+    if upscale:
+        x = x * float(1 << 15)
+
+    T = num_fbank_frames(N, frame_length, frame_shift)
+    if T == 0:
+        return (jnp.zeros((B, 0, num_mel_bins), jnp.float32),
+                jnp.zeros((B,), jnp.int32))
+    # Strided framing as a gather: (B, T, frame_length).
+    idx = (jnp.arange(T)[:, None] * frame_shift + jnp.arange(frame_length)[None, :])
+    frames = x[:, idx]
+
+    if dither != 0.0 and rng is not None:
+        frames = frames + dither * jax.random.normal(rng, frames.shape, jnp.float32)
+    if remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if preemphasis != 0.0:
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - preemphasis * prev
+    frames = frames * jnp.asarray(_window(window_type, frame_length), jnp.float32)
+
+    cos_m, sin_m = _dft_matrices(frame_length, padded)
+    re = jnp.einsum("btn,nf->btf", frames, jnp.asarray(cos_m, jnp.float32),
+                    precision=lax.Precision.HIGHEST)
+    im = jnp.einsum("btn,nf->btf", frames, jnp.asarray(sin_m, jnp.float32),
+                    precision=lax.Precision.HIGHEST)
+    power = re * re + im * im  # (B, T, padded//2+1)
+
+    mel = jnp.asarray(kaldi_mel_banks(num_mel_bins, padded, float(fs)), jnp.float32)
+    mel_energy = jnp.einsum("btf,fm->btm", power, mel,
+                            precision=lax.Precision.HIGHEST)
+    feats = jnp.log(jnp.maximum(mel_energy, _LOG_EPS))
+
+    feat_lengths = num_fbank_frames(
+        lengths.astype(jnp.int32), frame_length, frame_shift
+    ).astype(jnp.int32)
+    return feats, feat_lengths
+
+
+@functools.partial(jax.jit, static_argnames=("lfr_m", "lfr_n"))
+def apply_lfr(
+    feats: jnp.ndarray, feat_lengths: jnp.ndarray, lfr_m: int, lfr_n: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Low-frame-rate stacking (wav_frontend.py:58 ``apply_lfr``).
+
+    Left-pads ``(m-1)//2`` copies of the first *valid* frame, windows ``m``
+    frames with stride ``n``, replicating the last valid frame past the end.
+    Per-utterance tail handling is done with index clamping against each
+    utterance's own length, so a padded batch matches the reference's
+    per-utterance loop exactly.
+    """
+    B, T, D = feats.shape
+    left = (lfr_m - 1) // 2
+    T_lfr = int(np.ceil(T / lfr_n))
+    # source index for output (t, j): t*n + j - left, clamped to [0, len-1]
+    src = (jnp.arange(T_lfr)[:, None] * lfr_n + jnp.arange(lfr_m)[None, :] - left)
+    src = src[None, :, :]  # (1, T_lfr, m)
+    last = jnp.maximum(feat_lengths, 1)[:, None, None] - 1
+    src = jnp.clip(src, 0, last)  # (B, T_lfr, m)
+    gathered = jnp.take_along_axis(
+        feats, src.reshape(B, T_lfr * lfr_m)[:, :, None].astype(jnp.int32), axis=1
+    )  # (B, T_lfr*m, D)
+    out = gathered.reshape(B, T_lfr, lfr_m * D)
+    out_lengths = jnp.ceil(feat_lengths.astype(jnp.float32) / lfr_n).astype(jnp.int32)
+    return out, out_lengths
+
+
+def apply_cmvn(feats: jnp.ndarray, cmvn: jnp.ndarray) -> jnp.ndarray:
+    """Affine CMVN: ``(x + means) * vars`` (wav_frontend.py:41)."""
+    means = cmvn[0][None, None, :]
+    istd = cmvn[1][None, None, :]
+    return (feats + means) * istd
+
+
+def load_cmvn_file(path: str) -> np.ndarray:
+    """Parse a kaldi-nnet ``am.mvn`` file into a (2, D) [means; vars] array
+    (reference ``load_cmvn``, wav_frontend.py:15)."""
+    means, variances = None, None
+    with open(path, "r", encoding="utf-8") as f:
+        lines = f.readlines()
+    for i, line in enumerate(lines):
+        item = line.split()
+        if not item:
+            continue
+        if item[0] == "<AddShift>":
+            nxt = lines[i + 1].split()
+            if nxt[0] == "<LearnRateCoef>":
+                means = np.array(nxt[3 : len(nxt) - 1], dtype=np.float32)
+        elif item[0] == "<Rescale>":
+            nxt = lines[i + 1].split()
+            if nxt[0] == "<LearnRateCoef>":
+                variances = np.array(nxt[3 : len(nxt) - 1], dtype=np.float32)
+    if means is None or variances is None:
+        raise ValueError(f"could not parse cmvn file {path}")
+    return np.stack([means, variances])

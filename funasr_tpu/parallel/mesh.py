@@ -1,0 +1,100 @@
+"""Device mesh + sharding rules.
+
+The reference scales with DDP/FSDP/DeepSpeed over NCCL
+(funasr/bin/train.py:69-146); the TPU-native equivalent is a
+``jax.sharding.Mesh`` with a ``data`` axis (batch / DP) and a ``model`` axis
+(tensor parallel for large encoders), pjit-partitioned params, and XLA
+collectives over ICI.  Loss/grad averaging semantics (weighted by per-rank
+batch weight, trainer.py:396-449) fall out of sharded-batch ``jnp.mean`` —
+no hand-written all_reduce.
+
+Parameter sharding is rule-based on the flax param path: FFN hidden dims and
+attention head dims shard over ``model``; everything else replicates.  With
+``model=1`` this degrades to pure DP; with ``data=1`` to pure TP.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"data*model = {data}*{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+# (regex over 'path/to/param', partition spec for its dims), first match wins.
+# Kernel layouts follow flax: Dense kernel (in, out); depthwise conv (K, 1, D);
+# scanned stacks get a leading layer axis handled by _prepend_layer_axis.
+_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    # FFN: hidden dim sharded
+    (r".*feed_forward/w_1/kernel", P(None, "model")),
+    (r".*feed_forward/w_1/bias", P("model")),
+    (r".*feed_forward/w_2/kernel", P("model", None)),
+    (r".*feed_forward/norm/(scale|bias)", P("model")),
+    # fused attention projections: head dim sharded
+    (r".*linear_q_k_v/kernel", P(None, "model")),
+    (r".*linear_q_k_v/bias", P("model")),
+    (r".*linear_k_v/kernel", P(None, "model")),
+    (r".*linear_k_v/bias", P("model")),
+    (r".*linear_q/kernel", P(None, "model")),
+    (r".*linear_q/bias", P("model")),
+    (r".*linear_out/kernel", P("model", None)),
+    # vocab projections: vocab dim sharded
+    (r".*output_layer/kernel", P(None, "model")),
+    (r".*output_layer/bias", P("model")),
+    (r".*embed/embedding", P("model", None)),
+    (r".*ctc_lo/kernel", P(None, "model")),
+    (r".*ctc_lo/bias", P("model")),
+)
+
+
+def _spec_for(path: str, ndim: int) -> P:
+    """Match a param path against the rules; scanned layer stacks carry one
+    extra leading (layer) axis, which replicates."""
+    for pat, spec in _PARAM_RULES:
+        if re.fullmatch(pat, path):
+            parts = list(spec)
+            if ndim == len(parts) + 1:  # scanned stack: (L, ...)
+                parts = [None] + parts
+            while len(parts) < ndim:
+                parts.append(None)
+            return P(*parts[:ndim])
+    return P()  # replicate
+
+
+def param_shardings(params, mesh: Mesh):
+    """Tree of NamedShardings for a flax param tree."""
+
+    def assign(kp, leaf):
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        return NamedSharding(mesh, _spec_for(path, leaf.ndim))
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors shard their leading dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
