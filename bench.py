@@ -1,0 +1,123 @@
+"""Benchmark: offline batch ASR throughput on one TPU chip.
+
+Runs the flagship Paraformer-large architecture (template.yaml config,
+bfloat16, random weights — accuracy is tested elsewhere; this measures the
+compute path) over a realistic offline batch: frontend (fbank+LFR+CMVN) +
+encoder + CIF + decoder + greedy decode, end to end on device.
+
+Prints ONE JSON line: audio-seconds per second per chip (1/RTF).
+Baseline: reference GPU pipeline single-stream RTF 0.0076 on an NVIDIA A10
+(runtime/docs/benchmark_libtorch_cpp.md:24-31) -> 131.6 audio-s/s.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_AUDIO_S_PER_S = 1.0 / 0.0076  # A10 single-stream pipeline (131.6)
+
+
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main():
+    from funasr_tpu.ops import fbank as F
+    from __graft_entry__ import _flagship
+
+    model = _flagship(dtype=jnp.bfloat16)
+
+    # Offline batch: 64 utterances x 15 s (AISHELL-style offline decoding
+    # with batched segments).
+    B, secs, fs = 64, 15, 16000
+    N = secs * fs
+    rng = np.random.default_rng(0)
+    wav = (0.1 * np.sin(2 * np.pi * 300 * np.arange(N) / fs)[None, :]
+           + 0.02 * rng.standard_normal((B, N))).astype(np.float32)
+    lengths = np.full((B,), N, np.int64)
+    lengths[1::2] = int(N * 0.8)  # some padding, like real batches
+    wav_d = jnp.asarray(wav)
+    len_d = jnp.asarray(lengths, jnp.int32)
+    cmvn = jnp.stack([jnp.zeros(560, jnp.float32), jnp.ones(560, jnp.float32)])
+
+    max_tokens = 256  # ~15 s of Mandarin
+
+    def pipeline(params, wav, lens, cmvn):
+        feats, flens = F.fbank(wav, lens, dither=0.0)
+        lfr, lfr_lens = F.apply_lfr(feats, flens, 7, 6)
+        x = F.apply_cmvn(lfr, cmvn)
+        return model.apply(params, x, lfr_lens, max_tokens=max_tokens,
+                           method=model.greedy_decode)
+
+    t0 = time.time()
+    feats, flens = F.fbank(wav_d[:1], len_d[:1], dither=0.0)
+    lfr, lfr_lens = F.apply_lfr(feats, flens, 7, 6)
+    x0 = F.apply_cmvn(lfr, cmvn)
+    key = jax.random.PRNGKey(0)
+    # init under jit: one compiled program instead of thousands of eager
+    # dispatches through the device tunnel
+    params = jax.jit(
+        lambda k, x, l: model.init({"params": k}, x, l, max_tokens=max_tokens,
+                                   method=model.greedy_decode)
+    )(key, x0, lfr_lens)
+    init_s = time.time() - t0
+
+    # Timing methodology: the device tunnel in this sandbox makes
+    # block_until_ready unreliable and host round-trips expensive, so we
+    # chain K pipeline iterations inside ONE jitted program (input perturbed
+    # per iteration so XLA cannot hoist the body) and take the slope
+    # between K=1 and K=1+ITERS — per-call overhead cancels.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def bench_k(params, wav, lens, cmvn, k):
+        def body(i, acc):
+            w = wav + i.astype(jnp.float32) * 1e-8
+            tokens, tok_lens, _ = pipeline(params, w, lens, cmvn)
+            return acc + jnp.sum(tokens) + jnp.sum(tok_lens)
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32))
+
+    iters = 5
+    t0 = time.time()
+    _ = np.asarray(bench_k(params, wav_d, len_d, cmvn, 1))
+    _ = np.asarray(bench_k(params, wav_d, len_d, cmvn, 1 + iters))
+    compile_s = time.time() - t0
+
+    t1 = min(
+        _timed(lambda: np.asarray(bench_k(params, wav_d, len_d, cmvn, 1)))
+        for _ in range(3)
+    )
+    t6 = min(
+        _timed(lambda: np.asarray(bench_k(params, wav_d, len_d, cmvn, 1 + iters)))
+        for _ in range(3)
+    )
+    dt = max(t6 - t1, 1e-9) / iters
+
+    audio_seconds = float(lengths.sum()) / fs
+    value = audio_seconds / dt
+    print(json.dumps({
+        "metric": "offline_batch_audio_seconds_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),
+        "detail": {
+            "batch": B, "utt_seconds": secs, "dtype": "bfloat16",
+            "model": "paraformer-large-arch(220M)",
+            "batch_latency_ms": round(dt * 1000, 1),
+            "compile_s": round(compile_s, 1),
+            "init_s": round(init_s, 1),
+            "baseline": "A10 libtorch pipeline single-stream RTF 0.0076",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

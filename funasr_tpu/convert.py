@@ -1,0 +1,187 @@
+"""Torch checkpoint -> flax params conversion for Paraformer-family models.
+
+The reference ships ModelScope checkpoints (``model.pt`` torch state_dicts,
+names like ``encoder.encoders.12.self_attn.linear_q_k_v.weight``).  This
+module maps them onto our flax trees:
+
+- Linear ``weight (out,in)`` -> Dense ``kernel (in,out)`` (transpose),
+- depthwise Conv1d ``fsmn_block.weight (D,1,K)`` -> ``(K,1,D)``,
+- CIF ``cif_conv1d.weight (D,D,K)`` -> HIO ``(K,D,D)``,
+- LayerNorm ``weight/bias`` -> ``scale/bias``,
+- per-layer stacks ``encoders.{i}.*`` -> one stacked leaf (L, ...) matching
+  ``nn.scan`` parameter layout.
+
+Input is anything dict-like mapping name -> numpy array (load ``model.pt``
+with ``torch.load(..., map_location='cpu')`` and call ``.numpy()``, or pass
+a ``safetensors``/npz mapping).  No torch import happens here.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _set(tree: Dict, path: str, value: np.ndarray):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def _linear(sd, tprefix, tree, jprefix, bias=True):
+    _set(tree, f"{jprefix}/kernel", np.ascontiguousarray(sd[f"{tprefix}.weight"].T))
+    if bias and f"{tprefix}.bias" in sd:
+        _set(tree, f"{jprefix}/bias", sd[f"{tprefix}.bias"])
+
+
+def _norm(sd, tprefix, tree, jprefix):
+    _set(tree, f"{jprefix}/scale", sd[f"{tprefix}.weight"])
+    _set(tree, f"{jprefix}/bias", sd[f"{tprefix}.bias"])
+
+
+def _fsmn(sd, tname, tree, jpath):
+    w = sd[tname]  # (D, 1, K)
+    _set(tree, jpath, np.ascontiguousarray(np.transpose(w, (2, 1, 0))))
+
+
+def _enc_layer(sd, p, tree, jp):
+    """One SANM encoder layer."""
+    _linear(sd, f"{p}.self_attn.linear_q_k_v", tree, f"{jp}/self_attn/linear_q_k_v")
+    _linear(sd, f"{p}.self_attn.linear_out", tree, f"{jp}/self_attn/linear_out")
+    _fsmn(sd, f"{p}.self_attn.fsmn_block.weight", tree, f"{jp}/self_attn/fsmn_block")
+    _linear(sd, f"{p}.feed_forward.w_1", tree, f"{jp}/feed_forward/w_1")
+    _linear(sd, f"{p}.feed_forward.w_2", tree, f"{jp}/feed_forward/w_2")
+    _norm(sd, f"{p}.norm1", tree, f"{jp}/norm1")
+    _norm(sd, f"{p}.norm2", tree, f"{jp}/norm2")
+
+
+def _dec_layer(sd, p, tree, jp, has_self=True, has_src=True):
+    _linear(sd, f"{p}.feed_forward.w_1", tree, f"{jp}/feed_forward/w_1")
+    _linear(sd, f"{p}.feed_forward.w_2", tree, f"{jp}/feed_forward/w_2", bias=False)
+    _norm(sd, f"{p}.feed_forward.norm", tree, f"{jp}/feed_forward/norm")
+    _norm(sd, f"{p}.norm1", tree, f"{jp}/norm1")
+    if has_self:
+        _fsmn(sd, f"{p}.self_attn.fsmn_block.weight", tree, f"{jp}/self_attn/fsmn_block")
+        _norm(sd, f"{p}.norm2", tree, f"{jp}/norm2")
+    if has_src:
+        _linear(sd, f"{p}.src_attn.linear_q", tree, f"{jp}/src_attn/linear_q")
+        _linear(sd, f"{p}.src_attn.linear_k_v", tree, f"{jp}/src_attn/linear_k_v")
+        _linear(sd, f"{p}.src_attn.linear_out", tree, f"{jp}/src_attn/linear_out")
+        _norm(sd, f"{p}.norm3", tree, f"{jp}/norm3")
+
+
+def _stack_layers(per_layer_trees):
+    """[tree_0, tree_1, ...] -> one tree with leaves stacked on axis 0."""
+    out = {}
+
+    def rec(trees, node):
+        for k in trees[0]:
+            vals = [t[k] for t in trees]
+            if isinstance(vals[0], dict):
+                node[k] = {}
+                rec(vals, node[k])
+            else:
+                node[k] = np.stack(vals, axis=0)
+
+    rec(per_layer_trees, out)
+    return out
+
+
+def _count_layers(sd: Mapping[str, np.ndarray], prefix: str) -> int:
+    idx = set()
+    pat = re.compile(re.escape(prefix) + r"\.(\d+)\.")
+    for k in sd:
+        m = pat.match(k)
+        if m:
+            idx.add(int(m.group(1)))
+    return (max(idx) + 1) if idx else 0
+
+
+def paraformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Build the ``{'params': ...}`` tree for funasr_tpu Paraformer from a
+    reference torch state_dict (values as numpy arrays)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tree: Dict[str, Any] = {}
+
+    # ---- encoder
+    enc: Dict[str, Any] = {}
+    _enc_layer(sd, "encoder.encoders0.0", enc, "encoders0")
+    n_enc = _count_layers(sd, "encoder.encoders")
+    layers = []
+    for i in range(n_enc):
+        lt: Dict[str, Any] = {}
+        _enc_layer(sd, f"encoder.encoders.{i}", lt, "L")
+        layers.append(lt["L"])
+    if layers:
+        enc["encoders"] = _stack_layers(layers)
+    _norm(sd, "encoder.after_norm", enc, "after_norm")
+    tree["encoder"] = enc
+
+    # ---- predictor (CifPredictorV2)
+    pred: Dict[str, Any] = {}
+    w = sd["predictor.cif_conv1d.weight"]  # (D, D, K) torch conv1d
+    pred["cif_conv1d"] = np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+    pred["cif_conv1d_bias"] = sd["predictor.cif_conv1d.bias"]
+    _linear(sd, "predictor.cif_output", pred, "cif_output")
+    tree["predictor"] = pred
+
+    # ---- decoder
+    dec: Dict[str, Any] = {}
+    n_att = _count_layers(sd, "decoder.decoders")
+    layers = []
+    for i in range(n_att):
+        lt: Dict[str, Any] = {}
+        _dec_layer(sd, f"decoder.decoders.{i}", lt, "L")
+        layers.append(lt["L"])
+    if layers:
+        dec["decoders"] = _stack_layers(layers)
+    n2 = _count_layers(sd, "decoder.decoders2")
+    if n2:
+        layers = []
+        for i in range(n2):
+            lt: Dict[str, Any] = {}
+            _dec_layer(sd, f"decoder.decoders2.{i}", lt, "L", has_src=False)
+            layers.append(lt["L"])
+        dec["decoders2"] = _stack_layers(layers)
+    lt = {}
+    _dec_layer(sd, "decoder.decoders3.0", lt, "L", has_self=False, has_src=False)
+    dec["decoders3"] = lt["L"]
+    _norm(sd, "decoder.after_norm", dec, "after_norm")
+    _linear(sd, "decoder.output_layer", dec, "output_layer")
+    if "decoder.embed.0.weight" in sd:
+        dec["embed"] = {"embedding": sd["decoder.embed.0.weight"]}
+    tree["decoder"] = dec
+
+    if "ctc.ctc_lo.weight" in sd:
+        ctc: Dict[str, Any] = {}
+        _linear(sd, "ctc.ctc_lo", ctc, "ctc_lo")
+        tree["ctc_lo"] = ctc["ctc_lo"]
+
+    return {"params": tree}
+
+
+def check_tree_matches(converted, initialized) -> list:
+    """Compare two param trees; returns a list of mismatch descriptions."""
+    import jax
+
+    problems = []
+    c_flat = dict(
+        ("/".join(str(getattr(k, "key", k)) for k in kp), v.shape)
+        for kp, v in jax.tree_util.tree_flatten_with_path(converted)[0]
+    )
+    i_flat = dict(
+        ("/".join(str(getattr(k, "key", k)) for k in kp), v.shape)
+        for kp, v in jax.tree_util.tree_flatten_with_path(initialized)[0]
+    )
+    for k in sorted(set(c_flat) | set(i_flat)):
+        if k not in c_flat:
+            problems.append(f"missing in converted: {k} {i_flat[k]}")
+        elif k not in i_flat:
+            problems.append(f"unexpected in converted: {k} {c_flat[k]}")
+        elif tuple(c_flat[k]) != tuple(i_flat[k]):
+            problems.append(f"shape mismatch {k}: {c_flat[k]} vs {i_flat[k]}")
+    return problems

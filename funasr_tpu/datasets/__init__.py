@@ -1,0 +1,3 @@
+import funasr_tpu.datasets.index_ds  # noqa: F401
+import funasr_tpu.datasets.samplers  # noqa: F401
+import funasr_tpu.datasets.dataset  # noqa: F401

@@ -50,6 +50,7 @@ def fsmn_memory(
     v: (B, T, D); kernel: (K, 1, D) depthwise filters.
     """
     if mask is not None:
+        mask = mask.astype(v.dtype)
         v = v * mask
     out = lax.conv_general_dilated(
         v,
@@ -148,16 +149,26 @@ class PositionwiseFeedForward(nn.Module):
 
 
 class LayerNormF32(nn.Module):
-    """LayerNorm computed in float32, cast back to the compute dtype."""
+    """LayerNorm computed in float32, cast back to the compute dtype.
+
+    Owns its scale/bias directly (no nested module) so checkpoint paths are
+    ``.../norm1/{scale,bias}``, mirroring the torch ``norm1.{weight,bias}``.
+    """
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    epsilon: float = 1e-12  # torch.nn.LayerNorm default in the reference
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(
-            x.astype(jnp.float32)
-        )
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (d,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         return y.astype(self.dtype)
 
 

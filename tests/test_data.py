@@ -1,0 +1,140 @@
+"""Data pipeline tests: audio I/O, jsonl index, samplers, dataset collation."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import jax
+import pytest
+
+from funasr_tpu.datasets.dataset import AudioDataset
+from funasr_tpu.datasets.index_ds import IndexDSJsonl
+from funasr_tpu.datasets.samplers import DynamicBatchSampler, quantize_length
+from funasr_tpu.ops.specaug import spec_aug_lfr
+from funasr_tpu.tokenizer.char_tokenizer import CharTokenizer
+from funasr_tpu.utils.audio import load_audio, resample_linear
+
+
+def _write_wav(path, data, fs=16000):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(fs)
+        w.writeframes((np.clip(data, -1, 1) * 32767).astype("<i2").tobytes())
+
+
+@pytest.fixture
+def corpus(tmp_path, rng):
+    """Tiny synthetic wav+jsonl corpus."""
+    recs = []
+    for i in range(10):
+        n = 1600 * (i + 2)
+        wav = rng.standard_normal(n).astype(np.float32) * 0.1
+        p = tmp_path / f"utt{i}.wav"
+        _write_wav(p, wav)
+        text = "你 好 世 界"[: 2 * ((i % 4) + 1)].strip()
+        recs.append(
+            dict(key=f"utt{i}", source=str(p), target=text,
+                 source_len=n, target_len=len(text.split()))
+        )
+    jsonl = tmp_path / "data.jsonl"
+    with open(jsonl, "w", encoding="utf-8") as f:
+        for r in recs:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    return jsonl, recs
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    data = (rng.standard_normal(1000) * 0.1).astype(np.float32)
+    p = tmp_path / "x.wav"
+    _write_wav(p, data)
+    out = load_audio(str(p))
+    assert out.shape == (1000,)
+    np.testing.assert_allclose(out, data, atol=1e-4)
+
+
+def test_resample():
+    t = np.arange(8000) / 8000.0
+    x = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+    y = resample_linear(x, 8000, 16000)
+    assert abs(len(y) - 16000) <= 1
+    t16 = np.arange(len(y)) / 16000.0
+    # linear interp of a 100 Hz tone: small interior error; ignore the last
+    # sample (extrapolation clamp)
+    np.testing.assert_allclose(
+        y[:-2], np.sin(2 * np.pi * 100 * t16)[:-2], atol=5e-2
+    )
+
+
+def test_index_and_dataset(corpus):
+    jsonl, recs = corpus
+    ids = IndexDSJsonl(str(jsonl))
+    assert len(ids) == 10
+    tok = CharTokenizer(token_list=["<blank>", "<s>", "</s>", "你", "好", "世", "界"],
+                        split_with_space=True)
+    ds = AudioDataset(ids, tokenizer=tok)
+    item = ds[0]
+    assert item["speech"].shape == (recs[0]["source_len"],)
+    assert item["text_length"] == recs[0]["target_len"]
+    batch = ds.collate([ds[0], ds[1]], pad_speech_len=8000, pad_text_len=6)
+    assert batch["speech"].shape == (2, 8000)
+    assert batch["text"].shape == (2, 6)
+    assert (batch["text"][0, batch["text_lengths"][0]:] == -1).all()
+
+
+def test_sampler_budget_and_rank_shard():
+    src = list(range(100, 1100, 10))  # 100 items
+    tgt = [s // 20 for s in src]
+    common = dict(source_lens=src, target_lens=tgt, batch_type="length",
+                  batch_size=4000, buffer_size=32, shuffle=True, seed=1)
+    s0 = DynamicBatchSampler(rank=0, world_size=2, **common)
+    s1 = DynamicBatchSampler(rank=1, world_size=2, **common)
+    s0.set_epoch(3)
+    s1.set_epoch(3)
+    b0, b1 = list(s0), list(s1)
+    assert len(b0) == len(b1) > 0  # lockstep
+    seen = [i for b in b0 + b1 for i in b.indices]
+    assert len(seen) == len(set(seen))  # disjoint
+    for b in b0:
+        mx_s = max(src[i] for i in b.indices)
+        mx_t = max(tgt[i] for i in b.indices)
+        assert (mx_s + mx_t) * len(b.indices) <= 4000
+        assert b.pad_source_len >= mx_s
+        assert b.pad_target_len >= mx_t
+
+
+def test_sampler_epoch_shuffle_and_resume():
+    src = list(range(100, 600, 5))
+    tgt = [1] * len(src)
+    s = DynamicBatchSampler(src, tgt, batch_type="example", batch_size=8,
+                            buffer_size=50, shuffle=True, seed=0)
+    s.set_epoch(0)
+    e0 = [b.indices for b in s]
+    s.set_epoch(1)
+    e1 = [b.indices for b in s]
+    assert e0 != e1  # epoch changes order
+    s.set_epoch(0, start_step=3)
+    resumed = [b.indices for b in s]
+    assert resumed == e0[3:]  # mid-epoch resume
+
+
+def test_quantize_grid_bounds_shapes():
+    grid = [64, 128, 256]
+    assert quantize_length(1, grid) == 64
+    assert quantize_length(65, grid) == 128
+    assert quantize_length(999, grid) == 256
+
+
+def test_specaug_lfr_masks():
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+    x = jnp.ones((2, 50, 560))
+    y, lens = spec_aug_lfr(rng, x, jnp.array([50, 40]),
+                           freq_mask_width_range=(5, 30), lfr_rate=6,
+                           time_mask_width_range=(5, 12))
+    y = np.asarray(y)
+    assert (y == 0).any()  # something masked
+    # freq mask replicates across stacked copies: zero columns come in groups
+    zero_cols = np.nonzero((y[0] == 0).all(axis=0))[0]
+    assert len(zero_cols) >= 2 * 5  # at least width x >=2 visible copies

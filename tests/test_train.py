@@ -1,0 +1,136 @@
+"""Trainer loop: overfit a tiny batch, checkpoint, resume, n-best average."""
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from funasr_tpu.models.paraformer.model import Paraformer
+from funasr_tpu.train.checkpoint import CheckpointManager
+from funasr_tpu.train.optim import (
+    build_optimizer,
+    tri_stage_schedule,
+    warmup_lr_schedule,
+)
+from funasr_tpu.train.train_step import TrainState, make_train_step
+from funasr_tpu.train.trainer import Trainer
+
+CONF = dict(
+    vocab_size=32,
+    input_size=12,
+    encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                      num_blocks=2, dropout_rate=0.0, kernel_size=3),
+    decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=1,
+                      att_layer_num=1, kernel_size=3, dropout_rate=0.0),
+    predictor_conf=dict(idim=16, tail_threshold=0.45, dropout=0.0),
+    sampling_ratio=0.5,
+)
+
+
+def _fixed_batch(rng):
+    B, T, U = 4, 24, 5
+    return dict(
+        speech=jnp.asarray(rng.standard_normal((B, T, 12)), jnp.float32),
+        speech_lengths=jnp.full((B,), T, jnp.int32),
+        text=jnp.asarray(rng.integers(3, 32, (B, U)), jnp.int32),
+        text_lengths=jnp.full((B,), U, jnp.int32),
+    )
+
+
+def test_schedules():
+    s = warmup_lr_schedule(1.0, warmup_steps=100)
+    assert float(s(1)) < float(s(50)) < float(s(100))
+    assert float(s(100)) > float(s(400))
+    t = tri_stage_schedule(1.0, (0.1, 0.4, 0.5), total_steps=100)
+    assert float(t(0)) == pytest.approx(0.01)
+    assert float(t(10)) == pytest.approx(1.0)
+    assert float(t(30)) == pytest.approx(1.0)
+    assert float(t(100)) == pytest.approx(0.01, rel=1e-3)
+
+
+def test_overfit_loss_decreases(rng):
+    model = Paraformer(**CONF)
+    batch = _fixed_batch(rng)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key, "sampler": key},
+                        batch["speech"], batch["speech_lengths"],
+                        batch["text"], batch["text_lengths"])
+    tx, _ = build_optimizer("adam", {"lr": 3e-3}, "constant", {}, grad_clip=5.0)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model, tx))
+    losses = []
+    for i in range(30):
+        state, stats = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(stats["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.7, losses
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path, rng):
+    model = Paraformer(**CONF)
+    batch = _fixed_batch(rng)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key, "sampler": key},
+                        batch["speech"], batch["speech_lengths"],
+                        batch["text"], batch["text_lengths"])
+    tx, _ = build_optimizer("adam", {"lr": 1e-3}, "constant", {})
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model, tx))
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), keep_nbest=2, metric="acc")
+    accs = [0.1, 0.5, 0.3, 0.7]
+    for i, a in enumerate(accs):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+        ckpt.save(int(state.step), state._asdict(),
+                  extra={"epoch": 0, "step_in_epoch": i + 1}, val_metric=a)
+
+    # keep_nbest=2 -> only the two best validation scores survive
+    assert sorted(ckpt._scores.values()) == [0.5, 0.7]
+    assert ckpt.best_step() == 4
+
+    payload = ckpt.restore(ckpt.best_step())
+    restored = payload["state"]
+    np.testing.assert_array_equal(np.asarray(restored["step"]), 4)
+
+    avg = ckpt.average_nbest(2, params_of=lambda p: p["state"]["params"])
+    leaves = jax.tree_util.tree_leaves(avg)
+    assert all(np.isfinite(l).all() for l in leaves)
+
+
+def test_trainer_loop_runs(tmp_path, rng, caplog):
+    model = Paraformer(**CONF)
+    batch = _fixed_batch(rng)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key, "sampler": key},
+                        batch["speech"], batch["speech_lengths"],
+                        batch["text"], batch["text_lengths"])
+    tx, _ = build_optimizer("adam", {"lr": 1e-3}, "constant", {})
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model, tx))
+
+    def eval_step(params, b):
+        loss, stats = model.apply(params, b["speech"], b["speech_lengths"],
+                                  b["text"], b["text_lengths"],
+                                  deterministic=True)
+        return {"loss": loss, "acc": stats["acc"]}
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"), keep_nbest=3)
+    trainer = Trainer(step, eval_step, ckpt, max_epoch=2,
+                      save_checkpoint_interval=3, log_interval=2)
+
+    def build_iter(epoch, start_step):
+        return [batch] * (4 - start_step)
+
+    state = trainer.run(state, build_iter, valid_iter=lambda: [batch])
+    assert int(state.step) == 8
+    assert ckpt.latest_step() is not None
+
+    # resume: fresh trainer picks up epoch/step from the checkpoint
+    trainer2 = Trainer(step, eval_step, ckpt, max_epoch=2,
+                       save_checkpoint_interval=100)
+    state2 = trainer2.resume(
+        TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    )
+    assert int(state2["step"] if isinstance(state2, dict) else state2.step) == 8
+    assert trainer2.start_epoch == 2
