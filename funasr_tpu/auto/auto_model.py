@@ -1,0 +1,292 @@
+"""AutoModel: the user-facing pipeline API (reference
+funasr/auto/auto_model.py:111).
+
+Builds up to four models from configs (main ASR + VAD + punctuation +
+speaker) and exposes ``generate()``:
+
+- plain batched inference when no VAD model is attached (auto_model.py:308),
+- the long-audio pipeline otherwise (auto_model.py:378
+  ``inference_with_vad``): VAD segmentation -> merge short segments -> sort
+  segments by length -> greedy second-budget batching (``batch_size_s``) ->
+  batched ASR -> restore order, stitch text and offset timestamps ->
+  punctuation -> sentence_info.
+
+Model resolution: ``model`` may be a model directory (config.yaml +
+model.npz), a YAML path, or a config dict.  Weights load from ``init_param``
+(.npz of flax leaves or torch-layout names run through funasr_tpu.convert);
+absent weights mean random init (testing).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from funasr_tpu.auto.engines import (
+    FrontendConfig,
+    ParaformerEngine,
+    PuncEngine,
+    SenseVoiceEngine,
+    VadEngine,
+)
+from funasr_tpu.config import load_config
+from funasr_tpu.ops.fbank import load_cmvn_file
+from funasr_tpu.registry import tables
+from funasr_tpu.utils.audio import load_audio
+from funasr_tpu.utils.timestamp_tools import timestamp_sentence
+from funasr_tpu.utils.vad_utils import merge_vad, slice_audio_by_segments
+
+
+def _resolve_cfg(model: Union[str, Dict, None], conf: Optional[Dict]) -> Dict:
+    if isinstance(model, dict):
+        cfg = dict(model)
+    elif isinstance(model, str) and (os.path.isdir(model) or os.path.isfile(model)):
+        cfg = load_config(model)
+    elif isinstance(model, str):
+        cfg = {"model": model}
+    else:
+        cfg = {}
+    if conf:
+        cfg.update(conf)
+    return cfg
+
+
+def _load_params(cfg: Dict) -> Optional[Dict]:
+    path = cfg.get("init_param")
+    if not path and cfg.get("model_path"):
+        cand = os.path.join(cfg["model_path"], "model.npz")
+        path = cand if os.path.exists(cand) else None
+    if not path:
+        return None
+    data = dict(np.load(path, allow_pickle=False))
+    if any("." in k for k in data):  # torch-layout names
+        from funasr_tpu.convert import paraformer_from_torch
+
+        return paraformer_from_torch(data)
+    # flat flax tree with '/'-joined keys
+    tree: Dict[str, Any] = {}
+    for k, v in data.items():
+        node = tree
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+def _build_tokenizer(cfg: Dict):
+    name = cfg.get("tokenizer", "CharTokenizer")
+    conf = dict(cfg.get("tokenizer_conf") or {})
+    if "token_list" in cfg and "token_list" not in conf:
+        conf["token_list"] = cfg["token_list"]
+    return tables.get("tokenizer_classes", name)(**conf)
+
+
+def _build_frontend(cfg: Dict) -> FrontendConfig:
+    conf = dict(cfg.get("frontend_conf") or {})
+    cmvn = None
+    cmvn_file = conf.pop("cmvn_file", None) or cfg.get("cmvn_file")
+    if cmvn_file and os.path.exists(cmvn_file):
+        cmvn = load_cmvn_file(cmvn_file)
+    return FrontendConfig(cmvn=cmvn, **conf)
+
+
+class AutoModel:
+    def __init__(
+        self,
+        model: Union[str, Dict, None] = None,
+        model_conf: Optional[Dict] = None,
+        vad_model: Union[str, Dict, None] = None,
+        vad_conf: Optional[Dict] = None,
+        punc_model: Union[str, Dict, None] = None,
+        punc_conf: Optional[Dict] = None,
+        seed: int = 0,
+        **kwargs,
+    ):
+        self.kwargs = kwargs
+        self.rng = jax.random.PRNGKey(seed)
+        self.engine = None
+        self.vad_engine = None
+        self.punc_engine = None
+        if model is not None:
+            self.engine = self._build_main(_resolve_cfg(model, model_conf))
+        if vad_model is not None:
+            self.vad_engine = self._build_vad(_resolve_cfg(vad_model, vad_conf))
+        if punc_model is not None:
+            self.punc_engine = self._build_punc(_resolve_cfg(punc_model, punc_conf))
+
+    # ------------------------------------------------------------- builders
+    def _build_main(self, cfg: Dict):
+        name = cfg.get("model", "Paraformer")
+        cls = tables.get("model_classes", name)
+        tokenizer = _build_tokenizer(cfg)
+        frontend = _build_frontend(cfg)
+        vocab = cfg.get("vocab_size") or tokenizer.get_vocab_size()
+        input_size = cfg.get("input_size", frontend.n_mels * frontend.lfr_m)
+        common = dict(
+            vocab_size=vocab, input_size=input_size,
+            encoder_conf=cfg.get("encoder_conf"),
+        )
+        if name == "Paraformer":
+            module = cls(
+                decoder_conf=cfg.get("decoder_conf"),
+                predictor_conf=cfg.get("predictor_conf"),
+                **common, **(cfg.get("model_conf") or {}),
+            )
+            params = _load_params(cfg)
+            if params is None:
+                T = 32
+                params = module.init(
+                    {"params": self.rng},
+                    jnp.zeros((1, T, input_size)), jnp.array([T]),
+                    max_tokens=8, method=module.greedy_decode,
+                )
+            return ParaformerEngine(module, params, frontend, tokenizer,
+                                    blank_id=module.blank_id)
+        if name == "SenseVoiceSmall":
+            module = cls(**common, **(cfg.get("model_conf") or {}))
+            params = _load_params(cfg)
+            if params is None:
+                T = 32
+                params = module.init(
+                    {"params": self.rng},
+                    jnp.zeros((1, T, input_size)), jnp.array([T]),
+                    jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+                    method=module.greedy_decode,
+                )
+            return SenseVoiceEngine(module, params, frontend, tokenizer)
+        raise KeyError(f"no engine for model class {name!r}")
+
+    def _build_vad(self, cfg: Dict):
+        cls = tables.get("model_classes", cfg.get("model", "FsmnVADStreaming"))
+        model = cls(
+            encoder=cfg.get("encoder", "FSMN"),
+            encoder_conf=cfg.get("encoder_conf"),
+            **(cfg.get("model_conf") or {}),
+        )
+        frontend = _build_frontend(cfg)
+        params = _load_params(cfg)
+        if params is not None:
+            model.params = params
+        else:
+            model.init_params(self.rng, frontend.n_mels * frontend.lfr_m)
+        return VadEngine(model, frontend)
+
+    def _build_punc(self, cfg: Dict):
+        tokenizer = _build_tokenizer(cfg)
+        cls = tables.get("model_classes", cfg.get("model", "CTTransformer"))
+        model = cls(
+            vocab_size=cfg.get("vocab_size") or tokenizer.get_vocab_size(),
+            punc_list=cfg.get("punc_list", ("<unk>", "_", "，", "。", "？", "、")),
+            embed_unit=cfg.get("embed_unit", 256),
+            att_unit=cfg.get("att_unit", 256),
+            encoder_conf=cfg.get("encoder_conf"),
+        )
+        params = _load_params(cfg)
+        if params is not None:
+            model.params = params
+        else:
+            model.init_params(self.rng)
+        return PuncEngine(model, tokenizer)
+
+    # ------------------------------------------------------------ generate
+    def generate(self, input, fs: int = 16000, key: Optional[List[str]] = None,
+                 batch_size: int = 16, **kwargs):
+        wavs, keys = self._prepare_inputs(input, fs, key)
+        if self.vad_engine is not None and self.engine is not None:
+            return [
+                self._inference_with_vad(w, k, **kwargs)
+                for w, k in zip(wavs, keys)
+            ]
+        results = []
+        for i in range(0, len(wavs), batch_size):
+            chunk = wavs[i : i + batch_size]
+            res = self.engine.transcribe(chunk, **kwargs)
+            for j, r in enumerate(res):
+                r["key"] = keys[i + j]
+                results.append(r)
+        return results
+
+    def _prepare_inputs(self, input, fs, key):
+        items = input if isinstance(input, (list, tuple)) else [input]
+        wavs = [load_audio(x, fs=fs) for x in items]
+        if key is None:
+            key = [
+                os.path.splitext(os.path.basename(x))[0]
+                if isinstance(x, str) else f"rand_key_{i}"
+                for i, x in enumerate(items)
+            ]
+        return wavs, key
+
+    # ----------------------------------------------- long audio pipeline
+    def _inference_with_vad(
+        self, wav: np.ndarray, key: str,
+        batch_size_s: int = 300,
+        merge_length_s: int = 15,
+        with_timestamp: bool = True,
+        fs: int = 16000,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        segments = self.vad_engine.segments(wav)
+        segments = merge_vad(segments, merge_length_s * 1000)
+        if not segments:
+            return {"key": key, "text": ""}
+        clips = slice_audio_by_segments(wav, segments, fs)
+
+        # sort by length desc, greedy batch under the seconds budget
+        order = sorted(range(len(clips)), key=lambda i: -len(clips[i]))
+        budget = batch_size_s * fs
+        batches: List[List[int]] = []
+        cur: List[int] = []
+        cur_max = 0
+        for i in order:
+            m = max(cur_max, len(clips[i]))
+            if cur and m * (len(cur) + 1) > budget:
+                batches.append(cur)
+                cur, cur_max = [], 0
+                m = len(clips[i])
+            cur.append(i)
+            cur_max = m
+        if cur:
+            batches.append(cur)
+
+        seg_results: Dict[int, Dict] = {}
+        for batch in batches:
+            res = self.engine.transcribe(
+                [clips[i] for i in batch],
+                with_timestamp=with_timestamp,
+                vad_offsets=[segments[i][0] for i in batch]
+                if with_timestamp else None,
+                **kwargs,
+            )
+            for i, r in zip(batch, res):
+                seg_results[i] = r
+
+        texts, all_ts, all_tokens = [], [], []
+        for i in range(len(clips)):
+            r = seg_results.get(i, {})
+            if r.get("text"):
+                texts.append(r["text"])
+            all_ts.extend(r.get("timestamp", []))
+            all_tokens.extend(r.get("raw_tokens", []))
+        text = " ".join(texts) if any(
+            t and len(t[0].encode()) == 1 for t in texts
+        ) else "".join(texts)
+
+        result: Dict[str, Any] = {"key": key, "text": text}
+        if with_timestamp:
+            result["timestamp"] = all_ts
+
+        if self.punc_engine is not None and text:
+            punc_out = self.punc_engine.punctuate(text)
+            result["text"] = punc_out["text"]
+            if with_timestamp and len(all_tokens) == len(punc_out["punc_array"]):
+                result["sentence_info"] = timestamp_sentence(
+                    punc_out["punc_array"], all_ts, all_tokens,
+                    punc_list=self.punc_engine.model.punc_list,
+                )
+        return result

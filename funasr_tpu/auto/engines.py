@@ -1,0 +1,188 @@
+"""Inference engines: host adapters that own a flax module + params +
+frontend + tokenizer and expose batched ``transcribe``-style calls.
+
+This is the glue the reference keeps inside each model's ``inference()``
+(e.g. paraformer/model.py:443): audio loading, fbank, device calls, token
+decoding.  TPU discipline: every device call is a jitted program keyed by a
+quantized batch shape, so the jit cache stays small and hot.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from funasr_tpu.ops import fbank as F
+from funasr_tpu.utils.postprocess import (
+    rich_transcription_postprocess,
+    sentence_postprocess,
+)
+from funasr_tpu.utils.timestamp_tools import ts_prediction_lfr6_standard
+
+
+def quantize(n: int, step: int = 2000, minimum: int = 4000) -> int:
+    return max(minimum, step * ((n + step - 1) // step))
+
+
+class FrontendConfig:
+    def __init__(self, fs=16000, n_mels=80, lfr_m=7, lfr_n=6, cmvn=None,
+                 window="hamming", dither=0.0, **kw):
+        self.fs = fs
+        self.n_mels = n_mels
+        self.lfr_m = lfr_m
+        self.lfr_n = lfr_n
+        self.window = window
+        self.dither = dither
+        if cmvn is None:
+            dim = n_mels * lfr_m
+            cmvn = np.stack([np.zeros(dim, np.float32), np.ones(dim, np.float32)])
+        self.cmvn = jnp.asarray(cmvn)
+
+    def device_features(self, wav: jnp.ndarray, lengths: jnp.ndarray):
+        feats, flens = F.fbank(
+            wav, lengths, num_mel_bins=self.n_mels, fs=self.fs,
+            window_type=self.window, dither=0.0,
+        )
+        if self.lfr_m != 1 or self.lfr_n != 1:
+            feats, flens = F.apply_lfr(feats, flens, self.lfr_m, self.lfr_n)
+        feats = F.apply_cmvn(feats, self.cmvn)
+        return feats, flens
+
+
+class BatchedAsrEngine:
+    """Shared batching scaffold for offline ASR engines."""
+
+    def __init__(self, frontend: FrontendConfig, tokenizer):
+        self.frontend = frontend
+        self.tokenizer = tokenizer
+
+    def _pack(self, wavs: Sequence[np.ndarray]):
+        lens = np.array([len(w) for w in wavs], np.int64)
+        pad = quantize(int(lens.max(initial=1)))
+        batch = np.zeros((len(wavs), pad), np.float32)
+        for i, w in enumerate(wavs):
+            batch[i, : len(w)] = w
+        return jnp.asarray(batch), jnp.asarray(lens, jnp.int32)
+
+
+class ParaformerEngine(BatchedAsrEngine):
+    def __init__(self, module, params, frontend: FrontendConfig, tokenizer,
+                 blank_id: int = 0, max_tokens_per_15s: int = 128):
+        super().__init__(frontend, tokenizer)
+        self.module = module
+        self.params = params
+        self.blank_id = blank_id
+        self.max_tokens_per_15s = max_tokens_per_15s
+
+        @functools.partial(jax.jit, static_argnames=("max_tokens",))
+        def _run(params, wav, lens, max_tokens):
+            feats, flens = self.frontend.device_features(wav, lens)
+            log_probs, tok_lens, pred = self.module.apply(
+                params, feats, flens, max_tokens=max_tokens,
+                method=self.module.inference_logits,
+            )
+            tokens = jnp.argmax(log_probs, axis=-1)
+            return tokens, tok_lens, pred.peaks, pred.alphas
+
+        self._run = _run
+
+    def transcribe(
+        self, wavs: Sequence[np.ndarray], with_timestamp: bool = False,
+        vad_offsets: Optional[Sequence[int]] = None,
+    ) -> List[Dict[str, Any]]:
+        if not len(wavs):
+            return []
+        wav_d, lens_d = self._pack(wavs)
+        dur_s = wav_d.shape[1] / self.frontend.fs
+        max_tokens = max(16, int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+        tokens, tok_lens, peaks, alphas = self._run(
+            self.params, wav_d, lens_d, max_tokens
+        )
+        tokens = np.asarray(tokens)
+        tok_lens = np.asarray(tok_lens)
+        peaks = np.asarray(peaks)
+        alphas = np.asarray(alphas)
+        results = []
+        for i in range(len(wavs)):
+            n = int(tok_lens[i])
+            ids = [t for t in tokens[i, :n].tolist() if t != self.blank_id]
+            toks = self.tokenizer.ids2tokens(ids)
+            res: Dict[str, Any] = {}
+            if with_timestamp:
+                offset = vad_offsets[i] if vad_offsets else 0
+                _, ts = ts_prediction_lfr6_standard(
+                    peaks[i], alphas[i], list(toks), vad_offset=offset
+                )
+                text, ts_kept, words = sentence_postprocess(toks, ts)
+                res["timestamp"] = ts_kept
+                res["raw_tokens"] = words
+            else:
+                text, words = sentence_postprocess(toks)
+                res["raw_tokens"] = words
+            res["text"] = text
+            results.append(res)
+        return results
+
+
+class SenseVoiceEngine(BatchedAsrEngine):
+    def __init__(self, module, params, frontend: FrontendConfig, tokenizer):
+        super().__init__(frontend, tokenizer)
+        self.module = module
+        self.params = params
+
+        @jax.jit
+        def _run(params, wav, lens, lid, tn):
+            feats, flens = self.frontend.device_features(wav, lens)
+            return self.module.apply(
+                params, feats, flens, lid, tn, method=self.module.greedy_decode
+            )
+
+        self._run = _run
+
+    def transcribe(self, wavs, language="auto", use_itn=False,
+                   rich_text: bool = True) -> List[Dict[str, Any]]:
+        from funasr_tpu.models.sense_voice.model import lid_id, textnorm_id
+
+        if not len(wavs):
+            return []
+        wav_d, lens_d = self._pack(wavs)
+        B = len(wavs)
+        lid = jnp.full((B,), lid_id(language), jnp.int32)
+        tn = jnp.full((B,), textnorm_id(use_itn), jnp.int32)
+        tokens, tok_lens = self._run(self.params, wav_d, lens_d, lid, tn)
+        tokens = np.asarray(tokens)
+        tok_lens = np.asarray(tok_lens)
+        results = []
+        for i in range(B):
+            ids = tokens[i, : int(tok_lens[i])].tolist()
+            text = self.tokenizer.decode(ids)
+            res = {"text": rich_transcription_postprocess(text) if rich_text else text,
+                   "raw_text": text}
+            results.append(res)
+        return results
+
+
+class VadEngine:
+    def __init__(self, model, frontend: FrontendConfig):
+        self.model = model  # FsmnVADStreaming wrapper
+        self.frontend = frontend
+
+    def segments(self, wav: np.ndarray) -> List[List[int]]:
+        lens = jnp.asarray([len(wav)], jnp.int32)
+        feats, flens = self.frontend.device_features(
+            jnp.asarray(wav[None, :]), lens
+        )
+        return self.model.segments_offline(feats, wav)
+
+
+class PuncEngine:
+    def __init__(self, model, tokenizer):
+        self.model = model  # CTTransformerModel
+        self.tokenizer = tokenizer
+
+    def punctuate(self, text: str) -> Dict[str, Any]:
+        return self.model.inference(text, self.tokenizer)

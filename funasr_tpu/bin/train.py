@@ -1,0 +1,182 @@
+"""CLI: ``funasr-tpu-train`` (reference funasr/bin/train.py:40).
+
+Wires config -> tokenizer/dataset/sampler -> model -> sharded train step ->
+Trainer.  Data parallel by default over every visible device; tensor
+parallel via ``--model-parallel N``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="funasr-tpu-train")
+    ap.add_argument("--config", required=True, help="model/train yaml")
+    ap.add_argument("--train-jsonl", required=True)
+    ap.add_argument("--valid-jsonl", default=None)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--model-parallel", type=int, default=1)
+    ap.add_argument("--max-epoch", type=int, default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+
+    from funasr_tpu.bin.inference import parse_overrides
+    from funasr_tpu.config import deep_update, load_config
+    from funasr_tpu.datasets.dataset import AudioDataset
+    from funasr_tpu.datasets.index_ds import IndexDSJsonl
+    from funasr_tpu.datasets.samplers import DynamicBatchSampler
+    from funasr_tpu.ops import fbank as F
+    from funasr_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
+    from funasr_tpu.registry import tables
+    from funasr_tpu.train.checkpoint import CheckpointManager
+    from funasr_tpu.train.optim import build_optimizer
+    from funasr_tpu.train.train_step import TrainState, make_train_step
+    from funasr_tpu.train.trainer import Trainer
+    from funasr_tpu.auto.auto_model import _build_frontend, _build_tokenizer
+
+    cfg = load_config(args.config)
+    deep_update(cfg, parse_overrides(args.overrides))
+    train_conf = cfg.get("train_conf") or {}
+
+    tokenizer = _build_tokenizer(cfg)
+    frontend = _build_frontend(cfg)
+    vocab = cfg.get("vocab_size") or tokenizer.get_vocab_size()
+    input_size = cfg.get("input_size", frontend.n_mels * frontend.lfr_m)
+
+    model_cls = tables.get("model_classes", cfg.get("model", "Paraformer"))
+    model = model_cls(
+        vocab_size=vocab, input_size=input_size,
+        encoder_conf=cfg.get("encoder_conf"),
+        decoder_conf=cfg.get("decoder_conf"),
+        predictor_conf=cfg.get("predictor_conf"),
+        **(cfg.get("model_conf") or {}),
+    )
+
+    ids = IndexDSJsonl(args.train_jsonl)
+    ds = AudioDataset(ids, tokenizer=tokenizer, fs=frontend.fs)
+    ds_conf = cfg.get("dataset_conf") or {}
+    sampler = DynamicBatchSampler(
+        ds.source_lens(), ds.target_lens(),
+        batch_type=ds_conf.get("batch_type", "length"),
+        batch_size=ds_conf.get("batch_size", 16000 * 60),
+        buffer_size=ds_conf.get("buffer_size", 500),
+        shuffle=ds_conf.get("shuffle", True),
+    )
+
+    # mesh + sharded state
+    mesh = make_mesh(model=args.model_parallel)
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    def featurize(batch):
+        feats, flens = F.fbank(jnp.asarray(batch["speech"]),
+                               jnp.asarray(batch["speech_lengths"]),
+                               num_mel_bins=frontend.n_mels, dither=0.0)
+        if frontend.lfr_m != 1 or frontend.lfr_n != 1:
+            feats, flens = F.apply_lfr(feats, flens, frontend.lfr_m, frontend.lfr_n)
+        feats = F.apply_cmvn(feats, frontend.cmvn)
+        return dict(speech=feats, speech_lengths=flens,
+                    text=jnp.asarray(batch["text"]),
+                    text_lengths=jnp.asarray(batch["text_lengths"]))
+
+    first = next(iter(sampler))
+    b0 = featurize(ds.collate([ds[i] for i in first.indices],
+                              first.pad_source_len, first.pad_target_len))
+    params = model.init({"params": rng, "dropout": rng, "sampler": rng},
+                        b0["speech"], b0["speech_lengths"],
+                        b0["text"], b0["text_lengths"])
+    params = jax.device_put(params, param_shardings(params, mesh))
+
+    tx, _ = build_optimizer(
+        cfg.get("optim", "adam"), cfg.get("optim_conf"),
+        cfg.get("scheduler", "warmuplr"), cfg.get("scheduler_conf"),
+        grad_clip=train_conf.get("grad_clip", 5.0),
+    )
+    from funasr_tpu.parallel.mesh import init_sharded_opt_state
+    opt_state = init_sharded_opt_state(tx, params, mesh)
+    state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    train_step = jax.jit(make_train_step(
+        model, tx, accum_grad=train_conf.get("accum_grad", 1)))
+
+    def eval_step(params, batch):
+        loss, stats = model.apply(
+            params, batch["speech"], batch["speech_lengths"],
+            batch["text"], batch["text_lengths"], deterministic=True)
+        return {"loss": loss, "acc": stats.get("acc", jnp.zeros(()))}
+
+    ckpt = CheckpointManager(
+        os.path.join(args.output_dir, "ckpt"),
+        keep_nbest=train_conf.get("keep_nbest_models", 10),
+    )
+    trainer = Trainer(
+        train_step, eval_step, ckpt,
+        max_epoch=args.max_epoch or train_conf.get("max_epoch", 100),
+        validate_interval=train_conf.get("validate_interval", 5000),
+        save_checkpoint_interval=train_conf.get("save_checkpoint_interval", 5000),
+        log_interval=train_conf.get("log_interval", 50),
+    )
+    state = trainer.resume(state)
+
+    bsh = batch_sharding(mesh)
+    dp = mesh.shape["data"]
+
+    def build_iter(epoch, start_step):
+        sampler.set_epoch(epoch, start_step)
+        for b in sampler:
+            idx = list(b.indices)
+            # data-parallel sharding needs batch % dp == 0; pad by repeating
+            # (same weighting effect as DistributedSampler's sample padding)
+            while len(idx) % dp:
+                idx.append(idx[-1])
+            batch = featurize(ds.collate(
+                [ds[i] for i in idx], b.pad_source_len, b.pad_target_len
+            ))
+            yield jax.device_put(batch, bsh)
+
+    valid_iter = None
+    if args.valid_jsonl:
+        vids = IndexDSJsonl(args.valid_jsonl)
+        vds = AudioDataset(vids, tokenizer=tokenizer, fs=frontend.fs)
+        vsampler = DynamicBatchSampler(
+            vds.source_lens(), vds.target_lens(),
+            batch_type="example", batch_size=8, shuffle=False)
+
+        def valid_iter():
+            for b in vsampler:
+                yield featurize(vds.collate(
+                    [vds[i] for i in b.indices],
+                    b.pad_source_len, b.pad_target_len))
+
+    state = trainer.run(state, build_iter, valid_iter)
+    if ckpt.latest_step() is not None:
+        avg = ckpt.average_nbest(
+            train_conf.get("avg_nbest_model", 10),
+            params_of=lambda p: p["state"]["params"],
+        )
+        np.savez(os.path.join(args.output_dir, "model.avg.npz"),
+                 **_flatten(avg))
+    return state
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -3,3 +3,6 @@ predictor classes into the global tables (funasr_tpu.registry)."""
 
 import funasr_tpu.models.sanm  # noqa: F401
 import funasr_tpu.models.paraformer  # noqa: F401
+import funasr_tpu.models.fsmn_vad  # noqa: F401
+import funasr_tpu.models.ct_transformer  # noqa: F401
+import funasr_tpu.models.sense_voice  # noqa: F401

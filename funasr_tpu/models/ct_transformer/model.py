@@ -1,0 +1,221 @@
+"""CT-Transformer punctuation restoration (reference
+funasr/models/ct_transformer/model.py:34).
+
+Network: token embedding -> SANM encoder -> per-token punctuation softmax
+(classes like ``["<unk>", "_", "，", "。", "？", "、"]``).  Inference slides a
+mini-sentence window of ``split_size`` words, carrying the tail after the
+last sentence end (。/？) as cache into the next window and force-breaking at
+the last comma once the buffer exceeds 200 tokens (model.py:247-320).
+
+The window loop is host logic over device logit calls; each call is a
+fixed-shape jitted forward (token grid padded to the window bound).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from funasr_tpu.models.sanm import SANMEncoder
+from funasr_tpu.registry import tables
+
+Dtype = Any
+
+
+def split_words(text: str) -> List[str]:
+    """CJK chars as single tokens, ascii words kept whole
+    (reference funasr/models/ct_transformer/utils.py split_words)."""
+    out: List[str] = []
+    for chunk in text.strip().split():
+        buf = ""
+        for ch in chunk:
+            if "一" <= ch <= "鿿" or "　" <= ch <= "〿":
+                if buf:
+                    out.append(buf)
+                    buf = ""
+                out.append(ch)
+            else:
+                buf += ch
+        if buf:
+            out.append(buf)
+    return out
+
+
+def split_to_mini_sentence(words: List, word_limit: int = 20) -> List[List]:
+    return [words[i : i + word_limit] for i in range(0, len(words), word_limit)]
+
+
+class CTTransformer(nn.Module):
+    """The trainable network: embed -> SANM encoder -> punc projection."""
+
+    vocab_size: int
+    punc_size: int = 6
+    embed_unit: int = 256
+    att_unit: int = 256
+    encoder_conf: Optional[Dict] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        conf = dict(self.encoder_conf or {})
+        conf.setdefault("output_size", self.att_unit)
+        conf.setdefault("attention_heads", 8)
+        conf.setdefault("linear_units", 1024)
+        conf.setdefault("num_blocks", 4)
+        conf.setdefault("kernel_size", 11)
+        input_layer = conf.pop("input_layer", "pe")
+        sanm_shift = conf.pop("sanm_shfit", 0)
+        self.embed = nn.Embed(self.vocab_size, self.embed_unit, name="embed",
+                              dtype=self.dtype, param_dtype=self.param_dtype)
+        self.encoder = SANMEncoder(
+            input_size=self.embed_unit, input_layer=input_layer,
+            sanm_shift=sanm_shift, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="encoder", **conf,
+        )
+        self.decoder = nn.Dense(self.punc_size, name="decoder",
+                                dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def __call__(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
+                 deterministic: bool = True):
+        x = self.embed(text)
+        h, _ = self.encoder(x, text_lengths, deterministic)
+        return self.decoder(h)
+
+    def loss(self, text, punc, text_lengths, punc_weight=None,
+             deterministic: bool = False, ignore_id: int = -1):
+        """Weighted token-level cross entropy (model.py:208-227)."""
+        logits = self(text, text_lengths, deterministic)
+        valid = (jnp.arange(text.shape[1])[None] < text_lengths[:, None])
+        tgt = jnp.where(punc == ignore_id, 0, punc)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+        if punc_weight is not None:
+            w = jnp.asarray(punc_weight)[tgt]
+            nll = nll * w
+        nll = jnp.where(valid & (punc != ignore_id), nll, 0.0)
+        ntokens = jnp.maximum(jnp.sum(text_lengths), 1)
+        return jnp.sum(nll) / ntokens
+
+
+@tables.register("model_classes", "CTTransformer")
+class CTTransformerModel:
+    """User-facing punctuation model with the mini-sentence window loop."""
+
+    def __init__(
+        self,
+        vocab_size: int,
+        punc_list: List[str] = ("<unk>", "_", "，", "。", "？", "、"),
+        embed_unit: int = 256,
+        att_unit: int = 256,
+        encoder: str = "SANMEncoder",
+        encoder_conf: Optional[Dict] = None,
+        sentence_end_id: int = 3,
+        params=None,
+        **kwargs,
+    ):
+        self.module = CTTransformer(
+            vocab_size=vocab_size, punc_size=len(punc_list),
+            embed_unit=embed_unit, att_unit=att_unit,
+            encoder_conf=encoder_conf,
+        )
+        self.punc_list = list(punc_list)
+        self.sentence_end_id = sentence_end_id
+        self.params = params
+        self._jit_forward = jax.jit(
+            lambda p, t, l: self.module.apply(p, t, l)
+        )
+
+    def init_params(self, rng):
+        t = jnp.zeros((1, 8), jnp.int32)
+        self.params = self.module.init(rng, t, jnp.array([8]))
+        return self.params
+
+    def _punc_ids(self, token_ids: np.ndarray) -> np.ndarray:
+        pad = 8 * ((len(token_ids) + 7) // 8)  # quantized window shapes
+        text = np.zeros((1, max(pad, 8)), np.int32)
+        text[0, : len(token_ids)] = token_ids
+        logits = self._jit_forward(
+            self.params, jnp.asarray(text), jnp.asarray([len(token_ids)])
+        )
+        return np.asarray(jnp.argmax(logits[0, : len(token_ids)], -1))
+
+    def inference(self, text: str, tokenizer, split_size: int = 20,
+                  cache_pop_trigger_limit: int = 200) -> Dict[str, Any]:
+        """Returns {"text": punctuated text, "punc_array": per-token ids}."""
+        tokens = split_words(text)
+        if not tokens:
+            return {"text": "", "punc_array": np.zeros((0,), np.int64)}
+        token_ids = tokenizer.tokens2ids(tokens)
+        mini = split_to_mini_sentence(tokens, split_size)
+        mini_ids = split_to_mini_sentence(token_ids, split_size)
+
+        cache_sent: List[str] = []
+        cache_ids: List[int] = []
+        out_text = ""
+        punc_array: List[int] = []
+        for wi in range(len(mini)):
+            sent = cache_sent + mini[wi]
+            ids = np.asarray(cache_ids + mini_ids[wi], np.int32)
+            puncs = self._punc_ids(ids)
+
+            if wi < len(mini) - 1:
+                # carry the tail after the last sentence end as cache
+                sentence_end = -1
+                last_comma = -1
+                for i in range(len(puncs) - 2, 1, -1):
+                    p = self.punc_list[puncs[i]]
+                    if p in ("。", "？"):
+                        sentence_end = i
+                        break
+                    if last_comma < 0 and p == "，":
+                        last_comma = i
+                if (sentence_end < 0 and len(sent) > cache_pop_trigger_limit
+                        and last_comma >= 0):
+                    sentence_end = last_comma
+                    puncs[sentence_end] = self.sentence_end_id
+                cache_sent = sent[sentence_end + 1:]
+                cache_ids = list(ids[sentence_end + 1:])
+                sent = sent[: sentence_end + 1]
+                puncs = puncs[: sentence_end + 1]
+
+            out_text += self._assemble(sent, puncs)
+            punc_array.extend(int(p) for p in puncs)
+
+        # final sentence-end normalization (model.py:357-389)
+        if out_text:
+            last = out_text[-1]
+            if last in ("，", "、"):
+                out_text = out_text[:-1] + "。"
+                punc_array[-1] = self.sentence_end_id
+            elif last == ",":
+                out_text = out_text[:-1] + "."
+                punc_array[-1] = self.sentence_end_id
+            elif last not in ("。", "？", ".", "?"):
+                is_ascii = len(last.encode()) == 1
+                out_text += "." if is_ascii else "。"
+                if punc_array:
+                    punc_array[-1] = self.sentence_end_id
+        return {"text": out_text, "punc_array": np.asarray(punc_array)}
+
+    def _assemble(self, words: List[str], puncs) -> str:
+        """Join words + predicted puncs with CJK/ascii spacing rules
+        (model.py:326-353)."""
+        parts: List[str] = []
+        for i, w in enumerate(words):
+            ascii_w = len(w[0].encode()) == 1
+            if i > 0 and self.punc_list[puncs[i - 1]] in ("。", "？") and ascii_w:
+                w = w.capitalize()
+            if ascii_w and (i == 0 or len(words[i - 1][0].encode()) == 1):
+                w = " " + w
+            parts.append(w)
+            p = self.punc_list[puncs[i]]
+            if p != "_" and puncs[i] > 1:
+                if ascii_w:
+                    p = {"，": ",", "。": ".", "？": "?"}.get(p, p)
+                parts.append(p)
+        return "".join(parts)

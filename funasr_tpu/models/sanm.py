@@ -251,9 +251,11 @@ class SANMEncoder(nn.Module):
         if self.input_layer == "pe":
             pe = sinusoidal_encoding(T, self.input_size, dtype=jnp.float32)
             x = x + pe[None, :, :].astype(self.dtype)
-        elif self.input_layer is not None:
+        elif self.input_layer is None:
+            pass  # reference: scaled input straight into encoders0
+        else:
             raise NotImplementedError(
-                f"input_layer={self.input_layer!r} (only 'pe' for SANM)"
+                f"input_layer={self.input_layer!r} (only 'pe'/None for SANM)"
             )
 
         x, _ = EncoderLayerSANM(

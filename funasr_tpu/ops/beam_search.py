@@ -1,0 +1,219 @@
+"""Device-resident joint CTC/attention beam search.
+
+The reference beam search (funasr/models/transformer/search.py:34
+``BeamSearch`` + scorers/ctc_prefix_score.py:12 ``CTCPrefixScoreTH``) drives
+Python ``Hypothesis`` objects per utterance.  Here the whole search is one
+jitted ``lax.scan`` over decode steps with fixed beam tensors:
+
+- hypotheses: (B, K, L+1) token grid, (B, K) scores, (B, K) finished flags,
+- attention scores from a full-prefix decoder call per step (static shapes;
+  at ASR target lengths the L^2 recompute is negligible vs. the encoder),
+- CTC prefix scores via the standard (r_nb, r_b) recurrence scanned over
+  encoder frames, evaluated only for the ``pre_beam`` best attention
+  candidates per hyp (espnet pre-beam semantics),
+- length bonus added per emitted token.
+
+Frame masking: CTC log-probs must be prepared with ``mask_ctc_frames`` so
+padded frames are (blank: 0, others: -inf) — they then leave prefix scores
+unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = -1.0e10
+
+
+def mask_ctc_frames(ctc_logp: jnp.ndarray, lengths: jnp.ndarray,
+                    blank_id: int = 0) -> jnp.ndarray:
+    """Make padded frames transparent to the prefix recurrence."""
+    B, T, V = ctc_logp.shape
+    valid = (lax.broadcasted_iota(jnp.int32, (1, T), 1) < lengths[:, None])
+    pad_row = jnp.full((V,), NEG_INF).at[blank_id].set(0.0)
+    return jnp.where(valid[:, :, None], ctc_logp, pad_row[None, None, :])
+
+
+def _logaddexp(a, b):
+    mx = jnp.maximum(a, b)
+    mx = jnp.maximum(mx, NEG_INF)  # avoid -inf - -inf
+    return mx + jnp.log(jnp.exp(a - mx) + jnp.exp(b - mx))
+
+
+def ctc_prefix_step(
+    x: jnp.ndarray,  # (B, T, V) masked ctc log-probs
+    r_prev: jnp.ndarray,  # (B, K, T, 2) [nb, b] state of each prefix
+    last: jnp.ndarray,  # (B, K) last token of each prefix
+    cand: jnp.ndarray,  # (B, K, W) candidate extensions
+    prefix_empty: jnp.ndarray,  # (B, K) bool: prefix has no tokens yet
+    blank_id: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score extending each prefix with each candidate.
+
+    Returns (sigma (B,K,W) total prefix scores, r_new (B,K,W,T,2)).
+    """
+    B, K, T, _ = r_prev.shape
+    W = cand.shape[-1]
+    # per-candidate emission logp: (B, K, W, T)
+    xg = jnp.take_along_axis(
+        x[:, None, :, :].repeat(K, 1), cand[:, :, None, :].repeat(T, 2), axis=-1
+    )  # (B, K, T, W)
+    xg = jnp.moveaxis(xg, 3, 2)  # (B, K, W, T)
+    xb = x[:, :, blank_id]  # (B, T)
+
+    r_nb_prev = r_prev[..., 0]  # (B, K, T)
+    r_b_prev = r_prev[..., 1]
+    same = cand == last[:, :, None]  # (B, K, W)
+    # phi(t): mass of g ending at frame t usable before emitting v at t+1
+    phi_all = _logaddexp(r_nb_prev, r_b_prev)  # (B, K, T)
+    phi = jnp.where(same[..., None], r_b_prev[:, :, None, :],
+                    phi_all[:, :, None, :])  # (B, K, W, T)
+    phi0 = jnp.where(prefix_empty, 0.0, NEG_INF)[:, :, None]  # (B, K, 1)
+    phi_shift = jnp.concatenate(
+        [jnp.broadcast_to(phi0[..., None], (B, K, W, 1)), phi[..., :-1]], axis=-1
+    )
+
+    def step(carry, t):
+        r_nb, r_b = carry  # (B, K, W)
+        r_nb_new = xg[..., t] + _logaddexp(r_nb, phi_shift[..., t])
+        r_b_new = xb[:, None, None, t] + _logaddexp(r_b, r_nb)
+        return (r_nb_new, r_b_new), (r_nb_new, r_b_new)
+
+    init = (jnp.full((B, K, W), NEG_INF), jnp.full((B, K, W), NEG_INF))
+    (_, _), (r_nb_seq, r_b_seq) = lax.scan(step, init, jnp.arange(T))
+    r_nb_seq = jnp.moveaxis(r_nb_seq, 0, 3)  # (B, K, W, T)
+    r_b_seq = jnp.moveaxis(r_b_seq, 0, 3)
+    sigma = _logaddexp(r_nb_seq[..., -1], r_b_seq[..., -1])  # (B, K, W)
+    r_new = jnp.stack([r_nb_seq, r_b_seq], axis=-1)  # (B, K, W, T, 2)
+    return sigma, r_new
+
+
+def ctc_init_state(x: jnp.ndarray, blank_id: int = 0):
+    """State/score of the empty prefix: all-blank paths.
+
+    Returns (r0 (B, T, 2), sigma0 (B,))."""
+    xb = x[:, :, blank_id]
+    r_b = jnp.cumsum(xb, axis=-1)
+    r_nb = jnp.full_like(r_b, NEG_INF)
+    return jnp.stack([r_nb, r_b], axis=-1), r_b[:, -1]
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, K, L) best-first hypotheses (sos stripped)
+    lengths: jnp.ndarray  # (B, K) token counts (pre-eos)
+    scores: jnp.ndarray  # (B, K)
+
+
+def beam_search(
+    decode_fn: Callable,  # (ys (N, L+1), step) -> next-token logp (N, V)
+    batch: int,
+    beam: int,
+    vocab: int,
+    sos: int,
+    eos: int,
+    maxlen: int,
+    ctc_logp: Optional[jnp.ndarray] = None,  # (B, T, V) pre-masked
+    ctc_weight: float = 0.0,
+    length_bonus: float = 0.0,
+    pre_beam: Optional[int] = None,
+    blank_id: int = 0,
+) -> BeamResult:
+    """Batched fixed-beam search; jit-compatible (static maxlen/beam)."""
+    B, K, V = batch, beam, vocab
+    use_ctc = ctc_logp is not None and ctc_weight > 0.0
+    W = pre_beam or min(int(1.5 * K) + 1, V)
+
+    ys = jnp.full((B, K, maxlen + 1), eos, jnp.int32).at[:, :, 0].set(sos)
+    scores = jnp.full((B, K), NEG_INF).at[:, 0].set(0.0)
+    finished = jnp.zeros((B, K), bool)
+    lengths = jnp.zeros((B, K), jnp.int32)
+    if use_ctc:
+        T = ctc_logp.shape[1]
+        r0, sigma0 = ctc_init_state(ctc_logp, blank_id)
+        r_state = jnp.broadcast_to(r0[:, None], (B, K, T, 2))
+        sigma_g = jnp.broadcast_to(sigma0[:, None], (B, K))
+    else:
+        r_state = jnp.zeros((B, K, 1, 2))
+        sigma_g = jnp.zeros((B, K))
+
+    def step_fn(carry, step):
+        ys, scores, finished, lengths, r_state, sigma_g = carry
+        N = B * K
+        logp = decode_fn(ys.reshape(N, -1), step)  # (N, V) next-token logp
+        logp = logp.reshape(B, K, V).astype(jnp.float32)
+
+        if use_ctc:
+            cand_logp, cand = lax.top_k(logp, W)  # (B, K, W) pre-beam
+            last = jnp.take_along_axis(
+                ys, jnp.broadcast_to(step[None, None, None], (B, K, 1)), axis=2
+            )[..., 0]
+            pe = jnp.broadcast_to(step == 0, (B, K))
+            sigma, r_new = ctc_prefix_step(
+                ctc_logp, r_state, last, cand, pe, blank_id
+            )
+            combined = ((1.0 - ctc_weight) * cand_logp
+                        + ctc_weight * (sigma - sigma_g[:, :, None])
+                        + length_bonus)
+            # scatter candidate scores into a (B, K, V) grid
+            total_ext = jax.vmap(
+                jax.vmap(lambda idx, val: jnp.full((V,), NEG_INF).at[idx].set(val))
+            )(cand, combined)
+        else:
+            total_ext = logp + length_bonus
+
+        # finished hyps may only extend with eos at zero cost
+        eos_only = jnp.full((V,), NEG_INF).at[eos].set(0.0)
+        total_ext = jnp.where(finished[:, :, None], eos_only[None, None],
+                              total_ext)
+        total = scores[:, :, None] + total_ext  # (B, K, V)
+
+        flat = total.reshape(B, K * V)
+        top_scores, top_idx = lax.top_k(flat, K)  # (B, K)
+        src_hyp = top_idx // V  # (B, K)
+        tok = top_idx % V
+
+        def gather_hyp(x):
+            return jnp.take_along_axis(
+                x, src_hyp.reshape(B, K, *([1] * (x.ndim - 2))), axis=1
+            )
+
+        ys = gather_hyp(ys)
+        finished = jnp.take_along_axis(finished, src_hyp, axis=1)
+        lengths = jnp.take_along_axis(lengths, src_hyp, axis=1)
+        ys = ys.at[:, :, step + 1].set(jnp.where(finished, eos, tok))
+        newly_finished = (tok == eos) & ~finished
+        lengths = jnp.where(finished | newly_finished, lengths, lengths + 1)
+
+        if use_ctc:
+            r_state_g = gather_hyp(r_state)
+            sigma_g2 = jnp.take_along_axis(sigma_g, src_hyp, axis=1)
+            # position of the chosen token within the candidate list
+            cand_g = gather_hyp(cand)
+            r_new_g = gather_hyp(r_new)
+            sig_new_g = jnp.take_along_axis(sigma, src_hyp[..., None], axis=1)
+            match = cand_g == tok[:, :, None]  # (B, K, W)
+            w_idx = jnp.argmax(match, axis=-1)  # (B, K)
+            took_cand = jnp.any(match, axis=-1) & ~finished & (tok != eos)
+            r_sel = jax.vmap(jax.vmap(lambda r, i: r[i]))(r_new_g, w_idx)
+            sig_sel = jax.vmap(jax.vmap(lambda s, i: s[i]))(sig_new_g, w_idx)
+            r_state = jnp.where(took_cand[:, :, None, None], r_sel, r_state_g)
+            sigma_g = jnp.where(took_cand, sig_sel, sigma_g2)
+
+        finished = finished | (tok == eos)
+        scores = top_scores
+        return (ys, scores, finished, lengths, r_state, sigma_g), None
+
+    carry = (ys, scores, finished, lengths, r_state, sigma_g)
+    carry, _ = lax.scan(step_fn, carry, jnp.arange(maxlen))
+    ys, scores, finished, lengths, _, _ = carry
+
+    order = jnp.argsort(-scores, axis=1)
+    ys = jnp.take_along_axis(ys, order[:, :, None], axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    lengths = jnp.take_along_axis(lengths, order, axis=1)
+    return BeamResult(ys[:, :, 1:], lengths, scores)

@@ -91,6 +91,19 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def init_sharded_opt_state(tx, params, mesh: Mesh):
+    """``tx.init`` under jit inherits param shardings for the moment trees,
+    but scalar leaves (e.g. adam's ``count``) can end up committed to a
+    single device, which later fails jit's device-consistency check.  Pin
+    every scalar leaf to a replicated sharding on the mesh."""
+    opt_state = jax.jit(tx.init)(params)
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda l: jax.device_put(l, rep) if getattr(l, "ndim", None) == 0 else l,
+        opt_state,
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch tensors shard their leading dim over the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -1,0 +1,137 @@
+"""Text postprocessing (reference funasr/utils/postprocess_utils.py).
+
+``sentence_postprocess`` joins CJK chars without spaces and ascii words with
+spaces, merging BPE pieces ("@@" continuation) — postprocess_utils.py:144.
+``rich_transcription_postprocess`` decodes SenseVoice rich tags
+(language/emotion/event/textnorm) into plain text + emoji —
+postprocess_utils.py:399.  Tag tables are part of the SenseVoice output
+protocol and are reproduced verbatim.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+EMO_DICT = {
+    "<|HAPPY|>": "😊", "<|SAD|>": "😔", "<|ANGRY|>": "😡", "<|NEUTRAL|>": "",
+    "<|FEARFUL|>": "😰", "<|DISGUSTED|>": "🤢", "<|SURPRISED|>": "😮",
+}
+
+EVENT_DICT = {
+    "<|BGM|>": "🎼", "<|Speech|>": "", "<|Applause|>": "👏",
+    "<|Laughter|>": "😀", "<|Cry|>": "😭", "<|Sneeze|>": "🤧",
+    "<|Breath|>": "", "<|Cough|>": "🤧",
+}
+
+LANG_DICT = {
+    "<|zh|>": "<|lang|>", "<|en|>": "<|lang|>", "<|yue|>": "<|lang|>",
+    "<|ja|>": "<|lang|>", "<|ko|>": "<|lang|>", "<|nospeech|>": "<|lang|>",
+}
+
+EMOJI_DICT = {
+    "<|nospeech|><|Event_UNK|>": "❓", "<|zh|>": "", "<|en|>": "",
+    "<|yue|>": "", "<|ja|>": "", "<|ko|>": "", "<|nospeech|>": "",
+    "<|HAPPY|>": "😊", "<|SAD|>": "😔", "<|ANGRY|>": "😡", "<|NEUTRAL|>": "",
+    "<|BGM|>": "🎼", "<|Speech|>": "", "<|Applause|>": "👏",
+    "<|Laughter|>": "😀", "<|FEARFUL|>": "😰", "<|DISGUSTED|>": "🤢",
+    "<|SURPRISED|>": "😮", "<|Cry|>": "😭", "<|EMO_UNKNOWN|>": "",
+    "<|Sneeze|>": "🤧", "<|Breath|>": "", "<|Cough|>": "😷", "<|Sing|>": "",
+    "<|Speech_Noise|>": "", "<|withitn|>": "", "<|woitn|>": "",
+    "<|GBG|>": "", "<|Event_UNK|>": "",
+}
+
+EMO_SET = {"😊", "😔", "😡", "😰", "🤢", "😮"}
+EVENT_SET = {"🎼", "👏", "😀", "😭", "🤧", "😷"}
+
+
+def _is_cjk(ch: str) -> bool:
+    return (
+        "一" <= ch <= "鿿"
+        or "㐀" <= ch <= "䶿"
+        or "豈" <= ch <= "﫿"
+    )
+
+
+def sentence_postprocess(
+    tokens: List[str], timestamps: Optional[List] = None
+) -> Tuple:
+    """Join tokens into a sentence: CJK without spaces, ascii words with
+    spaces, "@@"-suffixed BPE pieces merged; drops <s>/</s>/<unk>-style
+    special tokens.  Returns (text, kept_tokens[, timestamps])."""
+    words: List[str] = []
+    kept_ts: List = []
+    merge_prev = False
+    for i, tok in enumerate(tokens):
+        t = tok.strip()
+        if not t or (t.startswith("<") and t.endswith(">")):
+            merge_prev = False
+            continue
+        piece_cont = t.endswith("@@")
+        core = t[:-2] if piece_cont else t
+        if merge_prev and words:
+            words[-1] = words[-1] + core
+        else:
+            words.append(core)
+            if timestamps is not None and i < len(timestamps):
+                kept_ts.append(timestamps[i])
+        merge_prev = piece_cont
+
+    out = ""
+    for w in words:
+        if not w:
+            continue
+        if _is_cjk(w[0]):
+            out += w
+        else:
+            out = (out + " " + w) if out and not out.endswith(" ") else out + w
+    text = out.strip()
+    if timestamps is not None:
+        return text, kept_ts, words
+    return text, words
+
+
+def format_str_v2(s: str) -> str:
+    """One-language-span normalization (postprocess_utils.py:379)."""
+    counts = {}
+    for tag in EMOJI_DICT:
+        counts[tag] = s.count(tag)
+        s = s.replace(tag, "")
+    emo = "<|NEUTRAL|>"
+    for e in EMO_DICT:
+        if counts.get(e, 0) > counts.get(emo, 0):
+            emo = e
+    for e in EVENT_DICT:
+        if counts.get(e, 0) > 0:
+            s = EVENT_DICT[e] + s
+    s = s + EMO_DICT[emo]
+    for emoji in EMO_SET | EVENT_SET:
+        s = s.replace(" " + emoji, emoji).replace(emoji + " ", emoji)
+    return s.strip()
+
+
+def rich_transcription_postprocess(s: str) -> str:
+    """Decode SenseVoice rich-tag output (postprocess_utils.py:399)."""
+
+    def get_emo(x):
+        return x[-1] if x and x[-1] in EMO_SET else None
+
+    def get_event(x):
+        return x[0] if x and x[0] in EVENT_SET else None
+
+    s = s.replace("<|nospeech|><|Event_UNK|>", "❓")
+    for lang in LANG_DICT:
+        s = s.replace(lang, "<|lang|>")
+    parts = [format_str_v2(p).strip(" ") for p in s.split("<|lang|>")]
+    new_s = " " + parts[0] if parts else ""
+    cur_event = get_event(new_s)
+    for p in parts[1:]:
+        if not p:
+            continue
+        if get_event(p) == cur_event and get_event(p) is not None:
+            p = p[1:]
+        cur_event = get_event(p)
+        if get_emo(p) is not None and get_emo(p) == get_emo(new_s):
+            new_s = new_s[:-1]
+        new_s += p.strip().lstrip()
+    new_s = new_s.replace("The.", " ")
+    return new_s.strip()

@@ -52,7 +52,8 @@ def test_dp_tp_train_step(rng):
     params = jax.device_put(params, param_shardings(params, mesh))
     tx, _ = build_optimizer("adam", {"lr": 1e-3}, "warmuplr",
                             {"warmup_steps": 100}, grad_clip=5.0)
-    opt_state = jax.jit(tx.init)(params)
+    from funasr_tpu.parallel.mesh import init_sharded_opt_state
+    opt_state = init_sharded_opt_state(tx, params, mesh)
     state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
     batch = jax.device_put(batch, batch_sharding(mesh))

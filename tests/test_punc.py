@@ -1,0 +1,75 @@
+"""CT-Transformer punctuation: forward, loss, window loop, text assembly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from funasr_tpu.models.ct_transformer.model import (
+    CTTransformer,
+    CTTransformerModel,
+    split_to_mini_sentence,
+    split_words,
+)
+from funasr_tpu.tokenizer.char_tokenizer import CharTokenizer
+
+PUNC = ["<unk>", "_", "，", "。", "？", "、"]
+VOCAB = ["<blank>", "<s>", "</s>"] + list("我们今天去公园玩吧好的") + ["hello", "world"]
+ENC = dict(output_size=16, attention_heads=2, linear_units=32, num_blocks=2,
+           kernel_size=5, dropout_rate=0.0)
+
+
+def test_split_words():
+    assert split_words("我们 hello world 好") == ["我", "们", "hello", "world", "好"]
+    assert split_words("你好world") == ["你", "好", "world"]
+    assert split_to_mini_sentence(list(range(7)), 3) == [[0, 1, 2], [3, 4, 5], [6]]
+
+
+@pytest.fixture(scope="module")
+def punc_model():
+    m = CTTransformerModel(
+        vocab_size=len(VOCAB), punc_list=PUNC, embed_unit=16, att_unit=16,
+        encoder_conf=ENC,
+    )
+    m.init_params(jax.random.PRNGKey(0))
+    return m
+
+
+def test_forward_and_loss(punc_model, rng):
+    mod = punc_model.module
+    text = jnp.asarray(rng.integers(0, len(VOCAB), (2, 10)), jnp.int32)
+    lens = jnp.array([10, 7])
+    logits = mod.apply(punc_model.params, text, lens)
+    assert logits.shape == (2, 10, len(PUNC))
+    punc = jnp.asarray(rng.integers(1, len(PUNC), (2, 10)), jnp.int32)
+    loss = mod.apply(punc_model.params, text, punc, lens,
+                     deterministic=True, method=mod.loss)
+    assert np.isfinite(float(loss))
+
+
+def test_inference_window_loop(punc_model):
+    tok = CharTokenizer(token_list=VOCAB)
+    text = " ".join(["我 们 今 天 去 公 园 玩"] * 6)  # 48 tokens, 3 windows
+    out = punc_model.inference(text, tok, split_size=20)
+    assert len(out["punc_array"]) == 48
+    # ends with a sentence end
+    assert out["text"][-1] in ("。", ".", "？", "?")
+    # all original characters preserved in order
+    stripped = [c for c in out["text"] if c in "我们今天去公园玩"]
+    assert "".join(stripped) == "我们今天去公园玩" * 6
+
+
+def test_inference_empty(punc_model):
+    tok = CharTokenizer(token_list=VOCAB)
+    out = punc_model.inference("", tok)
+    assert out["text"] == ""
+
+
+def test_assemble_spacing(punc_model):
+    # ascii words: spaces between, ascii punctuation; capitalize after 。
+    words = ["hello", "world", "好"]
+    puncs = np.array([3, 1, 2])  # hello。 world(_) 好，
+    s = punc_model._assemble(words, puncs)
+    assert "hello." in s
+    assert " World" in s  # capitalized after sentence end, space-joined
+    assert s.endswith("好，")
