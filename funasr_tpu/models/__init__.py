@@ -6,3 +6,6 @@ import funasr_tpu.models.paraformer  # noqa: F401
 import funasr_tpu.models.fsmn_vad  # noqa: F401
 import funasr_tpu.models.ct_transformer  # noqa: F401
 import funasr_tpu.models.sense_voice  # noqa: F401
+import funasr_tpu.models.conformer  # noqa: F401
+import funasr_tpu.models.transformer  # noqa: F401
+import funasr_tpu.models.paraformer_streaming  # noqa: F401

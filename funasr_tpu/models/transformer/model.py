@@ -1,0 +1,168 @@
+"""Transformer / Conformer CTC-attention hybrid ASR (reference
+funasr/models/transformer/model.py, funasr/models/conformer/model.py).
+
+Training: ``loss = ctc_weight * ctc + (1 - ctc_weight) * att`` with label
+smoothing on the sos/eos-wrapped targets.  Inference: device-resident joint
+CTC/attention beam search (funasr_tpu.ops.beam_search) — the reference's
+Python hypothesis loop (transformer/search.py:34) re-designed as fixed beam
+tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from funasr_tpu import losses
+from funasr_tpu.models.conformer import ConformerEncoder
+from funasr_tpu.models.transformer.decoder import TransformerDecoder
+from funasr_tpu.ops.beam_search import beam_search, mask_ctc_frames
+from funasr_tpu.ops.masks import sequence_mask
+from funasr_tpu.registry import tables
+
+Dtype = Any
+
+
+def add_sos_eos(text, text_lengths, sos, eos, ignore_id=-1):
+    """(ys_in = [sos] + y, ys_out = y + [eos]) like the reference
+    add_sos_eos (transformer/utils/add_sos_eos.py)."""
+    B, U = text.shape
+    valid = sequence_mask(text_lengths, U, jnp.bool_)
+    y = jnp.where(valid, text, 0)
+    ys_in = jnp.concatenate([jnp.full((B, 1), sos, text.dtype), y], axis=1)
+    pos = jnp.arange(U + 1)[None, :]
+    ys_out = jnp.full((B, U + 1), ignore_id, text.dtype)
+    ys_out = ys_out.at[:, :U].set(jnp.where(valid, text, ignore_id))
+    ys_out = jnp.where(pos == text_lengths[:, None], eos, ys_out)
+    return ys_in, ys_out, text_lengths + 1
+
+
+class _HybridModel(nn.Module):
+    """Shared CTC/attention model body; subclasses pick the encoder."""
+
+    vocab_size: int
+    input_size: int = 80
+    encoder_conf: Dict[str, Any] = None
+    decoder_conf: Dict[str, Any] = None
+    ctc_weight: float = 0.3
+    lsm_weight: float = 0.1
+    length_normalized_loss: bool = False
+    ignore_id: int = -1
+    blank_id: int = 0
+    sos: int = 1
+    eos: int = 2
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def make_encoder(self):
+        raise NotImplementedError
+
+    def setup(self):
+        self.encoder = self.make_encoder()
+        d = self.encoder.output_size
+        dec_conf = dict(self.decoder_conf or {})
+        self.decoder = TransformerDecoder(
+            vocab_size=self.vocab_size, encoder_output_size=d,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="decoder", **dec_conf,
+        )
+        self.ctc_lo = nn.Dense(self.vocab_size, name="ctc_lo",
+                               dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def encode(self, speech, speech_lengths, deterministic=True):
+        return self.encoder(speech, speech_lengths, deterministic)
+
+    def __call__(self, speech, speech_lengths, text, text_lengths,
+                 deterministic: bool = False):
+        enc, enc_lens = self.encode(speech, speech_lengths, deterministic)
+        ys_in, ys_out, ys_lens = add_sos_eos(
+            text, text_lengths, self.sos, self.eos, self.ignore_id
+        )
+        logits = self.decoder(enc, enc_lens, ys_in, ys_lens, deterministic)
+        loss_att = losses.label_smoothing_loss(
+            logits, ys_out, self.ignore_id, self.lsm_weight,
+            self.length_normalized_loss,
+        )
+        acc = losses.th_accuracy(logits, ys_out, self.ignore_id)
+        stats = {"loss_att": loss_att, "acc": acc}
+        if self.ctc_weight > 0.0:
+            ctc_logits = self.ctc_lo(enc)
+            loss_ctc = losses.ctc_loss(ctc_logits, enc_lens, text, text_lengths,
+                                       self.ignore_id, self.blank_id)
+            loss = self.ctc_weight * loss_ctc + (1 - self.ctc_weight) * loss_att
+            stats["loss_ctc"] = loss_ctc
+        else:
+            loss = loss_att
+        stats["loss"] = loss
+        return loss, stats
+
+    def decode_beam(
+        self, speech, speech_lengths, beam: int = 10, maxlen: int = 64,
+        decoding_ctc_weight: float = 0.3, length_bonus: float = 0.0,
+    ):
+        """Joint CTC/attention beam decode -> (tokens (B,K,L), lengths, scores)."""
+        enc, enc_lens = self.encode(speech, speech_lengths, True)
+        B = enc.shape[0]
+        enc_rep = jnp.repeat(enc, beam, axis=0)
+        lens_rep = jnp.repeat(enc_lens, beam, axis=0)
+
+        def decode_fn(ys, step):
+            L = ys.shape[1]
+            lens = jnp.full((ys.shape[0],), L, jnp.int32)
+            logits = self.decoder(enc_rep, lens_rep, ys, lens, True)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.take_along_axis(
+                logp, jnp.broadcast_to(step[None, None, None],
+                                       (ys.shape[0], 1, 1)), axis=1
+            )[:, 0]
+
+        ctc_logp = None
+        if decoding_ctc_weight > 0.0 and self.ctc_weight > 0.0:
+            ctc_logp = jax.nn.log_softmax(
+                self.ctc_lo(enc).astype(jnp.float32), axis=-1
+            )
+            ctc_logp = mask_ctc_frames(ctc_logp, enc_lens, self.blank_id)
+
+        return beam_search(
+            decode_fn, B, beam, self.vocab_size, self.sos, self.eos, maxlen,
+            ctc_logp=ctc_logp, ctc_weight=decoding_ctc_weight,
+            length_bonus=length_bonus, blank_id=self.blank_id,
+        )
+
+
+@tables.register("model_classes", "Transformer")
+class Transformer(_HybridModel):
+    def make_encoder(self):
+        conf = dict(self.encoder_conf or {})
+        conf.pop("selfattention_layer_type", None)
+        conf.pop("pos_enc_class", None)
+        conf.pop("positional_dropout_rate", None)
+        conf.setdefault("input_layer", "conv2d")
+        # reference Transformer model uses the conformer-style encoder stack
+        # without conv module; we use ConformerEncoder for conformer and a
+        # SANM-free path is future work — Transformer maps onto Conformer
+        # encoder with cnn kernel 1 would differ; keep ConformerEncoder for
+        # both families until a dedicated vanilla encoder lands.
+        return ConformerEncoder(
+            input_size=self.input_size, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="encoder", **conf,
+        )
+
+
+@tables.register("model_classes", "Conformer")
+class Conformer(_HybridModel):
+    def make_encoder(self):
+        conf = dict(self.encoder_conf or {})
+        for k in ("selfattention_layer_type", "pos_enc_class",
+                  "positional_dropout_rate", "pos_enc_layer_type",
+                  "rel_pos_type", "macaron_style", "use_cnn_module",
+                  "activation_type"):
+            conf.pop(k, None)
+        conf.setdefault("input_layer", "conv2d")
+        return ConformerEncoder(
+            input_size=self.input_size, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="encoder", **conf,
+        )

@@ -1,0 +1,168 @@
+"""Beam search correctness: CTC prefix scores vs a numpy oracle, beam vs
+brute force, and the Conformer hybrid model end to end."""
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from funasr_tpu.models.transformer.model import Conformer, add_sos_eos
+from funasr_tpu.ops.beam_search import (
+    beam_search,
+    ctc_init_state,
+    ctc_prefix_step,
+    mask_ctc_frames,
+)
+
+
+def ctc_prefix_score_oracle(logp, prefix, blank=0):
+    """Direct prefix-probability DP (Graves): P(prefix is emitted as a
+    prefix of the label sequence), prob domain."""
+    p = np.exp(np.asarray(logp, np.float64))
+    T = p.shape[0]
+    pb = np.zeros(T + 1)
+    pnb = np.zeros(T + 1)
+    pb[0] = 1.0
+    for t in range(1, T + 1):
+        pb[t] = pb[t - 1] * p[t - 1, blank]
+    last = None
+    for c in prefix:
+        npb = np.zeros(T + 1)
+        npnb = np.zeros(T + 1)
+        for t in range(1, T + 1):
+            # new-symbol mass comes from pb(g) always, plus pnb(g) only when
+            # c differs from the prefix's last symbol
+            npnb[t] = p[t - 1, c] * (
+                npnb[t - 1] + pb[t - 1] + (0.0 if c == last else pnb[t - 1])
+            )
+            npb[t] = p[t - 1, blank] * (npb[t - 1] + npnb[t - 1])
+        pb, pnb = npb, npnb
+        last = c
+    return np.log(pb[T] + pnb[T] + 1e-300)
+
+
+def test_ctc_prefix_step_matches_oracle(rng):
+    T, V = 12, 5
+    logp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((1, T, V)) * 2.0), -1))
+    x = jnp.asarray(logp)
+    r0, sigma0 = ctc_init_state(x)
+    np.testing.assert_allclose(
+        float(sigma0[0]), ctc_prefix_score_oracle(logp[0], []), atol=1e-4)
+
+    # extend empty prefix with candidates [1, 2, 3]
+    r_prev = r0[:, None]  # (1,1,T,2)
+    cand = jnp.array([[[1, 2, 3]]])
+    sigma, r_new = ctc_prefix_step(
+        x, r_prev, jnp.array([[0]]), cand, jnp.array([[True]]))
+    for w, c in enumerate([1, 2, 3]):
+        np.testing.assert_allclose(
+            float(sigma[0, 0, w]), ctc_prefix_score_oracle(logp[0], [c]),
+            atol=1e-4)
+
+    # second extension: prefix [2] -> [2, v] incl. the repeat v=2
+    r_prev2 = r_new[:, :, 1]  # state of prefix [2]
+    cand2 = jnp.array([[[1, 2, 4]]])
+    sigma2, _ = ctc_prefix_step(
+        x, r_prev2, jnp.array([[2]]), cand2, jnp.array([[False]]))
+    for w, c in enumerate([1, 2, 4]):
+        np.testing.assert_allclose(
+            float(sigma2[0, 0, w]), ctc_prefix_score_oracle(logp[0], [2, c]),
+            atol=1e-4)
+
+
+def test_attention_beam_matches_bruteforce(rng):
+    """Prefix-independent decoder -> brute-force enumeration oracle."""
+    V, maxlen, K, sos, eos = 5, 3, 4, 1, 2
+    table = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((maxlen, V)) * 1.5), -1))
+
+    def decode_fn(ys, step):
+        return jnp.broadcast_to(jnp.asarray(table)[step][None], (ys.shape[0], V))
+
+    res = beam_search(decode_fn, 1, K, V, sos, eos, maxlen)
+
+    # brute force over all sequences with eos termination
+    def score_seq(seq):
+        s = 0.0
+        for i, t in enumerate(seq):
+            s += table[i, t]
+            if t == eos:
+                return s
+        return s
+
+    best = max(
+        (score_seq(seq) for seq in itertools.product(range(V), repeat=maxlen)),
+    )
+    np.testing.assert_allclose(float(res.scores[0, 0]), best, atol=1e-4)
+
+
+def test_beam_finished_hyps_freeze(rng):
+    """Once a hyp emits eos its score must stop changing."""
+    V, maxlen, K, sos, eos = 4, 4, 2, 1, 2
+    # eos extremely likely at step 0 -> everything finishes immediately
+    table = np.full((maxlen, V), -10.0)
+    table[:, eos] = -0.01
+
+    def decode_fn(ys, step):
+        return jnp.broadcast_to(jnp.asarray(table, jnp.float32)[step][None],
+                                (ys.shape[0], V))
+
+    res = beam_search(decode_fn, 1, K, V, sos, eos, maxlen)
+    np.testing.assert_allclose(float(res.scores[0, 0]), -0.01, atol=1e-4)
+    assert int(res.lengths[0, 0]) == 0  # eos only
+
+
+CONF = dict(
+    vocab_size=16,
+    input_size=20,
+    encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                      num_blocks=2, cnn_module_kernel=7, dropout_rate=0.0,
+                      input_layer="conv2d"),
+    decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=2,
+                      dropout_rate=0.0),
+    ctc_weight=0.3,
+)
+
+
+def test_conformer_train_and_beam(rng):
+    model = Conformer(**CONF)
+    B, T, U = 2, 40, 6
+    speech = jnp.asarray(rng.standard_normal((B, T, 20)), jnp.float32)
+    slens = jnp.array([T, T - 8])
+    text = jnp.asarray(rng.integers(3, 16, (B, U)), jnp.int32)
+    tlens = jnp.array([U, U - 2])
+    text = jnp.where(jnp.arange(U)[None] < tlens[:, None], text, -1)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, slens, text, tlens,
+    )
+    assert "batch_stats" in variables
+    (loss, stats), _ = model.apply(
+        variables, speech, slens, text, tlens, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
+    )
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(stats["loss_ctc"]))
+
+    res = model.apply(
+        variables, speech, slens, beam=3, maxlen=8,
+        decoding_ctc_weight=0.3, method=model.decode_beam,
+    )
+    assert res.tokens.shape == (B, 3, 8)
+    assert np.isfinite(np.asarray(res.scores)).all()
+    # scores sorted best-first
+    s = np.asarray(res.scores)
+    assert (np.diff(s, axis=1) <= 1e-5).all()
+
+
+def test_add_sos_eos():
+    text = jnp.array([[5, 6, -1], [7, -1, -1]])
+    lens = jnp.array([2, 1])
+    ys_in, ys_out, ys_lens = add_sos_eos(text, lens, 1, 2)
+    np.testing.assert_array_equal(np.asarray(ys_in), [[1, 5, 6, 0], [1, 7, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(ys_out), [[5, 6, 2, -1], [7, 2, -1, -1]])
+    np.testing.assert_array_equal(np.asarray(ys_lens), [3, 2])
