@@ -50,8 +50,10 @@ def main():
 
     max_tokens = 256  # ~15 s of Mandarin
 
+    from funasr_tpu.ops.fbank_pallas import fbank_pallas
+
     def pipeline(params, wav, lens, cmvn):
-        feats, flens = F.fbank(wav, lens, dither=0.0)
+        feats, flens = fbank_pallas(wav, lens)
         lfr, lfr_lens = F.apply_lfr(feats, flens, 7, 6)
         x = F.apply_cmvn(lfr, cmvn)
         return model.apply(params, x, lfr_lens, max_tokens=max_tokens,

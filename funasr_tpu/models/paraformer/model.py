@@ -96,18 +96,22 @@ class Paraformer(nn.Module):
             name="decoder", **dec_conf,
         )
 
-        pred_conf = dict(self.predictor_conf or {})
-        pred_conf.setdefault("idim", d_model)
-        self.predictor = CifPredictorV2(
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            name="predictor", **pred_conf,
-        )
+        self.predictor = self.make_predictor(d_model)
 
         if self.ctc_weight > 0.0:
             self.ctc_lo = nn.Dense(
                 self.vocab_size, name="ctc_lo",
                 dtype=self.dtype, param_dtype=self.param_dtype,
             )
+
+    def make_predictor(self, d_model: int):
+        """Factory hook; BiCifParaformer swaps in CifPredictorV3."""
+        pred_conf = dict(self.predictor_conf or {})
+        pred_conf.setdefault("idim", d_model)
+        return CifPredictorV2(
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="predictor", **pred_conf,
+        )
 
     # ---------------------------------------------------------------- encode
     def encode(self, speech, speech_lengths, deterministic: bool = True):

@@ -122,6 +122,8 @@ def beam_search(
     length_bonus: float = 0.0,
     pre_beam: Optional[int] = None,
     blank_id: int = 0,
+    lm_fn: Optional[Callable] = None,  # (ys (N,L+1), step) -> (N, V) logp
+    lm_weight: float = 0.0,
 ) -> BeamResult:
     """Batched fixed-beam search; jit-compatible (static maxlen/beam)."""
     B, K, V = batch, beam, vocab
@@ -148,7 +150,19 @@ def beam_search(
         logp = logp.reshape(B, K, V).astype(jnp.float32)
 
         if use_ctc:
-            cand_logp, cand = lax.top_k(logp, W)  # (B, K, W) pre-beam
+            att_w = 1.0 - ctc_weight
+        else:
+            att_w = 1.0
+        lm_term = 0.0
+        if lm_fn is not None and lm_weight != 0.0:
+            lm_logp = lm_fn(ys.reshape(N, -1), step).reshape(B, K, V)
+            lm_term = lm_weight * lm_logp.astype(jnp.float32)
+
+        if use_ctc:
+            # pre-beam candidates selected by the fused att(+lm) score
+            fused = att_w * logp + lm_term
+            _, cand = lax.top_k(fused, W)  # (B, K, W)
+            cand_fused = jnp.take_along_axis(fused, cand, axis=-1)
             last = jnp.take_along_axis(
                 ys, jnp.broadcast_to(step[None, None, None], (B, K, 1)), axis=2
             )[..., 0]
@@ -156,7 +170,7 @@ def beam_search(
             sigma, r_new = ctc_prefix_step(
                 ctc_logp, r_state, last, cand, pe, blank_id
             )
-            combined = ((1.0 - ctc_weight) * cand_logp
+            combined = (cand_fused
                         + ctc_weight * (sigma - sigma_g[:, :, None])
                         + length_bonus)
             # scatter candidate scores into a (B, K, V) grid
@@ -164,7 +178,7 @@ def beam_search(
                 jax.vmap(lambda idx, val: jnp.full((V,), NEG_INF).at[idx].set(val))
             )(cand, combined)
         else:
-            total_ext = logp + length_bonus
+            total_ext = logp + lm_term + length_bonus
 
         # finished hyps may only extend with eos at zero cost
         eos_only = jnp.full((V,), NEG_INF).at[eos].set(0.0)

@@ -1,0 +1,189 @@
+"""WebSocket ASR server speaking the reference JSON protocol.
+
+Protocol (reference runtime/docs/websocket_protocol.md, served in C++ by
+runtime/websocket/bin/websocket-server-2pass.cpp):
+
+client -> server: first a JSON config message
+    {"mode": "offline"|"online"|"2pass", "wav_name": ..., "is_speaking":
+     true, "chunk_size": [5,10,5], "hotwords": ..., "itn": ..., "audio_fs":
+     16000, "wav_format": "pcm"}
+then binary PCM16 frames; finally {"is_speaking": false}.
+
+server -> client per result:
+    {"mode": "offline"|"online"|"2pass-online"|"2pass-offline",
+     "wav_name": ..., "text": ..., "is_final": ...,
+     "timestamp": optional}
+
+The TPU runtime difference vs. the C++ server: inference is a jitted device
+program; the asyncio loop only moves bytes and host state.  Decoding runs in
+a thread executor so the event loop stays responsive.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+class WsSession:
+    def __init__(self, server: "AsrWebSocketServer"):
+        self.server = server
+        self.mode = "offline"
+        self.wav_name = "demo"
+        self.audio_fs = 16000
+        self.itn = True
+        self.buffer = bytearray()
+        self.stream_cache = None  # streaming model cache (online/2pass)
+        self.partial_tokens = []
+
+    def config(self, msg: Dict[str, Any]):
+        self.mode = msg.get("mode", self.mode)
+        self.wav_name = msg.get("wav_name", self.wav_name)
+        self.audio_fs = int(msg.get("audio_fs", self.audio_fs))
+        self.itn = bool(msg.get("itn", self.itn))
+        if self.mode in ("online", "2pass") and self.server.streaming_model:
+            self.stream_cache = self.server.streaming_model.init_cache()
+
+
+class AsrWebSocketServer:
+    def __init__(self, auto_model, streaming_model=None, host="0.0.0.0",
+                 port=10095):
+        self.auto_model = auto_model  # funasr_tpu.AutoModel (offline path)
+        self.streaming_model = streaming_model  # ParaformerStreaming or None
+        self.host = host
+        self.port = port
+
+    # ------------------------------------------------------------- decoding
+    def _pcm_to_wave(self, pcm: bytes, fs: int) -> np.ndarray:
+        wav = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.float32) / 32768.0
+        if fs != 16000:
+            from funasr_tpu.utils.audio import resample_linear
+
+            wav = resample_linear(wav, fs, 16000)
+        return wav
+
+    def _decode_offline(self, sess: WsSession) -> Dict[str, Any]:
+        wav = self._pcm_to_wave(bytes(sess.buffer), sess.audio_fs)
+        if len(wav) < 400:
+            return {"text": ""}
+        res = self.auto_model.generate(wav, key=[sess.wav_name])
+        return res[0] if res else {"text": ""}
+
+    def _decode_online_chunk(self, sess: WsSession, pcm: bytes,
+                             is_final: bool) -> str:
+        wav = self._pcm_to_wave(pcm, sess.audio_fs)
+        toks = self.server_tokens_to_text(
+            self.streaming_model.generate_chunk(
+                sess.stream_cache, wav, is_final=is_final
+            )
+        )
+        return toks
+
+    def server_tokens_to_text(self, token_ids) -> str:
+        tok = getattr(self.auto_model.engine, "tokenizer", None)
+        if tok is None:
+            return " ".join(map(str, token_ids))
+        return tok.decode(token_ids)
+
+    # ------------------------------------------------------------- handler
+    async def handle(self, websocket):
+        sess = WsSession(self)
+        loop = asyncio.get_running_loop()
+        try:
+            async for message in websocket:
+                if isinstance(message, (bytes, bytearray)):
+                    sess.buffer.extend(message)
+                    if sess.mode in ("online", "2pass") and sess.stream_cache is not None:
+                        text = await loop.run_in_executor(
+                            None, self._decode_online_chunk, sess,
+                            bytes(message), False,
+                        )
+                        if text:
+                            await websocket.send(json.dumps({
+                                "mode": "2pass-online" if sess.mode == "2pass"
+                                        else "online",
+                                "wav_name": sess.wav_name,
+                                "text": text,
+                                "is_final": False,
+                            }, ensure_ascii=False))
+                    continue
+                msg = json.loads(message)
+                if "mode" in msg or "wav_name" in msg or "audio_fs" in msg:
+                    sess.config(msg)
+                if msg.get("is_speaking") is False:
+                    # utterance end: flush online, run offline pass
+                    if sess.mode in ("online", "2pass") and sess.stream_cache is not None:
+                        text = await loop.run_in_executor(
+                            None, self._decode_online_chunk, sess, b"", True)
+                        if text:
+                            await websocket.send(json.dumps({
+                                "mode": "2pass-online" if sess.mode == "2pass"
+                                        else "online",
+                                "wav_name": sess.wav_name,
+                                "text": text, "is_final": sess.mode == "online",
+                            }, ensure_ascii=False))
+                    if sess.mode in ("offline", "2pass"):
+                        result = await loop.run_in_executor(
+                            None, self._decode_offline, sess)
+                        out = {
+                            "mode": "2pass-offline" if sess.mode == "2pass"
+                                    else "offline",
+                            "wav_name": sess.wav_name,
+                            "text": result.get("text", ""),
+                            "is_final": True,
+                        }
+                        if "timestamp" in result:
+                            out["timestamp"] = result["timestamp"]
+                        if "sentence_info" in result:
+                            out["stamp_sents"] = result["sentence_info"]
+                        await websocket.send(json.dumps(out, ensure_ascii=False,
+                                                        default=str))
+                    sess.buffer = bytearray()
+                    if sess.mode in ("online", "2pass") and self.streaming_model:
+                        sess.stream_cache = self.streaming_model.init_cache()
+        except Exception:  # pragma: no cover - connection teardown
+            log.exception("websocket session error")
+
+    async def serve(self):
+        import websockets
+
+        async with websockets.serve(self.handle, self.host, self.port,
+                                    max_size=None):
+            log.info("ASR websocket server on ws://%s:%d", self.host, self.port)
+            await asyncio.Future()
+
+    def run(self):
+        asyncio.run(self.serve())
+
+
+def main(argv=None):  # CLI: funasr-tpu-server
+    import argparse
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.config import load_config
+
+    ap = argparse.ArgumentParser(prog="funasr-tpu-server")
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--vad-model", default=None)
+    ap.add_argument("--punc-model", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=10095)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    am = AutoModel(
+        model=load_config(args.model),
+        vad_model=load_config(args.vad_model) if args.vad_model else None,
+        punc_model=load_config(args.punc_model) if args.punc_model else None,
+    )
+    AsrWebSocketServer(am, host=args.host, port=args.port).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""Pallas fbank kernel == XLA fbank (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from funasr_tpu.ops import fbank as F
+
+
+def test_fbank_pallas_matches_xla(rng, monkeypatch):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from funasr_tpu.ops.fbank_pallas import fbank_pallas
+
+    wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    lens = jnp.array([16000, 9000])
+    ref, ref_lens = F.fbank(jnp.asarray(wav), lens, dither=0.0)
+    with pltpu.force_tpu_interpret_mode():
+        got, got_lens = fbank_pallas(jnp.asarray(wav), lens, tile_t=32)
+    np.testing.assert_array_equal(np.asarray(ref_lens), np.asarray(got_lens))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-3
+    )

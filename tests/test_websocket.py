@@ -1,0 +1,69 @@
+"""WebSocket server: protocol round-trip with a real client connection."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from funasr_tpu.auto.auto_model import AutoModel
+from funasr_tpu.runtime.websocket_server import AsrWebSocketServer
+
+VOCAB = ["<blank>", "<s>", "</s>"] + list("你好世界我们")
+
+ASR_CFG = dict(
+    model="Paraformer",
+    vocab_size=len(VOCAB),
+    tokenizer_conf={"token_list": VOCAB},
+    frontend_conf=dict(n_mels=20, lfr_m=3, lfr_n=2),
+    input_size=60,
+    encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                      num_blocks=2, kernel_size=5, dropout_rate=0.0),
+    decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=1,
+                      att_layer_num=1, kernel_size=5, dropout_rate=0.0),
+    predictor_conf=dict(idim=16, tail_threshold=0.45, dropout=0.0),
+)
+
+
+@pytest.mark.slow
+def test_offline_ws_roundtrip(rng):
+    import websockets
+
+    am = AutoModel(model=ASR_CFG)
+    server = AsrWebSocketServer(am, host="127.0.0.1", port=19095)
+
+    async def scenario():
+        stop = asyncio.Event()
+
+        async def run_server():
+            async with websockets.serve(server.handle, server.host,
+                                        server.port, max_size=None):
+                await stop.wait()
+
+        task = asyncio.create_task(run_server())
+        await asyncio.sleep(0.3)
+
+        wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(16000) / 16000))
+        pcm = (wav * 32767).astype("<i2").tobytes()
+
+        async with websockets.connect("ws://127.0.0.1:19095") as ws:
+            await ws.send(json.dumps({
+                "mode": "offline", "wav_name": "t1", "is_speaking": True,
+                "wav_format": "pcm", "audio_fs": 16000,
+            }))
+            # stream in 3 binary chunks
+            third = len(pcm) // 3
+            for i in range(3):
+                await ws.send(pcm[i * third:(i + 1) * third])
+            await ws.send(json.dumps({"is_speaking": False}))
+            reply = json.loads(await asyncio.wait_for(ws.recv(), 60))
+
+        stop.set()
+        await task
+        return reply
+
+    reply = asyncio.run(scenario())
+    assert reply["mode"] == "offline"
+    assert reply["wav_name"] == "t1"
+    assert reply["is_final"] is True
+    assert "text" in reply
