@@ -9,3 +9,7 @@ import funasr_tpu.models.sense_voice  # noqa: F401
 import funasr_tpu.models.conformer  # noqa: F401
 import funasr_tpu.models.transformer  # noqa: F401
 import funasr_tpu.models.paraformer_streaming  # noqa: F401
+import funasr_tpu.models.bicif_paraformer  # noqa: F401
+import funasr_tpu.models.seaco_paraformer  # noqa: F401
+import funasr_tpu.models.campplus  # noqa: F401
+import funasr_tpu.models.language_model  # noqa: F401

@@ -237,8 +237,10 @@ class ParaformerSANMDecoder(nn.Module):
         semantic_embeds: jnp.ndarray,  # (B, U, D) CIF embeddings
         token_lengths: jnp.ndarray,  # (B,)
         deterministic: bool = True,
+        return_hidden: bool = False,
     ):
-        """Returns logits (B, U, vocab) (or hidden if no output layer)."""
+        """Returns logits (B, U, vocab) (or hidden if no output layer or
+        ``return_hidden``)."""
         B, U, _ = semantic_embeds.shape
         T = memory.shape[1]
         tgt_mask = sequence_mask(token_lengths, U, dtype=jnp.float32)[:, :, None]
@@ -251,9 +253,13 @@ class ParaformerSANMDecoder(nn.Module):
             x, _ = self.decoders2(x, inputs, deterministic)
         x, _ = self.decoders3(x, inputs, deterministic)
         hidden = self.after_norm(x)
-        if self.use_output_layer:
+        if self.use_output_layer and not return_hidden:
             return self.output_layer(hidden)
         return hidden
+
+    def project(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Apply the output projection to decoder hiddens."""
+        return self.output_layer(hidden)
 
     def embed_tokens(self, ids: jnp.ndarray) -> jnp.ndarray:
         """Token embedding lookup (used by the GLM sampler)."""
