@@ -1,0 +1,60 @@
+"""ITN rules + monotonic aligner tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from funasr_tpu.text.itn import inverse_normalize
+from funasr_tpu.models.monotonic_aligner.model import MonotonicAligner
+
+
+@pytest.mark.parametrize("spoken,written", [
+    ("三千五百二十一", "3521"),
+    ("一万二千三百四十五", "12345"),
+    ("两百零五", "205"),
+    ("百分之五十", "50%"),
+    ("三点一四", "3.14"),
+    ("负十五", "-15"),
+    ("十五个人", "15个人"),
+    ("一个人", "一个人"),  # single digits stay spoken
+])
+def test_itn_zh(spoken, written):
+    assert inverse_normalize(spoken, "zh") == written
+
+
+@pytest.mark.parametrize("spoken,written", [
+    ("twenty one dollars", "21 dollars"),
+    ("three hundred and five", "305"),
+    ("one thousand two hundred", "1200"),
+    ("fifty percent done", "50% done"),
+    ("one of them", "one of them"),  # lone small number stays
+])
+def test_itn_en(spoken, written):
+    assert inverse_normalize(spoken, "en") == written
+
+
+def test_monotonic_aligner(rng):
+    model = MonotonicAligner(
+        input_size=24,
+        encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                          num_blocks=2, kernel_size=5, dropout_rate=0.0),
+        predictor_conf=dict(idim=16, upsample_times=3, dropout=0.0),
+    )
+    B, T = 2, 30
+    speech = jnp.asarray(rng.standard_normal((B, T, 24)), jnp.float32)
+    slens = jnp.array([T, T - 8])
+    text = jnp.zeros((B, 6), jnp.int32)
+    tlens = jnp.array([6, 4])
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        speech, slens, text, tlens)
+    loss, stats = model.apply(params, speech, slens, text, tlens,
+                              deterministic=True)
+    assert np.isfinite(float(loss))
+
+    us_alphas, us_peaks = model.apply(params, speech, slens,
+                                      jnp.array([6, 4]), method=model.align)
+    # forced alignment: exactly token_num fires (up to the eps boundary)
+    counts = np.asarray(us_peaks).sum(-1)
+    np.testing.assert_array_equal(counts, [6, 4])
