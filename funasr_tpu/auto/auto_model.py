@@ -231,6 +231,8 @@ class AutoModel:
         fs: int = 16000,
         **kwargs,
     ) -> Dict[str, Any]:
+        use_itn = kwargs.pop("use_itn", False)
+        itn_lang = kwargs.pop("language", "zh")
         segments = self.vad_engine.segments(wav)
         segments = merge_vad(segments, merge_length_s * 1000)
         if not segments:
@@ -280,6 +282,12 @@ class AutoModel:
         result: Dict[str, Any] = {"key": key, "text": text}
         if with_timestamp:
             result["timestamp"] = all_ts
+
+        if use_itn or self.kwargs.get("use_itn"):
+            from funasr_tpu.text.itn import inverse_normalize
+
+            text = inverse_normalize(text, itn_lang)
+            result["text"] = text
 
         if self.punc_engine is not None and text:
             punc_out = self.punc_engine.punctuate(text)

@@ -14,3 +14,4 @@ import funasr_tpu.models.seaco_paraformer  # noqa: F401
 import funasr_tpu.models.campplus  # noqa: F401
 import funasr_tpu.models.language_model  # noqa: F401
 import funasr_tpu.models.transducer  # noqa: F401
+import funasr_tpu.models.monotonic_aligner  # noqa: F401
