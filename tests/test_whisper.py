@@ -1,0 +1,25 @@
+"""Whisper wrapper: tiny random-init graph encode/decode."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from funasr_tpu.models.whisper.model import WhisperWrap
+
+
+@pytest.mark.slow
+def test_whisper_tiny_graph(rng):
+    w = WhisperWrap(size="tiny", dtype=jnp.float32,
+                    config_overrides=dict(max_source_positions=100,
+                                          max_target_positions=64,
+                                          vocab_size=100,
+                                          decoder_start_token_id=50,
+                                          eos_token_id=51,
+                                          encoder_ffn_dim=256,
+                                          decoder_ffn_dim=256))
+    feats = jnp.asarray(rng.standard_normal((1, 80, 200)), jnp.float32)
+    enc = w.encode(feats)
+    assert enc.shape[0] == 1 and enc.shape[-1] == 384
+    toks = w.greedy_decode(feats, max_tokens=4)
+    assert toks.shape == (1, 4)
+    assert np.asarray(toks).max() < 100
