@@ -13,8 +13,23 @@ from typing import Optional, Tuple, Union
 import numpy as np
 
 
+def _native():
+    """The C++ audio runtime (runtime/native/libfta_audio.so) when built;
+    None otherwise — callers fall back to the NumPy paths below."""
+    try:
+        from funasr_tpu.runtime import native_audio
+
+        return native_audio if native_audio.is_available() else None
+    except Exception:
+        return None
+
+
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a RIFF/WAVE file -> (float32 mono waveform in [-1, 1], fs)."""
+    nat = _native()
+    if nat is not None:
+        with open(path, "rb") as f:
+            return nat.wav_decode(f.read())
     with wave.open(path, "rb") as w:
         fs = w.getframerate()
         n = w.getnframes()
@@ -44,6 +59,9 @@ def resample_linear(x: np.ndarray, fs_in: int, fs_out: int) -> np.ndarray:
     equivalent for the common 8k/22k/44.1k -> 16k serving path)."""
     if fs_in == fs_out:
         return x
+    nat = _native()
+    if nat is not None:
+        return nat.resample(x, fs_in, fs_out)
     n_out = int(round(len(x) * fs_out / fs_in))
     t_out = np.arange(n_out, dtype=np.float64) * fs_in / fs_out
     return np.interp(t_out, np.arange(len(x), dtype=np.float64), x).astype(np.float32)
