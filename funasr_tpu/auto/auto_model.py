@@ -104,6 +104,8 @@ class AutoModel:
         vad_conf: Optional[Dict] = None,
         punc_model: Union[str, Dict, None] = None,
         punc_conf: Optional[Dict] = None,
+        spk_model: Union[str, Dict, None] = None,
+        spk_conf: Optional[Dict] = None,
         seed: int = 0,
         **kwargs,
     ):
@@ -112,12 +114,15 @@ class AutoModel:
         self.engine = None
         self.vad_engine = None
         self.punc_engine = None
+        self.spk_engine = None
         if model is not None:
             self.engine = self._build_main(_resolve_cfg(model, model_conf))
         if vad_model is not None:
             self.vad_engine = self._build_vad(_resolve_cfg(vad_model, vad_conf))
         if punc_model is not None:
             self.punc_engine = self._build_punc(_resolve_cfg(punc_model, punc_conf))
+        if spk_model is not None:
+            self.spk_engine = self._build_spk(_resolve_cfg(spk_model, spk_conf))
 
     # ------------------------------------------------------------- builders
     def _build_main(self, cfg: Dict):
@@ -192,6 +197,19 @@ class AutoModel:
         else:
             model.init_params(self.rng)
         return PuncEngine(model, tokenizer)
+
+    def _build_spk(self, cfg: Dict):
+        from funasr_tpu.auto.engines import SpkEngine
+
+        cls = tables.get("model_classes", cfg.get("model", "CAMPPlus"))
+        model = cls(**(cfg.get("model_conf") or {}))
+        variables = _load_params(cfg)
+        if variables is None:
+            n_mels = getattr(model, "feat_dim", 80)
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 150, n_mels)))
+        return SpkEngine(model, variables,
+                         n_mels=getattr(model, "feat_dim", 80))
 
     # ------------------------------------------------------------ generate
     def generate(self, input, fs: int = 16000, key: Optional[List[str]] = None,
@@ -277,6 +295,17 @@ class AutoModel:
         if cur:
             batches.append(cur)
 
+        # speaker branch: sliding 1.5 s chunks per VAD segment -> embeddings
+        # (reference auto_model.py:467-483); clustered after ASR below.
+        spk_chunks: List[List] = []
+        if self.spk_engine is not None:
+            from funasr_tpu.models.campplus.cluster import sv_chunk
+
+            for (start_ms, end_ms), clip in zip(segments, clips):
+                spk_chunks.extend(
+                    sv_chunk([start_ms / 1000.0, end_ms / 1000.0, clip],
+                             fs=fs))
+
         seg_results: Dict[int, Dict] = {}
         for batch in batches:
             res = self.engine.transcribe(
@@ -318,4 +347,22 @@ class AutoModel:
                     punc_out["punc_array"], all_ts, all_tokens,
                     punc_list=self.punc_engine.model.punc_list,
                 )
+
+        if self.spk_engine is not None and spk_chunks:
+            from funasr_tpu.models.campplus.cluster import (
+                ClusterBackend,
+                distribute_spk,
+            )
+
+            emb = self.spk_engine.embed([c[2] for c in spk_chunks])
+            labels = ClusterBackend()(
+                emb, oracle_num=kwargs.get("preset_spk_num"))
+            sd_segments = [
+                [int(c[0] * 1000), int(c[1] * 1000), int(l)]
+                for c, l in zip(spk_chunks, labels)
+            ]
+            result["spk_info"] = sd_segments
+            if "sentence_info" in result:
+                result["sentence_info"] = distribute_spk(
+                    result["sentence_info"], sd_segments)
         return result

@@ -187,6 +187,51 @@ class VadEngine:
         return self.model.segments_offline(feats, wav)
 
 
+class SpkEngine:
+    """Speaker-embedding engine (reference auto_model.py:467-483 spk branch):
+    batches fixed-length sv chunks through CAM++ on 80-mel fbank with
+    per-utterance mean normalization (no LFR/CMVN)."""
+
+    def __init__(self, module, variables, fs: int = 16000, n_mels: int = 80):
+        self.module = module
+        self.variables = variables
+        self.fs = fs
+        self.n_mels = n_mels
+
+        @jax.jit
+        def _run(variables, wav, lens):
+            feats, flens = F.fbank(
+                wav, lens, num_mel_bins=self.n_mels, fs=self.fs,
+                window_type="hamming", dither=0.0,
+            )
+            mask = (jnp.arange(feats.shape[1])[None, :] < flens[:, None])
+            maskf = mask[..., None].astype(feats.dtype)
+            n = jnp.maximum(flens[:, None, None].astype(feats.dtype), 1.0)
+            mean = jnp.sum(feats * maskf, axis=1, keepdims=True) / n
+            feats = (feats - mean) * maskf
+            return self.module.apply(variables, feats)
+
+        self._run = _run
+
+    def embed(self, wavs: Sequence[np.ndarray]) -> np.ndarray:
+        """Chunk waveforms -> (N, emb_dim) embeddings; same-length chunks are
+        batched into one device call (chunks are fixed 1.5 s on the main
+        path, so this is one program)."""
+        if not len(wavs):
+            return np.zeros((0, 0), np.float32)
+        order: Dict[int, List[int]] = {}
+        for i, w in enumerate(wavs):
+            order.setdefault(len(w), []).append(i)
+        out: List[Optional[np.ndarray]] = [None] * len(wavs)
+        for n, idxs in order.items():
+            batch = jnp.asarray(np.stack([wavs[i] for i in idxs]))
+            lens = jnp.full((len(idxs),), n, jnp.int32)
+            emb = np.asarray(self._run(self.variables, batch, lens))
+            for j, i in enumerate(idxs):
+                out[i] = emb[j]
+        return np.stack(out)
+
+
 class PuncEngine:
     def __init__(self, model, tokenizer):
         self.model = model  # CTTransformerModel

@@ -86,6 +86,32 @@ def test_generate_with_vad_punc_pipeline(rng):
     assert "timestamp" in r
 
 
+SPK_CFG = dict(
+    model="CAMPPlus",
+    model_conf=dict(feat_dim=80, embedding_size=16, growth_rate=4, bn_size=2,
+                    init_channels=8, blocks=((2, 3, 1), (2, 3, 2))),
+)
+
+
+def test_generate_full_pipeline_with_spk(rng):
+    am = AutoModel(model=ASR_CFG, vad_model=VAD_CFG, punc_model=PUNC_CFG,
+                   spk_model=SPK_CFG)
+    wav = np.concatenate([
+        np.zeros(8000, np.float32), _wav(rng, 2.5),
+        np.zeros(12000, np.float32), _wav(rng, 1.0),
+        np.zeros(8000, np.float32),
+    ])
+    res = am.generate(wav, key=["diarized"])
+    r = res[0]
+    assert "spk_info" in r
+    assert all(len(seg) == 3 for seg in r["spk_info"])
+    # spk labels are contiguous ints starting at 0
+    labels = {seg[2] for seg in r["spk_info"]}
+    assert labels == set(range(len(labels)))
+    if "sentence_info" in r:
+        assert all("spk" in s for s in r["sentence_info"])
+
+
 def test_generate_from_wav_file(tmp_path, rng):
     import wave
     p = tmp_path / "x.wav"
