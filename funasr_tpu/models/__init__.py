@@ -16,4 +16,5 @@ import funasr_tpu.models.language_model  # noqa: F401
 import funasr_tpu.models.transducer  # noqa: F401
 import funasr_tpu.models.monotonic_aligner  # noqa: F401
 import funasr_tpu.models.whisper  # noqa: F401
+import funasr_tpu.models.branchformer  # noqa: F401
 import funasr_tpu.ops.normalize  # noqa: F401
