@@ -81,9 +81,10 @@ class CTTransformer(nn.Module):
                                 dtype=self.dtype, param_dtype=self.param_dtype)
 
     def __call__(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
-                 deterministic: bool = True):
+                 deterministic: bool = True, attn_mask=None):
         x = self.embed(text)
-        h, _ = self.encoder(x, text_lengths, deterministic)
+        h, _ = self.encoder(x, text_lengths, deterministic,
+                            attn_mask=attn_mask)
         return self.decoder(h)
 
     def loss(self, text, punc, text_lengths, punc_weight=None,

@@ -94,6 +94,12 @@ class MultiHeadedAttentionSANM(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        # mask may be a (key_mask, attn_mask) pair: key_mask (B,1,T) gates
+        # keys + the FSMN memory; attn_mask (B,T,T) adds per-query structure
+        # (e.g. the streaming punc controllable time-delay mask).
+        attn_mask = None
+        if isinstance(mask, (tuple, list)):
+            mask, attn_mask = mask
         d_k = self.n_feat // self.n_head
         qkv = nn.Dense(
             3 * self.n_feat, name="linear_q_k_v",
@@ -118,7 +124,11 @@ class MultiHeadedAttentionSANM(nn.Module):
         k = k.reshape(B, T, self.n_head, d_k)
         v = v.reshape(B, T, self.n_head, d_k)
         scores = jnp.einsum("bthd,bshd->bhts", q, k)
-        attn = masked_softmax(scores, None if mask is None else mask[:, None, :, :])
+        m4 = None if mask is None else mask[:, None, :, :]
+        if attn_mask is not None:
+            am4 = attn_mask[:, None, :, :].astype(jnp.float32)
+            m4 = am4 if m4 is None else m4 * am4
+        attn = masked_softmax(scores, m4)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
         ctx = ctx.reshape(B, T, self.n_feat)
@@ -240,12 +250,19 @@ class SANMEncoder(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, xs, lengths, deterministic: bool = True):
-        """xs: (B, T, input_size); lengths: (B,). Returns (out, lengths)."""
+    def __call__(self, xs, lengths, deterministic: bool = True,
+                 attn_mask=None):
+        """xs: (B, T, input_size); lengths: (B,). Returns (out, lengths).
+
+        ``attn_mask``: optional (B, T, T) per-query attention structure mask
+        (nonzero = may attend), combined with the length key mask.
+        """
         from funasr_tpu.ops.masks import key_mask
 
         B, T, _ = xs.shape
         mask = key_mask(lengths, T, dtype=jnp.float32)  # (B, 1, T)
+        if attn_mask is not None:
+            mask = (mask, attn_mask)
 
         x = xs.astype(self.dtype) * (self.output_size ** 0.5)
         if self.input_layer == "pe":

@@ -73,3 +73,51 @@ def test_assemble_spacing(punc_model):
     assert "hello." in s
     assert " World" in s  # capitalized after sentence end, space-joined
     assert s.endswith("好，")
+
+
+# ---------------------------------------------------------- streaming punc
+from funasr_tpu.models.ct_transformer.streaming import (  # noqa: E402
+    CTTransformerStreamingModel,
+    vad_mask,
+)
+
+
+def test_vad_mask_structure():
+    m = vad_mask(5, 3)
+    # rows before the vad point (0,1) cannot see cols >= 3
+    assert m[0, 3] == 0 and m[1, 4] == 0
+    # row at vad_pos-1 and later see everything
+    assert m[2].min() == 1 and m[3].min() == 1
+    # degenerate positions -> all ones
+    assert vad_mask(4, 0).min() == 1 and vad_mask(4, 4).min() == 1
+
+
+@pytest.fixture(scope="module")
+def stream_punc():
+    m = CTTransformerStreamingModel(
+        vocab_size=len(VOCAB), punc_list=PUNC, embed_unit=16, att_unit=16,
+        encoder_conf=ENC,
+    )
+    m.init_params(jax.random.PRNGKey(0))
+    m.set_tokenizer(CharTokenizer(token_list=VOCAB))
+    return m
+
+
+def test_streaming_punc_incremental(stream_punc):
+    cache = {}
+    out1 = stream_punc.punctuate_streaming("我们今天", cache)
+    # nothing may commit yet (random weights) but the call must be well-formed
+    assert "punc_array" in out1 and isinstance(out1["text"], str)
+    committed1 = out1["text"]
+    out2 = stream_punc.punctuate_streaming("去公园玩", cache)
+    out3 = stream_punc.punctuate_streaming("好的", cache, is_final=True)
+    # final flush leaves nothing cached and ends with sentence punctuation
+    assert cache["words"] == []
+    full = committed1 + out2["text"] + out3["text"]
+    assert full  # all words emitted
+    assert full[-1] in ("。", "？", ".", "?")
+
+
+def test_streaming_punc_empty(stream_punc):
+    out = stream_punc.punctuate_streaming("", {}, is_final=True)
+    assert out["text"] == "" and len(out["punc_array"]) == 0
