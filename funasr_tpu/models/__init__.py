@@ -17,4 +17,6 @@ import funasr_tpu.models.transducer  # noqa: F401
 import funasr_tpu.models.monotonic_aligner  # noqa: F401
 import funasr_tpu.models.whisper  # noqa: F401
 import funasr_tpu.models.branchformer  # noqa: F401
+import funasr_tpu.models.eres2net  # noqa: F401
+import funasr_tpu.models.xvector  # noqa: F401
 import funasr_tpu.ops.normalize  # noqa: F401
