@@ -1,0 +1,66 @@
+"""FSMN KWS: CTC keyword Viterbi search + detection API."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from funasr_tpu.models.kws.model import FsmnKWS, ctc_keyword_score
+
+
+def _peaky_logp(seq, V=5, T=None, peak=6.0):
+    """Frame log-probs peaking at the given per-frame symbol sequence."""
+    T = T or len(seq)
+    logits = np.zeros((T, V), np.float32)
+    for t, s in enumerate(seq):
+        logits[t, s] = peak
+    return jax.nn.log_softmax(jnp.asarray(logits), -1)
+
+
+def test_keyword_score_present_vs_absent():
+    # frames: blank blank 2 2 3 blank blank
+    lp = _peaky_logp([0, 0, 2, 2, 3, 0, 0])
+    kw = jnp.array([2, 3], jnp.int32)
+    score_hit, end = ctc_keyword_score(lp, kw, jnp.array(2), jnp.array(7))
+    kw_miss = jnp.array([4, 1], jnp.int32)
+    score_miss, _ = ctc_keyword_score(lp, kw_miss, jnp.array(2), jnp.array(7))
+    assert float(score_hit) > float(score_miss) + 1.0
+    assert 3 <= int(end) <= 6  # fires at/after the keyword's last token
+
+
+def test_keyword_score_sliding_start():
+    # keyword deep inside a long utterance still scores high (free entry)
+    lp = _peaky_logp([0] * 20 + [1, 2] + [0] * 20)
+    kw = jnp.array([1, 2], jnp.int32)
+    score, end = ctc_keyword_score(lp, kw, jnp.array(2), jnp.array(42))
+    assert float(score) > -0.5  # near-zero per-frame log prob on the path
+    assert 20 <= int(end) <= 24
+
+
+def test_keyword_score_repeated_label():
+    # keyword [1,1] needs a blank between repeats
+    lp = _peaky_logp([1, 0, 1])
+    score, _ = ctc_keyword_score(lp, jnp.array([1, 1], jnp.int32),
+                                 jnp.array(2), jnp.array(3))
+    assert float(score) > -0.5
+
+
+def test_fsmn_kws_detect_and_loss(rng):
+    V = 8
+    m = FsmnKWS(vocab_size=V, encoder_conf=dict(
+        input_dim=20, input_affine_dim=16, fsmn_layers=2, linear_dim=16,
+        proj_dim=8, lorder=3, rorder=1, lstride=1, rstride=1,
+        output_affine_dim=16))
+    m.init_params(jax.random.PRNGKey(0), input_dim=20)
+    feats = rng.standard_normal((2, 30, 20)).astype(np.float32)
+    flens = np.array([30, 20])
+    hits = m.detect(feats, flens, [[3, 4], [5]], threshold=-100.0)
+    assert len(hits) == 2 and len(hits[0]) == 2
+    assert all(h["detected"] for u in hits for h in u)  # permissive thr
+    assert all(np.isfinite(h["score"]) for u in hits for h in u)
+    # training loss
+    text = jnp.array([[3, 4, 0], [5, 0, 0]], jnp.int32)
+    tlens = jnp.array([2, 1], jnp.int32)
+    loss = m.ctc_loss(m.params, jnp.asarray(feats), jnp.asarray(flens),
+                      text, tlens)
+    assert np.isfinite(float(loss))
