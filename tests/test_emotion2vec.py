@@ -1,0 +1,60 @@
+"""emotion2vec SER: conv extractor math, classify, CE + SSL losses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from funasr_tpu.models.emotion2vec.model import (
+    Emotion2vec,
+    Emotion2vecModule,
+    conv_out_length,
+    ssl_loss,
+)
+
+TINY = dict(dim=16, depth=2, n_head=2, ffn=32)
+
+
+def test_conv_out_length():
+    # 1 s of 16 kHz audio -> ~49 frames at 50 Hz
+    assert 48 <= conv_out_length(16000) <= 50
+
+
+@pytest.fixture(scope="module")
+def ser():
+    m = Emotion2vec(labels=["angry", "happy", "neutral"], **TINY)
+    m.init_params(jax.random.PRNGKey(0), n=3200)
+    return m
+
+
+def test_generate_scores(ser, rng):
+    wavs = [rng.standard_normal(3200).astype(np.float32),
+            rng.standard_normal(2000).astype(np.float32)]
+    out = ser.generate(wavs, extract_embedding=True)
+    assert len(out) == 2
+    for r in out:
+        assert r["labels"] == ["angry", "happy", "neutral"]
+        assert abs(sum(r["scores"]) - 1.0) < 1e-4
+        assert r["feats"].shape == (16,)
+
+
+def test_ce_loss_and_grad(ser, rng):
+    wav = jnp.asarray(rng.standard_normal((2, 3200)), jnp.float32)
+    lens = jnp.array([3200, 2000], jnp.int32)
+    tgt = jnp.array([0, 2], jnp.int32)
+    loss, grads = jax.value_and_grad(
+        lambda p: ser.ce_loss(p, wav, lens, tgt))(ser.params)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0)
+    assert gnorm > 0
+
+
+def test_ssl_loss(ser, rng):
+    module = Emotion2vecModule(num_classes=3, **TINY)
+    wav = jnp.asarray(rng.standard_normal((1, 3200)), jnp.float32)
+    lens = jnp.array([3200], jnp.int32)
+    loss = ssl_loss(module, ser.params, ser.params, wav, lens,
+                    jax.random.PRNGKey(1))
+    # identical student/teacher -> zero regression loss
+    assert float(loss) < 1e-9
