@@ -1,0 +1,229 @@
+"""LLM-ASR: speech encoder + adaptor + causal LLM decoder (reference
+funasr/models/llm_asr/model.py:27,348 and adaptor.py — the speech-encoder/
+adaptor/LLM stacks behind Qwen-Audio-style audio LLMs; llm_asr_nar is the
+non-autoregressive variant).
+
+Structure here:
+
+- **encoder**: any registered encoder (default SANM) over fbank features;
+- **adaptor** (reference adaptor.py ``EncoderProjectorConcat``): stack ``k``
+  consecutive encoder frames and project to the LLM width — a static
+  reshape + matmul, the MXU-friendly form of the reference's conv
+  downsampler;
+- **LLM**: a causal transformer consuming ``[audio embeds][sos][text]`` as
+  one sequence.  Audio positions act as a (per-sample variable-length)
+  prefix: every query may attend to all valid audio keys, text keys are
+  causal.  With local weights for a real LLM this module's decoder stack is
+  replaced by the converted checkpoint; the graph and masking are identical.
+
+Training: CE on text positions.  Inference: jitted fixed-length greedy
+scan (full recompute per step — serving would reuse the paraformer
+streaming KV-ring machinery).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import lax
+
+from funasr_tpu.models.sanm import (
+    LayerNormF32,
+    PositionwiseFeedForward,
+    SANMEncoder,
+    masked_softmax,
+)
+from funasr_tpu.ops.masks import sequence_mask
+from funasr_tpu.ops.posenc import transformer_encoding
+from funasr_tpu.registry import tables
+
+Dtype = Any
+
+
+class Adaptor(nn.Module):
+    """Frame-stacking projector (adaptor.py EncoderProjectorConcat): stack
+    ``k`` frames -> Dense -> relu -> Dense(llm_dim)."""
+
+    k: int = 5
+    hidden: int = 2048
+    llm_dim: int = 512
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray):
+        B, T, D = x.shape
+        Tk = (T // self.k) * self.k
+        x = x[:, :Tk].reshape(B, Tk // self.k, D * self.k)
+        h = nn.Dense(self.hidden, name="linear1", dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.llm_dim, name="linear2", dtype=self.dtype,
+                     param_dtype=self.param_dtype)(h)
+        return h, lengths // self.k
+
+
+class _CausalLayer(nn.Module):
+    size: int
+    n_head: int
+    ffn: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inputs, deterministic: bool = True):
+        (mask,) = inputs  # (B, 1, L, L)
+        B, L, _ = x.shape
+        d_k = self.size // self.n_head
+        res = x
+        h = LayerNormF32(self.dtype, self.param_dtype, name="norm1")(x)
+        qkv = nn.Dense(3 * self.size, name="qkv", dtype=self.dtype,
+                       param_dtype=self.param_dtype)(h)
+        q, k, v = jnp.split(qkv, 3, -1)
+        q = q.reshape(B, L, self.n_head, d_k) * (d_k ** -0.5)
+        k = k.reshape(B, L, self.n_head, d_k)
+        v = v.reshape(B, L, self.n_head, d_k)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k)
+        attn = masked_softmax(scores, mask)
+        ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
+        h = nn.Dense(self.size, name="out", dtype=self.dtype,
+                     param_dtype=self.param_dtype)(ctx.reshape(B, L, self.size))
+        x = res + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        res = x
+        h = LayerNormF32(self.dtype, self.param_dtype, name="norm2")(x)
+        h = PositionwiseFeedForward(self.ffn, self.size, self.dropout_rate,
+                                    self.dtype, self.param_dtype,
+                                    name="feed_forward")(h, deterministic)
+        return res + nn.Dropout(self.dropout_rate)(h,
+                                                   deterministic=deterministic), None
+
+
+@tables.register("model_classes", "LLMASR")
+class LLMASR(nn.Module):
+    vocab_size: int
+    input_size: int = 560
+    encoder_conf: Optional[Dict] = None
+    adaptor_conf: Optional[Dict] = None
+    llm_conf: Optional[Dict] = None
+    sos: int = 1
+    eos: int = 2
+    ignore_id: int = -1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        enc_conf = dict(self.encoder_conf or {})
+        enc_conf.setdefault("output_size", 256)
+        self.encoder = SANMEncoder(
+            input_size=self.input_size, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="encoder", **enc_conf)
+        ad_conf = dict(self.adaptor_conf or {})
+        llm_conf = dict(self.llm_conf or {})
+        self.llm_dim = llm_conf.get("dim", 512)
+        ad_conf.setdefault("llm_dim", self.llm_dim)
+        self.adaptor = Adaptor(dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="adaptor", **ad_conf)
+        self.n_layers = llm_conf.get("layers", 4)
+        self.n_head = llm_conf.get("heads", 8)
+        self.ffn = llm_conf.get("ffn", 4 * self.llm_dim)
+        self.embed = nn.Embed(self.vocab_size, self.llm_dim, name="embed",
+                              dtype=self.dtype, param_dtype=self.param_dtype)
+        self.lm_head = nn.Dense(self.vocab_size, name="lm_head",
+                                dtype=self.dtype,
+                                param_dtype=self.param_dtype)
+        Stack = nn.scan(
+            _CausalLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.n_layers,
+            in_axes=(nn.broadcast, nn.broadcast),
+        )
+        self.llm_layers = Stack(self.llm_dim, self.n_head, self.ffn, 0.0,
+                                self.dtype, self.param_dtype,
+                                name="llm_layers")
+        self.llm_norm = LayerNormF32(self.dtype, self.param_dtype,
+                                     name="llm_norm")
+
+    def _llm(self, embeds, mask, deterministic):
+        L = embeds.shape[1]
+        pe = transformer_encoding(L, self.llm_dim)
+        x = embeds + pe[None].astype(embeds.dtype)
+        x, _ = self.llm_layers(x, (mask,), deterministic)
+        x = self.llm_norm(x)
+        return self.lm_head(x)
+
+    def _prefix_mask(self, audio_lens, Ta, text_valid_len, Lt):
+        """(B, 1, L, L) mask: audio keys visible to everyone (prefix-LM),
+        text keys causal; invalid positions masked out."""
+        L = Ta + Lt
+        pos = jnp.arange(L)
+        audio_valid = (pos[None, :] < audio_lens[:, None]) & (pos[None, :] < Ta)
+        text_valid = (pos[None, :] >= Ta) & (
+            pos[None, :] < Ta + text_valid_len[:, None])
+        causal = pos[None, :] <= pos[:, None]  # (L, L) query x key
+        m = audio_valid[:, None, :] | (text_valid[:, None, :] & causal[None])
+        return m[:, None, :, :].astype(jnp.float32)
+
+    def _audio_prefix(self, speech, speech_lengths, deterministic):
+        enc, enc_lens = self.encoder(speech, speech_lengths, deterministic)
+        return self.adaptor(enc, enc_lens)
+
+    def __call__(self, speech, speech_lengths, text, text_lengths,
+                 deterministic: bool = False):
+        """CE loss on text tokens given the audio prefix."""
+        audio, audio_lens = self._audio_prefix(speech, speech_lengths,
+                                               deterministic)
+        B, Ta, _ = audio.shape
+        U = text.shape[1]
+        valid = sequence_mask(text_lengths, U, jnp.bool_)
+        y = jnp.where(valid, text, self.eos)
+        ys_in = jnp.concatenate(
+            [jnp.full((B, 1), self.sos, text.dtype), y], axis=1)  # (B, U+1)
+        embeds = jnp.concatenate([audio, self.embed(ys_in)], axis=1)
+        mask = self._prefix_mask(audio_lens, Ta, text_lengths + 1, U + 1)
+        logits = self._llm(embeds, mask, deterministic)
+        # next-token targets at text positions: logits[Ta + j] predicts y[j]
+        lg = logits[:, Ta: Ta + U + 1]
+        pos = jnp.arange(U + 1)[None, :]
+        tgt = jnp.concatenate([y, jnp.full((B, 1), self.eos, text.dtype)], 1)
+        tgt_valid = pos <= text_lengths[:, None]
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+        nll = jnp.where(tgt_valid, nll, 0.0)
+        loss = jnp.sum(nll) / jnp.maximum(jnp.sum(tgt_valid), 1)
+        acc = jnp.sum(
+            jnp.where(tgt_valid, (jnp.argmax(lg, -1) == tgt), False)
+        ) / jnp.maximum(jnp.sum(tgt_valid), 1)
+        return loss, {"loss": loss, "acc": acc}
+
+    def greedy_decode(self, speech, speech_lengths, maxlen: int = 32):
+        """Fixed-length jitted greedy generation -> (tokens, lengths)."""
+        audio, audio_lens = self._audio_prefix(speech, speech_lengths, True)
+        B, Ta, _ = audio.shape
+        sos_col = jnp.full((B, 1), self.sos, jnp.int32)
+
+        def step(tokens, i):
+            # tokens: (B, 1+maxlen) = [sos, generated..., pad]
+            embeds = jnp.concatenate([audio, self.embed(tokens)], axis=1)
+            mask = self._prefix_mask(
+                audio_lens, Ta,
+                jnp.full((B,), 1, jnp.int32) + i + 1, 1 + maxlen)
+            logits = self._llm(embeds, mask, True)
+            nxt = jnp.argmax(logits[:, Ta + i], -1).astype(jnp.int32)
+            tokens = tokens.at[:, i + 1].set(nxt)
+            return tokens, nxt
+
+        tokens0 = jnp.concatenate(
+            [sos_col, jnp.zeros((B, maxlen), jnp.int32)], axis=1)
+        tokens, outs = lax.scan(step, tokens0, jnp.arange(maxlen))
+        gen = tokens[:, 1:]
+        is_eos = gen == self.eos
+        any_eos = jnp.any(is_eos, axis=1)
+        first_eos = jnp.argmax(is_eos, axis=1)
+        lengths = jnp.where(any_eos, first_eos, maxlen)
+        return gen, lengths
