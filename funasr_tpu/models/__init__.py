@@ -22,4 +22,6 @@ import funasr_tpu.models.xvector  # noqa: F401
 import funasr_tpu.models.kws  # noqa: F401
 import funasr_tpu.models.emotion2vec  # noqa: F401
 import funasr_tpu.models.llm_asr  # noqa: F401
+import funasr_tpu.models.uniasr  # noqa: F401
+import funasr_tpu.models.scama  # noqa: F401
 import funasr_tpu.ops.normalize  # noqa: F401
