@@ -222,12 +222,22 @@ class AutoModel:
                 for w, k in zip(wavs, keys)
             ]
         else:
+            use_itn = kwargs.pop("use_itn", False)
+            itn_lang = kwargs.pop("language", "zh")
+            # SenseVoice handles text-norm natively via its prompt token
+            if getattr(self.engine, "handles_itn", False):
+                kwargs["use_itn"] = use_itn
+                use_itn = False
             results = []
             for i in range(0, len(wavs), batch_size):
                 chunk = wavs[i : i + batch_size]
                 res = self.engine.transcribe(chunk, **kwargs)
                 for j, r in enumerate(res):
                     r["key"] = keys[i + j]
+                    if use_itn and r.get("text"):
+                        from funasr_tpu.text.itn import inverse_normalize
+
+                        r["text"] = inverse_normalize(r["text"], itn_lang)
                     results.append(r)
         if output_dir:
             self._write_results(results, output_dir)

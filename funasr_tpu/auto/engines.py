@@ -137,6 +137,8 @@ class ParaformerEngine(BatchedAsrEngine):
 
 
 class SenseVoiceEngine(BatchedAsrEngine):
+    handles_itn = True  # text norm via the model's textnorm prompt token
+
     def __init__(self, module, params, frontend: FrontendConfig, tokenizer):
         super().__init__(frontend, tokenizer)
         self.module = module

@@ -1,0 +1,167 @@
+"""gRPC ASR server (reference runtime/grpc/paraformer-server.cc: streaming
+Recognize service over the paraformer pipeline).
+
+The reference defines ``paraformer.proto`` (Request{audio_data, user,
+language, speaking} / Response{sentence, user, action, language}).  This
+sandbox has grpcio but no protoc python plugin, so the same service is
+exposed through gRPC *generic handlers* with JSON payloads — wire-level
+gRPC (HTTP/2 framing, deadlines, streaming) with a self-describing message
+encoding.  A client sends length-delimited JSON messages on
+``/funasr.ASR/Recognize`` (bidirectional stream):
+
+    {"user": ..., "language": "zh-CN", "speaking": true,
+     "audio_data": "<base64 pcm16>", "audio_fs": 16000}
+
+and receives {"sentence", "user", "action": "partial"|"finish", ...}.
+``action == "finish"`` fires when ``speaking`` flips false (utterance end,
+offline decode of the accumulated buffer).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+from concurrent import futures
+from typing import Any, Dict, Iterator
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+SERVICE = "funasr.ASR"
+METHOD = "Recognize"
+
+
+def _ser(obj: Dict[str, Any]) -> bytes:
+    return json.dumps(obj, ensure_ascii=False, default=str).encode()
+
+
+def _de(data: bytes) -> Dict[str, Any]:
+    return json.loads(data.decode())
+
+
+class AsrGrpcServer:
+    def __init__(self, auto_model, host: str = "0.0.0.0", port: int = 10098,
+                 max_workers: int = 8):
+        self.auto_model = auto_model
+        self.host = host
+        self.port = port
+        self.max_workers = max_workers
+        self._server = None
+
+    # ------------------------------------------------------------ handlers
+    def _recognize_stream(self, request_iterator: Iterator[Dict[str, Any]],
+                          context) -> Iterator[bytes]:
+        buf = bytearray()
+        user = ""
+        language = "zh-CN"
+        for msg in request_iterator:
+            req = _de(msg)
+            user = req.get("user", user)
+            language = req.get("language", language)
+            if req.get("audio_data"):
+                buf.extend(base64.b64decode(req["audio_data"]))
+            if req.get("speaking") is False:
+                wav = np.frombuffer(bytes(buf), "<i2").astype(np.float32) / 32768.0
+                fs = int(req.get("audio_fs", 16000))
+                if fs != 16000:
+                    from funasr_tpu.utils.audio import resample_linear
+
+                    wav = resample_linear(wav, fs, 16000)
+                text = ""
+                if len(wav) >= 400:
+                    res = self.auto_model.generate(wav, key=[user or "grpc"])
+                    text = res[0].get("text", "") if res else ""
+                buf = bytearray()
+                yield _ser({"sentence": text, "user": user,
+                            "action": "finish", "language": language})
+            elif req.get("audio_data"):
+                yield _ser({"sentence": "", "user": user,
+                            "action": "partial", "language": language})
+
+    def _make_handler(self):
+        import grpc
+
+        method = grpc.stream_stream_rpc_method_handler(
+            self._recognize_stream,
+            request_deserializer=lambda b: b,
+            response_serializer=lambda b: b,
+        )
+
+        class Handler(grpc.GenericRpcHandler):
+            def service(self, handler_call_details):
+                if handler_call_details.method == f"/{SERVICE}/{METHOD}":
+                    return method
+                return None
+
+        return Handler()
+
+    # ------------------------------------------------------------- control
+    def start(self) -> int:
+        """Start serving; returns the bound port."""
+        import grpc
+
+        self._server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=self.max_workers))
+        self._server.add_generic_rpc_handlers((self._make_handler(),))
+        port = self._server.add_insecure_port(f"{self.host}:{self.port}")
+        self._server.start()
+        log.info("ASR gRPC server on %s:%d", self.host, port)
+        return port
+
+    def stop(self, grace: float = 0.5):
+        if self._server is not None:
+            self._server.stop(grace)
+            self._server = None
+
+    def wait(self):
+        if self._server is not None:
+            self._server.wait_for_termination()
+
+
+def recognize_client(target: str, pcm16: bytes, user: str = "cli",
+                     audio_fs: int = 16000, chunk: int = 32000):
+    """Minimal client helper for the JSON-over-gRPC protocol."""
+    import grpc
+
+    channel = grpc.insecure_channel(target)
+    stub = channel.stream_stream(
+        f"/{SERVICE}/{METHOD}",
+        request_serializer=lambda b: b,
+        response_deserializer=lambda b: b,
+    )
+
+    def gen():
+        for i in range(0, max(len(pcm16), 1), chunk):
+            yield _ser({"user": user, "speaking": True, "audio_fs": audio_fs,
+                        "audio_data": base64.b64encode(
+                            pcm16[i: i + chunk]).decode()})
+        yield _ser({"user": user, "speaking": False, "audio_fs": audio_fs})
+
+    out = [_de(r) for r in stub(gen())]
+    channel.close()
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.config import load_config
+
+    ap = argparse.ArgumentParser(prog="funasr-tpu-grpc-server")
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=10098)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    am = AutoModel(model=load_config(args.model))
+    srv = AsrGrpcServer(am, host=args.host, port=args.port)
+    srv.start()
+    srv.wait()
+
+
+if __name__ == "__main__":
+    main()

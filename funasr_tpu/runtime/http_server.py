@@ -1,0 +1,130 @@
+"""HTTP ASR server (reference runtime/http/: asio HTTP server with
+multipart file upload -> offline pipeline).
+
+Endpoints:
+
+- ``POST /recognize`` — multipart form with a ``file`` field (wav bytes) or
+  raw body of wav/pcm bytes; optional query/form params ``audio_fs``,
+  ``itn``, ``key``.  Response JSON mirrors the websocket result:
+  ``{"text": ..., "timestamp": [...], "stamp_sents": [...]}``.
+- ``GET /health`` — liveness probe.
+
+The aiohttp event loop moves bytes; decode runs in a thread executor over
+the jitted device programs, same as the websocket server.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+class AsrHttpServer:
+    def __init__(self, auto_model, host: str = "0.0.0.0", port: int = 10096):
+        self.auto_model = auto_model
+        self.host = host
+        self.port = port
+
+    def _decode(self, data: bytes, audio_fs: int, key: str,
+                use_itn: bool) -> Dict[str, Any]:
+        from funasr_tpu.utils.audio import load_audio
+
+        if data[:4] == b"RIFF":
+            from funasr_tpu.runtime import native_audio
+
+            if native_audio.is_available():
+                wav, fs = native_audio.wav_decode(data)
+                wav = load_audio(wav, fs=16000, audio_fs=fs)
+            else:  # pure-python RIFF fallback via a temp buffer
+                import io
+                import wave as wavmod
+
+                with wavmod.open(io.BytesIO(data)) as w:
+                    fs = w.getframerate()
+                    raw = w.readframes(w.getnframes())
+                wav = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+                wav = load_audio(wav, fs=16000, audio_fs=fs)
+        else:
+            wav = load_audio(data, fs=16000, audio_fs=audio_fs)
+        res = self.auto_model.generate(wav, key=[key], use_itn=use_itn)
+        return res[0] if res else {"text": ""}
+
+    def make_app(self):
+        from aiohttp import web
+
+        app = web.Application(client_max_size=1024 * 1024 * 256)
+
+        async def health(_req):
+            return web.json_response({"status": "ok"})
+
+        async def recognize(req):
+            audio_fs = int(req.query.get("audio_fs", 16000))
+            use_itn = req.query.get("itn", "false").lower() in ("1", "true")
+            key = req.query.get("key", "http")
+            data: Optional[bytes] = None
+            if req.content_type and "multipart" in req.content_type:
+                reader = await req.multipart()
+                async for part in reader:
+                    if part.name in ("file", "audio"):
+                        data = await part.read(decode=False)
+                        break
+            else:
+                data = await req.read()
+            if not data:
+                return web.json_response({"error": "no audio"}, status=400)
+            loop = asyncio.get_running_loop()
+            try:
+                result = await loop.run_in_executor(
+                    None, self._decode, data, audio_fs, key, use_itn)
+            except Exception as e:  # noqa: BLE001 - surface to client
+                log.exception("decode failed")
+                return web.json_response({"error": str(e)}, status=500)
+            out = {"text": result.get("text", "")}
+            if "timestamp" in result:
+                out["timestamp"] = result["timestamp"]
+            if "sentence_info" in result:
+                out["stamp_sents"] = result["sentence_info"]
+            return web.json_response(out, dumps=lambda o: json.dumps(
+                o, ensure_ascii=False, default=str))
+
+        app.router.add_get("/health", health)
+        app.router.add_post("/recognize", recognize)
+        return app
+
+    def run(self):
+        from aiohttp import web
+
+        web.run_app(self.make_app(), host=self.host, port=self.port)
+
+
+def main(argv=None):  # CLI: python -m funasr_tpu.runtime.http_server
+    import argparse
+
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.config import load_config
+
+    ap = argparse.ArgumentParser(prog="funasr-tpu-http-server")
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--vad-model", default=None)
+    ap.add_argument("--punc-model", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=10096)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    am = AutoModel(
+        model=load_config(args.model),
+        vad_model=load_config(args.vad_model) if args.vad_model else None,
+        punc_model=load_config(args.punc_model) if args.punc_model else None,
+    )
+    AsrHttpServer(am, host=args.host, port=args.port).run()
+
+
+if __name__ == "__main__":
+    main()
