@@ -124,16 +124,23 @@ def beam_search(
     blank_id: int = 0,
     lm_fn: Optional[Callable] = None,  # (ys (N,L+1), step) -> (N, V) logp
     lm_weight: float = 0.0,
+    hotword_tables=None,  # (next_state (S,V), bonus (S,V)) from build_bias_trie
+    hotword_weight: float = 1.0,
 ) -> BeamResult:
     """Batched fixed-beam search; jit-compatible (static maxlen/beam)."""
     B, K, V = batch, beam, vocab
     use_ctc = ctc_logp is not None and ctc_weight > 0.0
+    use_hw = hotword_tables is not None and hotword_weight != 0.0
+    if use_hw:
+        hw_next = jnp.asarray(hotword_tables[0], jnp.int32)
+        hw_bonus = jnp.asarray(hotword_tables[1], jnp.float32)
     W = pre_beam or min(int(1.5 * K) + 1, V)
 
     ys = jnp.full((B, K, maxlen + 1), eos, jnp.int32).at[:, :, 0].set(sos)
     scores = jnp.full((B, K), NEG_INF).at[:, 0].set(0.0)
     finished = jnp.zeros((B, K), bool)
     lengths = jnp.zeros((B, K), jnp.int32)
+    hw_state = jnp.zeros((B, K), jnp.int32)
     if use_ctc:
         T = ctc_logp.shape[1]
         r0, sigma0 = ctc_init_state(ctc_logp, blank_id)
@@ -144,7 +151,7 @@ def beam_search(
         sigma_g = jnp.zeros((B, K))
 
     def step_fn(carry, step):
-        ys, scores, finished, lengths, r_state, sigma_g = carry
+        ys, scores, finished, lengths, r_state, sigma_g, hw_state = carry
         N = B * K
         logp = decode_fn(ys.reshape(N, -1), step)  # (N, V) next-token logp
         logp = logp.reshape(B, K, V).astype(jnp.float32)
@@ -179,6 +186,9 @@ def beam_search(
             )(cand, combined)
         else:
             total_ext = logp + lm_term + length_bonus
+
+        if use_hw:
+            total_ext = total_ext + hotword_weight * hw_bonus[hw_state]
 
         # finished hyps may only extend with eos at zero cost
         eos_only = jnp.full((V,), NEG_INF).at[eos].set(0.0)
@@ -218,13 +228,18 @@ def beam_search(
             r_state = jnp.where(took_cand[:, :, None, None], r_sel, r_state_g)
             sigma_g = jnp.where(took_cand, sig_sel, sigma_g2)
 
+        if use_hw:
+            hw_g = jnp.take_along_axis(hw_state, src_hyp, axis=1)
+            hw_adv = jax.vmap(jax.vmap(lambda s, t: hw_next[s, t]))(hw_g, tok)
+            hw_state = jnp.where(finished | (tok == eos), hw_g, hw_adv)
+
         finished = finished | (tok == eos)
         scores = top_scores
-        return (ys, scores, finished, lengths, r_state, sigma_g), None
+        return (ys, scores, finished, lengths, r_state, sigma_g, hw_state), None
 
-    carry = (ys, scores, finished, lengths, r_state, sigma_g)
+    carry = (ys, scores, finished, lengths, r_state, sigma_g, hw_state)
     carry, _ = lax.scan(step_fn, carry, jnp.arange(maxlen))
-    ys, scores, finished, lengths, _, _ = carry
+    ys, scores, finished, lengths, _, _, _ = carry
 
     order = jnp.argsort(-scores, axis=1)
     ys = jnp.take_along_axis(ys, order[:, :, None], axis=1)
