@@ -25,4 +25,5 @@ import funasr_tpu.models.llm_asr  # noqa: F401
 import funasr_tpu.models.uniasr  # noqa: F401
 import funasr_tpu.models.scama  # noqa: F401
 import funasr_tpu.models.eend  # noqa: F401
+import funasr_tpu.models.data2vec  # noqa: F401
 import funasr_tpu.ops.normalize  # noqa: F401

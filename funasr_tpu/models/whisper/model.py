@@ -88,3 +88,44 @@ class WhisperWrap:
             nxt = jnp.argmax(out.logits[:, -1, :], axis=-1).astype(jnp.int32)
             tokens = jnp.concatenate([tokens, nxt[:, None]], axis=1)
         return tokens[:, len(start):]
+
+    def detect_language(self, input_features: jnp.ndarray,
+                        language_token_ids):
+        """Whisper-style LID: first-step decoder logits restricted to the
+        language tokens -> (B, n_langs) probabilities (reference
+        funasr/models/whisper_lid/model.py:22,458 adds LID heads; the
+        vanilla whisper LID reads the <|lang|> position posteriors)."""
+        enc = self.model.encode(input_features=input_features,
+                                params=self.params)
+        B = input_features.shape[0]
+        sot = jnp.full((B, 1), self.config.decoder_start_token_id, jnp.int32)
+        out = self.model.decode(decoder_input_ids=sot, encoder_outputs=enc,
+                                params=self.params)
+        lang_ids = jnp.asarray(list(language_token_ids), jnp.int32)
+        logits = out.logits[:, 0, :]
+        lang_logits = logits[:, lang_ids]
+        return jax.nn.softmax(lang_logits.astype(jnp.float32), axis=-1)
+
+
+@tables.register("model_classes", "WhisperLID")
+class WhisperLID(WhisperWrap):
+    """Whisper with language identification as a first-class output
+    (reference funasr/models/whisper_lid).  ``transcribe_with_lid`` returns
+    (tokens, lang_probs) in one pass."""
+
+    def __init__(self, *args, language_token_ids=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.language_token_ids = list(language_token_ids or [])
+
+    def transcribe_with_lid(self, input_features: jnp.ndarray,
+                            max_tokens: int = 64):
+        probs = self.detect_language(input_features,
+                                     self.language_token_ids)
+        best = jnp.argmax(probs, axis=-1)
+        # force the detected language token after sot (per-batch leading
+        # token; decode uses the modal language for the batch)
+        lang_tok = int(jnp.asarray(self.language_token_ids)[
+            int(np.asarray(best)[0])])
+        tokens = self.greedy_decode(input_features, max_tokens=max_tokens,
+                                    forced_tokens=[lang_tok])
+        return tokens, probs
