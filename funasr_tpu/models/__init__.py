@@ -27,4 +27,5 @@ import funasr_tpu.models.scama  # noqa: F401
 import funasr_tpu.models.eend  # noqa: F401
 import funasr_tpu.models.data2vec  # noqa: F401
 import funasr_tpu.models.contextual_paraformer  # noqa: F401
+import funasr_tpu.models.mossformer  # noqa: F401
 import funasr_tpu.ops.normalize  # noqa: F401
