@@ -100,13 +100,17 @@ class Transducer(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    def setup(self):
+    def make_encoder(self):
+        """Factory hook; RWKV-BAT swaps in the RWKV encoder."""
         conf = dict(self.encoder_conf or {})
         conf.setdefault("input_layer", "conv2d")
-        self.encoder = ConformerEncoder(
+        return ConformerEncoder(
             input_size=self.input_size, dtype=self.dtype,
             param_dtype=self.param_dtype, name="encoder", **conf,
         )
+
+    def setup(self):
+        self.encoder = self.make_encoder()
         self.decoder = RNNTDecoder(
             vocab_size=self.vocab_size, dtype=self.dtype,
             param_dtype=self.param_dtype, name="decoder",
