@@ -124,14 +124,16 @@ class FsmnKWS:
         self.blank_id = blank_id
         self.threshold = threshold
         self.params = None
+        self._build_jits()
 
+    def _build_jits(self):
         @jax.jit
         def _logits(params, feats):
-            return self.module.apply(params, feats)
+            return self.apply_logits(params, feats, None)
 
         @jax.jit
         def _search(params, feats, flens, keywords, kw_lens):
-            logits = self.module.apply(params, feats)
+            logits = self.apply_logits(params, feats, flens)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
 
             def per_utt(lp, n):
@@ -145,13 +147,17 @@ class FsmnKWS:
         self._logits = _logits
         self._search = _search
 
+    def apply_logits(self, params, feats, flens):
+        """(B, T, D) features -> (B, T, V) CTC logits; subclass hook."""
+        return self.module.apply(params, feats)
+
     def init_params(self, rng, input_dim: Optional[int] = None):
         d = input_dim or self.module.input_dim
         self.params = self.module.init(rng, jnp.zeros((1, 16, d)))
         return self.params
 
     def ctc_loss(self, params, feats, flens, text, text_lens, rng=None):
-        logits = self.module.apply(params, feats)
+        logits = self.apply_logits(params, feats, flens)
         return losses.ctc_loss(logits, flens, text, text_lens,
                                ignore_id=-1, blank_id=self.blank_id)
 
@@ -181,3 +187,58 @@ class FsmnKWS:
                 for j in range(scores.shape[1])
             ])
         return out
+
+
+class _SanmKWSNet(nn.Module):
+    """SANM encoder + CTC projection (reference funasr/models/sanm_kws)."""
+
+    vocab_size: int
+    input_dim: int = 400
+    encoder_conf: Optional[Dict] = None
+
+    def setup(self):
+        from funasr_tpu.models.sanm import SANMEncoder
+
+        conf = dict(self.encoder_conf or {})
+        conf.setdefault("output_size", 128)
+        conf.setdefault("attention_heads", 4)
+        conf.setdefault("linear_units", 256)
+        conf.setdefault("num_blocks", 4)
+        conf.setdefault("kernel_size", 11)
+        self.encoder = SANMEncoder(input_size=self.input_dim, name="encoder",
+                                  **conf)
+        self.ctc_lo = nn.Dense(self.vocab_size, name="ctc_lo")
+
+    def __call__(self, feats, lengths):
+        out, _ = self.encoder(feats, lengths, True)
+        return self.ctc_lo(out)
+
+
+@tables.register("model_classes", "SanmKWS")
+class SanmKWS(FsmnKWS):
+    """Keyword spotter with the SANM encoder (reference
+    funasr/models/sanm_kws{,_streaming}); shares the sliding CTC Viterbi
+    keyword search with FsmnKWS."""
+
+    def __init__(self, vocab_size: int, input_dim: int = 400,
+                 encoder_conf: Optional[Dict] = None, blank_id: int = 0,
+                 threshold: float = -5.0, **kwargs):
+        self.module = _SanmKWSNet(vocab_size=vocab_size, input_dim=input_dim,
+                                  encoder_conf=encoder_conf)
+        self.vocab_size = vocab_size
+        self.blank_id = blank_id
+        self.threshold = threshold
+        self.params = None
+        self._input_dim = input_dim
+        self._build_jits()
+
+    def apply_logits(self, params, feats, flens):
+        if flens is None:
+            flens = jnp.full((feats.shape[0],), feats.shape[1], jnp.int32)
+        return self.module.apply(params, feats, flens)
+
+    def init_params(self, rng, input_dim: Optional[int] = None):
+        d = input_dim or self._input_dim
+        self.params = self.module.init(
+            rng, jnp.zeros((1, 16, d)), jnp.array([16], jnp.int32))
+        return self.params

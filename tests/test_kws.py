@@ -64,3 +64,21 @@ def test_fsmn_kws_detect_and_loss(rng):
     loss = m.ctc_loss(m.params, jnp.asarray(feats), jnp.asarray(flens),
                       text, tlens)
     assert np.isfinite(float(loss))
+
+
+def test_sanm_kws_detect(rng):
+    from funasr_tpu.models.kws.model import SanmKWS
+
+    m = SanmKWS(vocab_size=8, input_dim=20, encoder_conf=dict(
+        output_size=16, attention_heads=2, linear_units=32, num_blocks=2,
+        kernel_size=5, dropout_rate=0.0))
+    m.init_params(jax.random.PRNGKey(0))
+    feats = rng.standard_normal((2, 30, 20)).astype(np.float32)
+    flens = np.array([30, 20])
+    hits = m.detect(feats, flens, [[3, 4], [5]], threshold=-100.0)
+    assert len(hits) == 2 and len(hits[0]) == 2
+    assert all(np.isfinite(h["score"]) for u in hits for h in u)
+    loss = m.ctc_loss(m.params, jnp.asarray(feats), jnp.asarray(flens),
+                      jnp.array([[3, 4, 0], [5, 0, 0]], jnp.int32),
+                      jnp.array([2, 1], jnp.int32))
+    assert np.isfinite(float(loss))
