@@ -112,15 +112,17 @@ class LLMASR(nn.Module):
     sos: int = 1
     eos: int = 2
     ignore_id: int = -1
+    use_encoder: bool = True  # False: inputs are already encoder states
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
-        enc_conf = dict(self.encoder_conf or {})
-        enc_conf.setdefault("output_size", 256)
-        self.encoder = SANMEncoder(
-            input_size=self.input_size, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="encoder", **enc_conf)
+        if self.use_encoder:
+            enc_conf = dict(self.encoder_conf or {})
+            enc_conf.setdefault("output_size", 256)
+            self.encoder = SANMEncoder(
+                input_size=self.input_size, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="encoder", **enc_conf)
         ad_conf = dict(self.adaptor_conf or {})
         llm_conf = dict(self.llm_conf or {})
         self.llm_dim = llm_conf.get("dim", 512)
@@ -170,7 +172,11 @@ class LLMASR(nn.Module):
         return m[:, None, :, :].astype(jnp.float32)
 
     def _audio_prefix(self, speech, speech_lengths, deterministic):
-        enc, enc_lens = self.encoder(speech, speech_lengths, deterministic)
+        if self.use_encoder:
+            enc, enc_lens = self.encoder(speech, speech_lengths,
+                                         deterministic)
+        else:
+            enc, enc_lens = speech, speech_lengths
         return self.adaptor(enc, enc_lens)
 
     def __call__(self, speech, speech_lengths, text, text_lengths,
