@@ -34,13 +34,13 @@ def _zh_section_to_int(s: str) -> int:
 
 
 def _zh_to_int(s: str) -> int:
-    """Full cardinal incl. 万/亿 sections."""
-    total = 0
+    """Full cardinal incl. 万/亿 sections: value = head * big + rest."""
     for big_char in ("亿", "万"):
         if big_char in s:
-            head, s = s.split(big_char, 1)
-            total = (total + _zh_to_int(head)) * _ZH_BIG[big_char]
-    return total + _zh_section_to_int(s)
+            head, rest = s.split(big_char, 1)
+            return (_zh_to_int(head) if head else 1) * _ZH_BIG[big_char] \
+                + _zh_to_int(rest)
+    return _zh_section_to_int(s)
 
 
 def _zh_digits_seq(s: str) -> str:
@@ -155,10 +155,228 @@ def _itn_en(text: str) -> str:
     return " ".join(out)
 
 
+# --------------------------------------------------------------- Japanese
+# Kanji numerals share the Chinese structure; map the JP-specific forms
+# onto the zh tables (億 = 亿, 萬 = 万).
+_JA_TRANS = str.maketrans({"億": "亿", "萬": "万", "兩": "两"})
+
+
+def _itn_ja(text: str) -> str:
+    return _itn_zh(text.translate(_JA_TRANS))
+
+
+# ----------------------------------------------------------------- Korean
+# Sino-Korean numerals follow the same positional structure as Chinese.
+_KO_DIGITS = {"영": 0, "공": 0, "일": 1, "이": 2, "삼": 3, "사": 4,
+              "오": 5, "육": 6, "칠": 7, "팔": 8, "구": 9}
+_KO_UNITS = {"십": 10, "백": 100, "천": 1000}
+_KO_BIG = {"만": 10**4, "억": 10**8}
+_KO_CHARS = "".join(_KO_DIGITS) + "".join(_KO_UNITS) + "".join(_KO_BIG)
+
+
+def _ko_section(s: str) -> int:
+    total, cur = 0, 0
+    for ch in s:
+        if ch in _KO_DIGITS:
+            cur = _KO_DIGITS[ch]
+        elif ch in _KO_UNITS:
+            total += (cur if cur else 1) * _KO_UNITS[ch]
+            cur = 0
+    return total + cur
+
+
+def _ko_to_int(s: str) -> int:
+    for big in ("억", "만"):
+        if big in s:
+            head, rest = s.split(big, 1)
+            return (_ko_to_int(head) if head else 1) * _KO_BIG[big] \
+                + _ko_to_int(rest)
+    return _ko_section(s)
+
+
+def _itn_ko(text: str) -> str:
+    num = f"[{_KO_CHARS}]+"
+
+    def card(m):
+        s = m.group(0)
+        if len(s) == 1 and s in _KO_DIGITS:
+            return s
+        try:
+            return str(_ko_to_int(s))
+        except Exception:
+            return s
+
+    text = re.sub(f"({num})\\s*퍼센트", lambda m: f"{_ko_to_int(m.group(1))}%",
+                  text)
+    return re.sub(num, card, text)
+
+
+# ------------------------------------------------- Western word cardinals
+# Additive space-separated parsers for es / fr / de (cardinals + percents).
+_ES_VOCAB = {
+    "cero": 0, "uno": 1, "una": 1, "un": 1, "dos": 2, "tres": 3,
+    "cuatro": 4, "cinco": 5, "seis": 6, "siete": 7, "ocho": 8, "nueve": 9,
+    "diez": 10, "once": 11, "doce": 12, "trece": 13, "catorce": 14,
+    "quince": 15, "dieciséis": 16, "dieciseis": 16, "diecisiete": 17,
+    "dieciocho": 18, "diecinueve": 19, "veinte": 20, "veintiuno": 21,
+    "veintidós": 22, "veintidos": 22, "veintitrés": 23, "veintitres": 23,
+    "treinta": 30, "cuarenta": 40, "cincuenta": 50, "sesenta": 60,
+    "setenta": 70, "ochenta": 80, "noventa": 90, "cien": 100,
+    "ciento": 100, "doscientos": 200, "trescientos": 300,
+    "cuatrocientos": 400, "quinientos": 500, "seiscientos": 600,
+    "setecientos": 700, "ochocientos": 800, "novecientos": 900,
+}
+_ES_SCALE = {"mil": 1000, "millón": 10**6, "millon": 10**6,
+             "millones": 10**6}
+
+_FR_VOCAB = {
+    "zéro": 0, "zero": 0, "un": 1, "une": 1, "deux": 2, "trois": 3,
+    "quatre": 4, "cinq": 5, "six": 6, "sept": 7, "huit": 8, "neuf": 9,
+    "dix": 10, "onze": 11, "douze": 12, "treize": 13, "quatorze": 14,
+    "quinze": 15, "seize": 16, "vingt": 20, "trente": 30, "quarante": 40,
+    "cinquante": 50, "soixante": 60, "cent": 100, "cents": 100,
+}
+_FR_SCALE = {"mille": 1000, "million": 10**6, "millions": 10**6}
+
+_DE_ATOMS = {
+    "null": 0, "ein": 1, "eins": 1, "eine": 1, "zwei": 2, "drei": 3,
+    "vier": 4, "fünf": 5, "fuenf": 5, "sechs": 6, "sieben": 7, "acht": 8,
+    "neun": 9, "zehn": 10, "elf": 11, "zwölf": 12, "zwoelf": 12,
+    "dreizehn": 13, "vierzehn": 14, "fünfzehn": 15, "sechzehn": 16,
+    "siebzehn": 17, "achtzehn": 18, "neunzehn": 19, "zwanzig": 20,
+    "dreißig": 30, "dreissig": 30, "vierzig": 40, "fünfzig": 50,
+    "fuenfzig": 50, "sechzig": 60, "siebzig": 70, "achtzig": 80,
+    "neunzig": 90, "hundert": 100, "tausend": 1000, "und": -1,
+}
+
+
+def _western_span_to_int(words, vocab, scale) -> int:
+    total, cur = 0, 0
+    for w in words:
+        if w in vocab:
+            v = vocab[w]
+            if v == 100 and cur:
+                cur *= 100
+            elif v == 100:
+                cur = 100
+            else:
+                cur += v
+        elif w in scale:
+            total += max(cur, 1) * scale[w]
+            cur = 0
+    return total + cur
+
+
+def _make_western_itn(vocab, scale, pct_words, connectors=()):
+    connectors = set(connectors)
+    keys = set(vocab) | set(scale) | connectors
+
+    def run(text: str) -> str:
+        tokens = text.split(" ")
+        out: List[str] = []
+        i = 0
+        while i < len(tokens):
+            j = i
+            span: List[str] = []
+            while j < len(tokens) and tokens[j].lower() in keys:
+                span.append(tokens[j].lower())
+                j += 1
+            while span and span[0] in connectors:
+                span.pop(0)
+                i += 1
+            while span and span[-1] in connectors:
+                span.pop()
+                j -= 1
+            meaningful = [w for w in span if w not in connectors]
+            if len(meaningful) >= 2 or (
+                    len(meaningful) == 1
+                    and (vocab.get(meaningful[0], 0) >= 20
+                         or meaningful[0] in scale)):
+                val = _western_span_to_int(
+                    [w for w in span if w not in connectors],
+                    vocab, scale)
+                suffix = ""
+                if j < len(tokens) and tokens[j].lower() in pct_words:
+                    suffix = "%"
+                    j += 1
+                out.append(str(val) + suffix)
+                i = j
+            else:
+                out.append(tokens[i])
+                i += 1
+        return " ".join(out)
+
+    return run
+
+
+_itn_es = _make_western_itn(_ES_VOCAB, _ES_SCALE,
+                            {"porciento", "por", "percent"},
+                            connectors={"y"})
+_itn_fr = _make_western_itn(_FR_VOCAB, _FR_SCALE, {"pourcent"},
+                            connectors={"et"})
+
+
+def _de_compound_to_int(word: str):
+    """Greedy segmentation of a German compound numeral, evaluated with
+    the 'einundzwanzig' (ones-before-tens) rule."""
+    w = word.lower()
+    parts: List[int] = []
+    while w:
+        for k in sorted(_DE_ATOMS, key=len, reverse=True):
+            if w.startswith(k):
+                parts.append(_DE_ATOMS[k])
+                w = w[len(k):]
+                break
+        else:
+            return None
+    parts = [p for p in parts if p >= 0]  # drop 'und'
+    total, cur, pending_ones = 0, 0, 0
+    for v in parts:
+        if v == 100 or v == 1000:
+            cur = (cur + pending_ones) or 1
+            if v == 1000:
+                total += cur * 1000
+                cur = 0
+            else:
+                cur *= 100
+            pending_ones = 0
+        elif v < 10:
+            pending_ones += v
+        else:
+            cur += v + pending_ones
+            pending_ones = 0
+    return total + cur + pending_ones
+
+
+def _itn_de(text: str) -> str:
+    def repl(m):
+        v = _de_compound_to_int(m.group(0))
+        return str(v) if v is not None and len(m.group(0)) > 4 else m.group(0)
+
+    return re.sub(r"[A-Za-zäöüß]+", repl, text)
+
+
 def inverse_normalize(text: str, lang: str = "zh") -> str:
-    """Spoken-form -> written-form for numbers/decimals/percents."""
+    """Spoken-form -> written-form for numbers/decimals/percents.
+
+    Language coverage (reference fun_text_processing supports zh en ja ko
+    de es fr id pt ru tl vi): zh/en are the deepest; ja/ko share the CJK
+    positional grammar; es/fr/de cover cardinals + percents.  Unknown
+    languages pass through unchanged.
+    """
+    lang = lang.lower()
     if lang.startswith("zh"):
         return _itn_zh(text)
     if lang.startswith("en"):
         return _itn_en(text)
+    if lang.startswith("ja"):
+        return _itn_ja(text)
+    if lang.startswith("ko"):
+        return _itn_ko(text)
+    if lang.startswith("es"):
+        return _itn_es(text)
+    if lang.startswith("fr"):
+        return _itn_fr(text)
+    if lang.startswith("de"):
+        return _itn_de(text)
     return text

@@ -58,3 +58,39 @@ def test_monotonic_aligner(rng):
     # forced alignment: exactly token_num fires (up to the eps boundary)
     counts = np.asarray(us_peaks).sum(-1)
     np.testing.assert_array_equal(counts, [6, 4])
+
+
+# ------------------------------------------------- multi-language ITN
+from funasr_tpu.text.itn import inverse_normalize as _inv
+
+
+def test_itn_japanese():
+    assert _inv("三千五百二十一", "ja") == "3521"
+    assert _inv("一億二千万", "ja") == "120000000"
+
+
+def test_itn_korean():
+    assert _inv("삼천오백이십일", "ko") == "3521"
+    assert _inv("오십 퍼센트", "ko") == "50%"
+
+
+def test_itn_spanish():
+    assert _inv("tengo treinta y cinco años", "es") == "tengo 35 años"
+    assert _inv("dos mil veintitrés", "es") == "2023"
+
+
+def test_itn_french():
+    assert _inv("il y a vingt cinq chats", "fr") == "il y a 25 chats"
+    assert _inv("deux mille vingt trois", "fr") == "2023"
+
+
+def test_itn_german():
+    assert _inv("einundzwanzig", "de") == "21"
+    assert _inv("dreihundertfünfundzwanzig", "de") == "325"
+    assert _inv("zweitausenddreiundzwanzig", "de") == "2023"
+    # ordinary words untouched
+    assert _inv("hallo welt", "de") == "hallo welt"
+
+
+def test_itn_unknown_language_passthrough():
+    assert _inv("xin chào", "vi") == "xin chào"
