@@ -31,4 +31,6 @@ import funasr_tpu.models.mossformer  # noqa: F401
 import funasr_tpu.models.rwkv  # noqa: F401
 import funasr_tpu.models.e_paraformer  # noqa: F401
 import funasr_tpu.models.qwen_audio  # noqa: F401
+import funasr_tpu.models.sa_asr  # noqa: F401
+import funasr_tpu.models.sond  # noqa: F401
 import funasr_tpu.ops.normalize  # noqa: F401

@@ -1,0 +1,3 @@
+import funasr_tpu.models.sa_asr.model  # noqa: F401
+
+from funasr_tpu.models.sa_asr.model import SAASR  # noqa: F401
