@@ -33,4 +33,6 @@ import funasr_tpu.models.e_paraformer  # noqa: F401
 import funasr_tpu.models.qwen_audio  # noqa: F401
 import funasr_tpu.models.sa_asr  # noqa: F401
 import funasr_tpu.models.sond  # noqa: F401
+import funasr_tpu.models.mfcca  # noqa: F401
+import funasr_tpu.models.lcbnet  # noqa: F401
 import funasr_tpu.ops.normalize  # noqa: F401
