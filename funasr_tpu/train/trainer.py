@@ -39,6 +39,7 @@ class Trainer:
         log_interval: int = 50,
         metric: str = "acc",
         seed: int = 0,
+        metrics_logger=None,  # funasr_tpu.utils.observability.MetricsLogger
     ):
         self.train_step = train_step
         self.eval_step = eval_step
@@ -49,6 +50,7 @@ class Trainer:
         self.log_interval = log_interval
         self.metric = metric
         self.seed = seed
+        self.metrics_logger = metrics_logger
         self.start_epoch = 0
         self.start_step = 0
 
@@ -76,25 +78,36 @@ class Trainer:
         build_iter: Callable[[int, int], Iterable[Dict[str, Any]]],
         valid_iter: Optional[Callable[[], Iterable[Dict[str, Any]]]] = None,
     ) -> TrainState:
+        from funasr_tpu.utils.observability import SpeedStats
+
         rng = jax.random.PRNGKey(self.seed)
+        speed = SpeedStats()
         for epoch in range(self.start_epoch, self.max_epoch):
             step_in_epoch = self.start_step if epoch == self.start_epoch else 0
             t_last = time.time()
             for batch in build_iter(epoch, step_in_epoch):
+                speed.data_tick()
                 rng, step_rng = jax.random.split(rng)
                 state, stats = self.train_step(state, batch, step_rng)
+                speed.step_tick()
                 step_in_epoch += 1
                 gstep = int(state.step)
                 if gstep % self.log_interval == 0:
                     stats = {k: float(v) for k, v in stats.items()}
                     dt = (time.time() - t_last) / self.log_interval
                     t_last = time.time()
+                    stats.update(speed.flush())
                     log.info(
-                        "epoch %d step %d loss %.4f acc %.4f gnorm %.2f %.3fs/step",
+                        "epoch %d step %d loss %.4f acc %.4f gnorm %.2f %.3fs/step"
+                        " (data %.3fs step %.3fs)",
                         epoch, gstep, stats.get("loss", float("nan")),
                         stats.get("acc", float("nan")),
                         stats.get("grad_norm", float("nan")), dt,
+                        stats.get("data_load_s", 0.0),
+                        stats.get("step_s", 0.0),
                     )
+                    if self.metrics_logger is not None:
+                        self.metrics_logger.log(gstep, stats)
                 if (
                     self.ckpt is not None
                     and gstep % self.save_checkpoint_interval == 0
@@ -129,4 +142,6 @@ class Trainer:
             return None
         avg = {k: v / n for k, v in totals.items()}
         log.info("validation: %s", avg)
+        if self.metrics_logger is not None:
+            self.metrics_logger.log(int(state.step), avg, prefix="valid")
         return avg.get(self.metric)
