@@ -164,6 +164,47 @@ class AutoModel:
                     method=module.greedy_decode,
                 )
             return SenseVoiceEngine(module, params, frontend, tokenizer)
+        if name in ("Conformer", "Transformer", "Branchformer",
+                    "EBranchformer"):
+            from funasr_tpu.auto.engines import HybridEngine
+
+            module = cls(
+                decoder_conf=cfg.get("decoder_conf"),
+                **common, **(cfg.get("model_conf") or {}),
+            )
+            params = _load_params(cfg)
+            if params is None:
+                T = 32
+                params = module.init(
+                    {"params": self.rng, "dropout": self.rng},
+                    jnp.zeros((1, T, input_size)), jnp.array([T]),
+                    jnp.zeros((1, 4), jnp.int32), jnp.array([4]),
+                    deterministic=True,
+                )
+            dec_cfg = cfg.get("decoding_conf") or {}
+            return HybridEngine(module, params, frontend, tokenizer,
+                                beam=dec_cfg.get("beam_size", 10),
+                                maxlen=dec_cfg.get("maxlenratio_tokens", 96),
+                                decoding_ctc_weight=dec_cfg.get(
+                                    "decoding_ctc_weight", 0.3))
+        if name in ("Transducer", "BAT", "RWKVBAT"):
+            from funasr_tpu.auto.engines import TransducerEngine
+
+            module = cls(
+                decoder_conf=cfg.get("decoder_conf"),
+                joint_conf=cfg.get("joint_conf"),
+                **common, **(cfg.get("model_conf") or {}),
+            )
+            params = _load_params(cfg)
+            if params is None:
+                T = 32
+                params = module.init(
+                    {"params": self.rng, "dropout": self.rng},
+                    jnp.zeros((1, T, input_size)), jnp.array([T]),
+                    jnp.zeros((1, 4), jnp.int32), jnp.array([4]),
+                    deterministic=True,
+                )
+            return TransducerEngine(module, params, frontend, tokenizer)
         raise KeyError(f"no engine for model class {name!r}")
 
     def _build_vad(self, cfg: Dict):

@@ -176,6 +176,87 @@ class SenseVoiceEngine(BatchedAsrEngine):
         return results
 
 
+class HybridEngine(BatchedAsrEngine):
+    """Joint CTC/attention models (Conformer/Transformer/Branchformer...):
+    device beam decode, top-1 hypothesis detokenized."""
+
+    def __init__(self, module, params, frontend: FrontendConfig, tokenizer,
+                 beam: int = 10, maxlen: int = 96,
+                 decoding_ctc_weight: float = 0.3):
+        super().__init__(frontend, tokenizer)
+        self.module = module
+        self.params = params
+
+        @functools.partial(jax.jit, static_argnames=("beam", "maxlen"))
+        def _run(params, wav, lens, beam, maxlen):
+            feats, flens = self.frontend.device_features(wav, lens)
+            return self.module.apply(
+                params, feats, flens, beam=beam, maxlen=maxlen,
+                decoding_ctc_weight=decoding_ctc_weight,
+                method=self.module.decode_beam)
+
+        self._run = _run
+        self.beam = beam
+        self.maxlen = maxlen
+
+    def transcribe(self, wavs: Sequence[np.ndarray], **kw
+                   ) -> List[Dict[str, Any]]:
+        if not len(wavs):
+            return []
+        wav_d, lens_d = self._pack(wavs)
+        toks, tok_lens, scores = self._run(self.params, wav_d, lens_d,
+                                           self.beam, self.maxlen)
+        toks = np.asarray(toks)
+        tok_lens = np.asarray(tok_lens)
+        results = []
+        for i in range(len(wavs)):
+            ids = toks[i, 0, : int(tok_lens[i, 0])].tolist()
+            words = self.tokenizer.ids2tokens(ids)
+            text, raw = sentence_postprocess(words)
+            results.append({"text": text, "raw_tokens": raw,
+                            "score": float(np.asarray(scores)[i, 0])})
+        return results
+
+
+class TransducerEngine(BatchedAsrEngine):
+    """RNN-T / BAT greedy device decode."""
+
+    def __init__(self, module, params, frontend: FrontendConfig, tokenizer,
+                 max_tokens: int = 128, blank_id: int = 0):
+        super().__init__(frontend, tokenizer)
+        self.module = module
+        self.params = params
+        self.blank_id = blank_id
+
+        @functools.partial(jax.jit, static_argnames=("max_tokens",))
+        def _run(params, wav, lens, max_tokens):
+            feats, flens = self.frontend.device_features(wav, lens)
+            return self.module.apply(params, feats, flens,
+                                     max_tokens=max_tokens,
+                                     method=self.module.greedy_decode)
+
+        self._run = _run
+        self.max_tokens = max_tokens
+
+    def transcribe(self, wavs: Sequence[np.ndarray], **kw
+                   ) -> List[Dict[str, Any]]:
+        if not len(wavs):
+            return []
+        wav_d, lens_d = self._pack(wavs)
+        toks, tok_lens = self._run(self.params, wav_d, lens_d,
+                                   self.max_tokens)
+        toks = np.asarray(toks)
+        tok_lens = np.asarray(tok_lens)
+        results = []
+        for i in range(len(wavs)):
+            ids = [t for t in toks[i, : int(tok_lens[i])].tolist()
+                   if t != self.blank_id]
+            words = self.tokenizer.ids2tokens(ids)
+            text, raw = sentence_postprocess(words)
+            results.append({"text": text, "raw_tokens": raw})
+        return results
+
+
 class VadEngine:
     def __init__(self, model, frontend: FrontendConfig):
         self.model = model  # FsmnVADStreaming wrapper

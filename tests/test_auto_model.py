@@ -122,3 +122,40 @@ def test_generate_from_wav_file(tmp_path, rng):
     am = AutoModel(model=ASR_CFG)
     res = am.generate(str(p))
     assert res[0]["key"] == "x"
+
+
+def test_generate_conformer_hybrid(rng):
+    cfg = dict(
+        model="Conformer",
+        vocab_size=len(VOCAB),
+        tokenizer_conf={"token_list": VOCAB},
+        frontend_conf=dict(n_mels=20, lfr_m=1, lfr_n=1),
+        input_size=20,
+        encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                          num_blocks=2, cnn_module_kernel=7,
+                          dropout_rate=0.0),
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=1,
+                          dropout_rate=0.0),
+        decoding_conf=dict(beam_size=3, maxlenratio_tokens=8),
+    )
+    am = AutoModel(model=cfg)
+    res = am.generate([_wav(rng, 1.0)])
+    assert len(res) == 1 and "text" in res[0] and "score" in res[0]
+
+
+def test_generate_transducer(rng):
+    cfg = dict(
+        model="Transducer",
+        vocab_size=len(VOCAB),
+        tokenizer_conf={"token_list": VOCAB},
+        frontend_conf=dict(n_mels=20, lfr_m=1, lfr_n=1),
+        input_size=20,
+        encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                          num_blocks=1, cnn_module_kernel=7,
+                          dropout_rate=0.0),
+        decoder_conf=dict(hidden_size=16, num_layers=1),
+        joint_conf=dict(joint_size=16),
+    )
+    am = AutoModel(model=cfg)
+    res = am.generate([_wav(rng, 1.0)])
+    assert len(res) == 1 and "text" in res[0]
