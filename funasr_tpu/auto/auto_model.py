@@ -205,6 +205,17 @@ class AutoModel:
                     deterministic=True,
                 )
             return TransducerEngine(module, params, frontend, tokenizer)
+        if name in ("Whisper", "WhisperWrap", "WhisperLID"):
+            from funasr_tpu.auto.engines import WhisperEngine
+
+            module = cls(size=cfg.get("size", "tiny"),
+                         model_path=cfg.get("model_path_hf"),
+                         config_overrides=cfg.get("config_overrides", {}))
+            tok = None
+            if cfg.get("tokenizer") or cfg.get("tokenizer_conf"):
+                tok = _build_tokenizer(cfg)
+            return WhisperEngine(module, tok,
+                                 max_tokens=cfg.get("max_tokens", 64))
         raise KeyError(f"no engine for model class {name!r}")
 
     def _build_vad(self, cfg: Dict):

@@ -257,6 +257,41 @@ class TransducerEngine(BatchedAsrEngine):
         return results
 
 
+class WhisperEngine:
+    """Whisper-family models from raw audio: whisper log-mel frontend +
+    greedy decode; tokenizer optional (ids returned when absent)."""
+
+    def __init__(self, model, tokenizer=None, max_tokens: int = 64,
+                 forced_tokens=None):
+        from funasr_tpu.frontends.whisper_frontend import WhisperFrontend
+
+        self.model = model  # WhisperWrap / WhisperLID
+        self.tokenizer = tokenizer
+        self.max_tokens = max_tokens
+        self.forced_tokens = list(forced_tokens or [])
+        n_mels = getattr(model.config, "num_mel_bins", 80)
+        self.frontend = WhisperFrontend(n_mels=n_mels)
+
+    def transcribe(self, wavs: Sequence[np.ndarray], **kw
+                   ) -> List[Dict[str, Any]]:
+        if not len(wavs):
+            return []
+        feats = jnp.concatenate([self.frontend(w) for w in wavs], axis=0)
+        toks = np.asarray(self.model.greedy_decode(
+            feats, max_tokens=self.max_tokens,
+            forced_tokens=self.forced_tokens))
+        eos = self.model.config.eos_token_id
+        results = []
+        for i in range(len(wavs)):
+            ids = toks[i].tolist()
+            if eos in ids:
+                ids = ids[: ids.index(eos)]
+            text = (self.tokenizer.decode(ids)
+                    if self.tokenizer is not None else "")
+            results.append({"text": text, "raw_tokens": ids})
+        return results
+
+
 class VadEngine:
     def __init__(self, model, frontend: FrontendConfig):
         self.model = model  # FsmnVADStreaming wrapper

@@ -23,3 +23,21 @@ def test_whisper_tiny_graph(rng):
     toks = w.greedy_decode(feats, max_tokens=4)
     assert toks.shape == (1, 4)
     assert np.asarray(toks).max() < 100
+
+
+@pytest.mark.slow
+def test_whisper_engine_via_automodel(rng):
+    from funasr_tpu.auto.auto_model import AutoModel
+
+    cfg = dict(
+        model="Whisper", size="tiny", max_tokens=4,
+        config_overrides=dict(max_source_positions=1500,
+                              max_target_positions=32, vocab_size=100,
+                              decoder_start_token_id=50, eos_token_id=51,
+                              encoder_ffn_dim=128, decoder_ffn_dim=128),
+    )
+    am = AutoModel(model=cfg)
+    wav = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    res = am.generate([wav], key=["w"])
+    assert len(res) == 1
+    assert "raw_tokens" in res[0] and len(res[0]["raw_tokens"]) <= 4
