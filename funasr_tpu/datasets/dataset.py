@@ -83,3 +83,64 @@ class AudioDataset:
             batch["text"] = text
             batch["text_lengths"] = text_lengths
         return batch
+
+
+@tables.register("dataset_classes", "AudioDatasetHotword")
+class AudioDatasetHotword(AudioDataset):
+    """Hotword-training dataset (reference datasets.py:122
+    ``AudioDatasetHotword``): each item additionally samples a random
+    span of the target as the hotword, or the no-bias marker.
+
+    Collation pads hotwords into an (H, Lh) grid whose last row is the
+    all-blank no-bias entry, plus per-token seaco labels (hotword tokens
+    where covered, ``no_bias_id`` elsewhere) for SeACo training.
+    """
+
+    def __init__(self, *args, hotword_min_length: int = 2,
+                 hotword_max_length: int = 8, sample_rate: float = 0.75,
+                 no_bias_id: int = 0, seed: int = 0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.hw_min = hotword_min_length
+        self.hw_max = hotword_max_length
+        self.sample_rate = sample_rate
+        self.no_bias_id = no_bias_id
+        self.rng = np.random.default_rng(seed)
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        item = super().__getitem__(i)
+        ids = item.get("text")
+        if ids is not None and len(ids) >= self.hw_min \
+                and self.rng.random() < self.sample_rate:
+            L = int(self.rng.integers(
+                self.hw_min, min(self.hw_max, len(ids)) + 1))
+            start = int(self.rng.integers(0, len(ids) - L + 1))
+            item["hotword"] = ids[start: start + L]
+            item["hotword_span"] = (start, start + L)
+        return item
+
+    def collate(self, items, pad_speech_len=None, pad_text_len=None,
+                ignore_id: int = -1):
+        batch = super().collate(items, pad_speech_len, pad_text_len,
+                                ignore_id)
+        hotwords = [it["hotword"] for it in items if "hotword" in it]
+        H = len(hotwords) + 1  # + no-bias row
+        Lh = max([len(h) for h in hotwords], default=1)
+        hw = np.zeros((H, Lh), np.int32)
+        hw_lens = np.ones((H,), np.int32)
+        for r, h in enumerate(hotwords):
+            hw[r, : len(h)] = h
+            hw_lens[r] = len(h)
+        batch["hotword_pad"] = hw
+        batch["hotword_lengths"] = hw_lens
+        # seaco labels over text grid (+1 col for the appended eos)
+        if "text" in batch:
+            U = batch["text"].shape[1]
+            labels = np.full((len(items), U), self.no_bias_id, np.int32)
+            labels[batch["text"] == ignore_id] = ignore_id
+            for b, it in enumerate(items):
+                if "hotword_span" in it:
+                    s, e = it["hotword_span"]
+                    e = min(e, U)
+                    labels[b, s:e] = batch["text"][b, s:e]
+            batch["seaco_label_pad"] = labels
+        return batch

@@ -138,3 +138,39 @@ def test_specaug_lfr_masks():
     # freq mask replicates across stacked copies: zero columns come in groups
     zero_cols = np.nonzero((y[0] == 0).all(axis=0))[0]
     assert len(zero_cols) >= 2 * 5  # at least width x >=2 visible copies
+
+
+def test_hotword_dataset(tmp_path, rng):
+    import json
+    import wave as wavmod
+
+    from funasr_tpu.datasets.dataset import AudioDatasetHotword
+    from funasr_tpu.datasets.index_ds import IndexDSJsonl
+    from funasr_tpu.tokenizer.char_tokenizer import CharTokenizer
+
+    wav_path = tmp_path / "a.wav"
+    with wavmod.open(str(wav_path), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes((rng.standard_normal(1600) * 1000).astype("<i2").tobytes())
+    recs = [{"key": f"u{i}", "source": str(wav_path),
+             "target": "我 们 今 天 去 公 园", "source_len": 1600,
+             "target_len": 7} for i in range(4)]
+    p = tmp_path / "d.jsonl"
+    p.write_text("\n".join(json.dumps(r, ensure_ascii=False) for r in recs))
+    tok = CharTokenizer(token_list=["<blank>", "<s>", "</s>"]
+                        + list("我们今天去公园"))
+    ds = AudioDatasetHotword(IndexDSJsonl(str(p)), tokenizer=tok,
+                             sample_rate=1.0, hotword_min_length=2,
+                             hotword_max_length=3, seed=0)
+    items = [ds[i] for i in range(len(ds))]
+    assert any("hotword" in it for it in items)
+    batch = ds.collate(items)
+    assert "hotword_pad" in batch and "seaco_label_pad" in batch
+    H, Lh = batch["hotword_pad"].shape
+    assert H == sum("hotword" in it for it in items) + 1
+    assert (batch["hotword_lengths"] >= 1).all()
+    # labels: hotword spans carry token ids, elsewhere no_bias_id 0
+    lab = batch["seaco_label_pad"]
+    assert lab.shape == batch["text"].shape
+    covered = (lab > 0).sum()
+    assert covered > 0
