@@ -5,8 +5,9 @@ and mask_along_axis.py) as pure JAX functions with explicit PRNG keys.
 the reduced band ``D = F // lfr_rate`` and replicated at offsets ``i*D`` so
 the same mel band is masked in every stacked frame copy
 (mask_along_axis.py:68 ``mask_along_axis_lfr`` — including its integer-
-division band size).  Time warping is not applied (template.yaml:
-apply_time_warp false) and is unimplemented.
+division band size).  ``time_warp`` implements the sparse-image-warp
+semantics (specaug.py TimeWarp) as a piecewise-linear time resample with
+gather + lerp — static shapes, vmapped over the batch.
 """
 
 from __future__ import annotations
@@ -52,11 +53,50 @@ def _mask_along_axis(
     return jnp.where(mask, 0.0, spec)
 
 
+def time_warp(
+    rng: jax.Array,
+    spec: jnp.ndarray,  # (B, T, F)
+    spec_lengths: jnp.ndarray,
+    window: int = 5,
+) -> jnp.ndarray:
+    """SpecAugment time warp: pick a pivot frame c in [W, L-W) and shift it
+    by d ~ U(-W+1, W-1); both sides stretch linearly (the 1-D equivalent of
+    the reference's sparse_image_warp along time).  Frames beyond the valid
+    length are untouched."""
+    B, T, F = spec.shape
+
+    def warp_one(x, L, key):
+        kc, kd = jax.random.split(key)
+        L = jnp.maximum(L, 2 * window + 2)
+        # dynamic upper bound: sample u in [0,1) and scale to [W, L-W)
+        u = jax.random.uniform(kc, ())
+        c = (window + u * (L - 2 * window)).astype(jnp.int32)
+        d = jax.random.randint(kd, (), -window + 1, window)
+        p = c + d  # new pivot position
+        t = jnp.arange(T, dtype=jnp.float32)
+        Lf = L.astype(jnp.float32)
+        cf, pf = c.astype(jnp.float32), p.astype(jnp.float32)
+        src_left = t * cf / jnp.maximum(pf, 1.0)
+        src_right = cf + (t - pf) * (Lf - cf) / jnp.maximum(Lf - pf, 1.0)
+        src_w = jnp.clip(jnp.where(t < pf, src_left, src_right),
+                         0.0, Lf - 1.0)
+        src = jnp.where(t < Lf, src_w, t)  # padding untouched
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, T - 1)
+        frac = (src - lo.astype(jnp.float32))[:, None]
+        return x[lo] * (1.0 - frac) + x[hi] * frac
+
+    keys = jax.random.split(rng, B)
+    return jax.vmap(warp_one)(spec, spec_lengths.astype(jnp.int32), keys)
+
+
 def spec_aug_lfr(
     rng: jax.Array,
     spec: jnp.ndarray,  # (B, T, F) LFR features
     spec_lengths: jnp.ndarray,
     *,
+    apply_time_warp: bool = False,
+    time_warp_window: int = 5,
     apply_freq_mask: bool = True,
     freq_mask_width_range: Sequence[int] = (0, 30),
     num_freq_mask: int = 1,
@@ -66,7 +106,9 @@ def spec_aug_lfr(
     num_time_mask: int = 1,
     **unused,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    kf, kt = jax.random.split(rng)
+    kf, kt, kw = jax.random.split(rng, 3)
+    if apply_time_warp:
+        spec = time_warp(kw, spec, spec_lengths, time_warp_window)
     if apply_freq_mask:
         spec = _mask_along_axis(
             kf, spec, 2, tuple(freq_mask_width_range), num_freq_mask, lfr_rate

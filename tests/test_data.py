@@ -174,3 +174,40 @@ def test_hotword_dataset(tmp_path, rng):
     assert lab.shape == batch["text"].shape
     covered = (lab > 0).sum()
     assert covered > 0
+
+
+def test_specaug_time_warp():
+    import jax
+    import jax.numpy as jnp
+    from funasr_tpu.ops.specaug import time_warp
+
+    B, T, F = 2, 60, 8
+    # a ramp along time: warping must keep it monotone and preserve range
+    x = jnp.broadcast_to(jnp.arange(T, dtype=jnp.float32)[None, :, None],
+                         (B, T, F))
+    lens = jnp.array([60, 40], jnp.int32)
+    y = jax.jit(lambda k, x, l: time_warp(k, x, l, window=5))(
+        jax.random.PRNGKey(3), x, lens)
+    y = np.asarray(y)
+    assert y.shape == (B, T, F)
+    # still monotone non-decreasing in time within the valid region
+    assert (np.diff(y[0, :60, 0]) >= -1e-4).all()
+    assert (np.diff(y[1, :40, 0]) >= -1e-4).all()
+    # warped: some interior frame moved
+    assert np.abs(y[0, :60, 0] - np.arange(60)).max() > 0.5
+    # padding region untouched for the short sample
+    np.testing.assert_allclose(y[1, 40:, 0], np.arange(40, 60), atol=1e-4)
+    # endpoints fixed
+    assert abs(float(y[0, 0, 0])) < 1e-4
+
+
+def test_specaug_lfr_with_warp_runs():
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((2, 50, 24))
+    y, lens = spec_aug_lfr(jax.random.PRNGKey(0), x, jnp.array([50, 40]),
+                           apply_time_warp=True, lfr_rate=3,
+                           freq_mask_width_range=(0, 4),
+                           time_mask_width_range=(0, 5))
+    assert y.shape == x.shape
