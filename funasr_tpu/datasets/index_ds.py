@@ -26,7 +26,8 @@ class IndexDSJsonl:
                     if not line:
                         continue
                     rec = json.loads(line)
-                    self.contents.append(
+                    norm = dict(rec)  # keep extra fields (messages, ...)
+                    norm.update(
                         {
                             "key": rec.get("key", str(len(self.contents))),
                             "source": rec["source"],
@@ -35,6 +36,7 @@ class IndexDSJsonl:
                             "target_len": int(rec.get("target_len", 0)),
                         }
                     )
+                    self.contents.append(norm)
 
     def __len__(self):
         return len(self.contents)

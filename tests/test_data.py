@@ -211,3 +211,44 @@ def test_specaug_lfr_with_warp_runs():
                            freq_mask_width_range=(0, 4),
                            time_mask_width_range=(0, 5))
     assert y.shape == x.shape
+
+
+def test_llm_chat_dataset(tmp_path, rng):
+    import json
+    import wave as wavmod
+
+    from funasr_tpu.datasets.llm_dataset import (
+        LLMDataset,
+        assistant_reply,
+        render_prompt,
+    )
+    from funasr_tpu.datasets.index_ds import IndexDSJsonl
+    from funasr_tpu.tokenizer.char_tokenizer import CharTokenizer
+
+    msgs = [{"role": "user", "content": "<audio>转写"},
+            {"role": "assistant", "content": "你好"}]
+    p = render_prompt(msgs, "qwen")
+    assert "<|im_start|>user" in p and p.endswith("<|im_start|>assistant\n")
+    assert "<audio>" not in p
+    assert assistant_reply(msgs) == "你好"
+
+    wav_path = tmp_path / "a.wav"
+    with wavmod.open(str(wav_path), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes((rng.standard_normal(800) * 1000).astype("<i2").tobytes())
+    recs = [
+        {"key": "u0", "source": str(wav_path), "source_len": 800,
+         "messages": msgs, "target_len": 2},
+        {"key": "u1", "source": str(wav_path), "source_len": 800,
+         "target": "好", "target_len": 1},  # plain fallback
+    ]
+    jp = tmp_path / "chat.jsonl"
+    jp.write_text("\n".join(json.dumps(r, ensure_ascii=False) for r in recs))
+    tok = CharTokenizer(token_list=["<unk>"] + list("你好转写这段音频user"))
+    ds = LLMDataset(IndexDSJsonl(str(jp)), tokenizer=tok, template="qwen")
+    items = [ds[i] for i in range(2)]
+    assert items[0]["text_length"] == 2  # 你好
+    assert items[1]["text_length"] == 1
+    batch = ds.collate(items)
+    assert "prompt" in batch and batch["prompt"].shape[0] == 2
+    assert (batch["prompt_lengths"] > 0).all()
