@@ -67,3 +67,41 @@ def test_offline_ws_roundtrip(rng):
     assert reply["wav_name"] == "t1"
     assert reply["is_final"] is True
     assert "text" in reply
+
+
+@pytest.mark.slow
+def test_client_sdk_offline(rng):
+    """AsrWsClient against a live server in a background thread."""
+    import threading
+    import websockets
+
+    from funasr_tpu.runtime.client import AsrWsClient
+
+    am = AutoModel(model=ASR_CFG)
+    server = AsrWebSocketServer(am, host="127.0.0.1", port=19096)
+    loop = asyncio.new_event_loop()
+    stop = asyncio.Event()
+
+    async def run_server():
+        async with websockets.serve(server.handle, server.host, server.port,
+                                    max_size=None):
+            await stop.wait()
+
+    def runner():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(run_server())
+
+    th = threading.Thread(target=runner, daemon=True)
+    th.start()
+    import time
+    time.sleep(0.5)
+    try:
+        wav = 0.3 * np.sin(2 * np.pi * 220 * np.arange(16000) / 16000)
+        pcm = (wav * 32767).astype("<i2").tobytes()
+        client = AsrWsClient("ws://127.0.0.1:19096")
+        res = client.recognize_pcm(pcm, wav_name="sdk")
+        assert res["is_final"] and res["mode"] == "offline"
+        assert "text" in res
+    finally:
+        loop.call_soon_threadsafe(stop.set)
+        th.join(timeout=5)
