@@ -11,12 +11,20 @@ Baseline: reference GPU pipeline single-stream RTF 0.0076 on an NVIDIA A10
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
+
+# Persistent compilation cache: the flagship program compiles in ~2-8 min
+# through the remote tunnel; cache hits bring reruns down to seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -120,18 +120,27 @@ class MultiHeadedAttentionSANM(nn.Module):
         mem = nn.Dropout(self.dropout_rate)(mem, deterministic=deterministic)
 
         B, T, _ = x.shape
-        q = q.reshape(B, T, self.n_head, d_k) * (d_k ** -0.5)
-        k = k.reshape(B, T, self.n_head, d_k)
-        v = v.reshape(B, T, self.n_head, d_k)
-        scores = jnp.einsum("bthd,bshd->bhts", q, k)
+        H = self.n_head
+        # merged (B*H) 3D batched matmuls: measurably fewer layout copies
+        # on TPU than the 4D "bthd,bshd->bhts" form (XLA re-lays the 4D
+        # attention matrix between the two dots and softmax)
+        q2 = (q.reshape(B, T, H, d_k).transpose(0, 2, 1, 3)
+              .reshape(B * H, T, d_k)) * (d_k ** -0.5)
+        k2 = (k.reshape(B, T, H, d_k).transpose(0, 2, 1, 3)
+              .reshape(B * H, T, d_k))
+        v2 = (v.reshape(B, T, H, d_k).transpose(0, 2, 1, 3)
+              .reshape(B * H, T, d_k))
+        scores = jnp.einsum("bid,bjd->bij", q2, k2).reshape(B, H, T, T)
         m4 = None if mask is None else mask[:, None, :, :]
         if attn_mask is not None:
             am4 = attn_mask[:, None, :, :].astype(jnp.float32)
             m4 = am4 if m4 is None else m4 * am4
         attn = masked_softmax(scores, m4)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
-        ctx = ctx.reshape(B, T, self.n_feat)
+        ctx = jnp.einsum("bij,bjd->bid",
+                         attn.reshape(B * H, T, T).astype(v2.dtype), v2)
+        ctx = (ctx.reshape(B, H, T, d_k).transpose(0, 2, 1, 3)
+               .reshape(B, T, self.n_feat))
         out = nn.Dense(
             self.n_feat, name="linear_out",
             dtype=self.dtype, param_dtype=self.param_dtype,
