@@ -77,23 +77,31 @@ class RelPosMultiHeadAttention(nn.Module):
         pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(),
                                 (self.n_head, d_k), self.param_dtype)
 
-        q = q.reshape(B, T, self.n_head, d_k)
-        k = k.reshape(B, T, self.n_head, d_k)
-        v = v.reshape(B, T, self.n_head, d_k)
-        p = p.reshape(-1, self.n_head, d_k)  # (2T-1, H, dk)
+        H = self.n_head
+        q = q.reshape(B, T, H, d_k)
+        p = p.reshape(-1, H, d_k)  # (2T-1, H, dk)
 
         q_u = q + pos_bias_u.astype(q.dtype)
         q_v = q + pos_bias_v.astype(q.dtype)
-        ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
+        # merged (B*H) batched matmuls for the content term and the value
+        # contraction (fewer TPU layout copies than the 4D einsum form)
+        qu2 = q_u.transpose(0, 2, 1, 3).reshape(B * H, T, d_k)
+        k2 = (k.reshape(B, T, H, d_k).transpose(0, 2, 1, 3)
+              .reshape(B * H, T, d_k))
+        v2 = (v.reshape(B, T, H, d_k).transpose(0, 2, 1, 3)
+              .reshape(B * H, T, d_k))
+        ac = jnp.einsum("bid,bjd->bij", qu2, k2).reshape(B, H, T, T)
         bd = jnp.einsum("bthd,lhd->bhtl", q_v, p)
         bd = rel_shift(bd)
         scores = (ac + bd) * (d_k ** -0.5)
         attn = masked_softmax(scores, None if mask is None else mask[:, None, :, :])
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        ctx = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
+        ctx = jnp.einsum("bij,bjd->bid",
+                         attn.reshape(B * H, T, T).astype(v2.dtype), v2)
+        ctx = (ctx.reshape(B, H, T, d_k).transpose(0, 2, 1, 3)
+               .reshape(B, T, self.n_feat))
         return nn.Dense(self.n_feat, name="linear_out", dtype=self.dtype,
-                        param_dtype=self.param_dtype)(
-            ctx.reshape(B, T, self.n_feat))
+                        param_dtype=self.param_dtype)(ctx)
 
 
 class ConvolutionModule(nn.Module):
