@@ -80,6 +80,9 @@ class StreamingFrontend:
                 # offline tail semantics: T_lfr windows, replicate last frame
                 right = (self.lfr_m - 1) // 2
                 T_lfr = max(0, int(np.ceil((T - right) / self.lfr_n)))
+                if T_lfr == 0:
+                    return (np.zeros((0, self.n_mels * self.lfr_m),
+                                     np.float32), state)
                 idx = (np.arange(T_lfr)[:, None] * self.lfr_n
                        + np.arange(self.lfr_m)[None, :])
                 idx = np.minimum(idx, T - 1)

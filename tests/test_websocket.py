@@ -105,3 +105,78 @@ def test_client_sdk_offline(rng):
     finally:
         loop.call_soon_threadsafe(stop.set)
         th.join(timeout=5)
+
+
+@pytest.mark.slow
+def test_2pass_ws_roundtrip(rng):
+    """2pass mode: online partials from the streaming model + offline final."""
+    import websockets
+
+    import jax
+    import jax.numpy as jnp
+    from funasr_tpu.frontends.streaming import StreamingFrontend
+    from funasr_tpu.models.paraformer.model import Paraformer
+    from funasr_tpu.models.paraformer_streaming.model import (
+        ParaformerStreaming,
+    )
+
+    TINY = dict(
+        vocab_size=len(VOCAB), input_size=24,
+        encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                          num_blocks=3, kernel_size=5, dropout_rate=0.0),
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=2,
+                          att_layer_num=2, kernel_size=5, dropout_rate=0.0),
+        predictor_conf=dict(idim=16, tail_threshold=0.45, dropout=0.0),
+    )
+    model = Paraformer(**TINY)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key}, jax.random.normal(key, (1, 30, 24)),
+                        jnp.array([30]), max_tokens=16,
+                        method=model.greedy_decode)
+    fe = StreamingFrontend(n_mels=8, lfr_m=3, lfr_n=2)
+    streaming = ParaformerStreaming(
+        params, input_size=24, d_model=16, n_head=2, enc_kernel=5,
+        dec_kernel=5, n_enc_layers=3, n_dec_layers=2, chunk_size=(0, 6, 3),
+        encoder_chunk_look_back=2, frontend=fe)
+
+    am = AutoModel(model=ASR_CFG)
+    server = AsrWebSocketServer(am, streaming_model=streaming,
+                                host="127.0.0.1", port=19097)
+
+    async def scenario():
+        stop = asyncio.Event()
+
+        async def run_server():
+            async with websockets.serve(server.handle, server.host,
+                                        server.port, max_size=None):
+                await stop.wait()
+
+        task = asyncio.create_task(run_server())
+        await asyncio.sleep(0.3)
+        wav = 0.3 * np.sin(2 * np.pi * 220 * np.arange(16000) / 16000)
+        pcm = (wav * 32767).astype("<i2").tobytes()
+        msgs = []
+        async with websockets.connect("ws://127.0.0.1:19097") as ws:
+            await ws.send(json.dumps({
+                "mode": "2pass", "wav_name": "tp", "is_speaking": True,
+                "wav_format": "pcm", "audio_fs": 16000,
+                "chunk_size": [5, 10, 5],
+            }))
+            step = 16000 * 600 // 1000 * 2  # 600 ms chunks
+            for i in range(0, len(pcm), step):
+                await ws.send(pcm[i: i + step])
+            await ws.send(json.dumps({"is_speaking": False}))
+            while True:
+                msg = json.loads(await asyncio.wait_for(ws.recv(), 120))
+                msgs.append(msg)
+                if msg.get("mode") == "2pass-offline":
+                    break
+        stop.set()
+        await task
+        return msgs
+
+    msgs = asyncio.run(scenario())
+    modes = {m["mode"] for m in msgs}
+    assert "2pass-offline" in modes
+    final = [m for m in msgs if m["mode"] == "2pass-offline"][-1]
+    assert final["is_final"] and "text" in final
