@@ -85,28 +85,31 @@ def main():
     # chain K pipeline iterations inside ONE jitted program (input perturbed
     # per iteration so XLA cannot hoist the body) and take the slope
     # between K=1 and K=1+ITERS — per-call overhead cancels.
-    import functools
-
-    @functools.partial(jax.jit, static_argnames="k")
+    @jax.jit
     def bench_k(params, wav, lens, cmvn, k):
+        # k is a traced scalar -> ONE compiled program (a while loop)
+        # serves both the k=1 and k=1+iters timings; halves compile time
+        # through the remote-tunnel compiler.
         def body(i, acc):
             w = wav + i.astype(jnp.float32) * 1e-8
             tokens, tok_lens, _ = pipeline(params, w, lens, cmvn)
             return acc + jnp.sum(tokens) + jnp.sum(tok_lens)
-        return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32))
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.int32))
 
     iters = 5
+    k1 = jnp.asarray(1, jnp.int32)
+    k6 = jnp.asarray(1 + iters, jnp.int32)
     t0 = time.time()
-    _ = np.asarray(bench_k(params, wav_d, len_d, cmvn, 1))
-    _ = np.asarray(bench_k(params, wav_d, len_d, cmvn, 1 + iters))
+    _ = np.asarray(bench_k(params, wav_d, len_d, cmvn, k1))
+    _ = np.asarray(bench_k(params, wav_d, len_d, cmvn, k6))
     compile_s = time.time() - t0
 
     t1 = min(
-        _timed(lambda: np.asarray(bench_k(params, wav_d, len_d, cmvn, 1)))
+        _timed(lambda: np.asarray(bench_k(params, wav_d, len_d, cmvn, k1)))
         for _ in range(3)
     )
     t6 = min(
-        _timed(lambda: np.asarray(bench_k(params, wav_d, len_d, cmvn, 1 + iters)))
+        _timed(lambda: np.asarray(bench_k(params, wav_d, len_d, cmvn, k6)))
         for _ in range(3)
     )
     dt = max(t6 - t1, 1e-9) / iters
