@@ -166,3 +166,15 @@ class DynamicBatchSampler:
                 len(batches[r :: self.world_size]) for r in range(self.world_size)
             )
         return len(batches)
+
+
+@tables.register("batch_sampler_classes", "EspnetStyleBatchSampler")
+class EspnetStyleBatchSampler(DynamicBatchSampler):
+    """Reference espnet_samplers.py:31 surface: ``sort_size`` names the
+    global length-sort window, batch budget is in tokens."""
+
+    def __init__(self, *args, sort_size: int = 1024, batch_type: str = "token",
+                 **kwargs):
+        kwargs["buffer_size"] = sort_size
+        super().__init__(*args, batch_type="length"
+                         if batch_type == "token" else batch_type, **kwargs)

@@ -1,0 +1,150 @@
+"""Forward text normalization (TN): written -> spoken form (reference
+fun_text_processing/text_normalization — the forward direction of the
+pynini grammar package; used to prepare training transcripts and TTS-style
+inputs).
+
+Rule coverage mirrors the ITN module: cardinals, decimals, percents,
+negatives for zh and en; unknown patterns pass through.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+_ZH_DIG = "零一二三四五六七八九"
+_ZH_UNITS = ["", "十", "百", "千"]
+_ZH_BIG = ["", "万", "亿"]
+
+
+def _zh_section(n: int) -> str:
+    """0..9999 -> chinese reading (no leading 零 cleanup here)."""
+    if n == 0:
+        return ""
+    out = []
+    digits = [int(c) for c in str(n)]
+    L = len(digits)
+    zero_pending = False
+    for i, d in enumerate(digits):
+        unit = _ZH_UNITS[L - 1 - i]
+        if d == 0:
+            zero_pending = True
+            continue
+        if zero_pending and out:
+            out.append("零")
+        zero_pending = False
+        out.append(_ZH_DIG[d] + unit)
+    return "".join(out)
+
+
+def num_to_zh(n: int) -> str:
+    if n < 0:
+        return "负" + num_to_zh(-n)
+    if n == 0:
+        return "零"
+    # split into 万-base sections, most significant first
+    secs: List[int] = []
+    while n > 0:
+        secs.append(n % 10000)
+        n //= 10000
+    secs.reverse()
+    parts: List[str] = []
+    for i, sec in enumerate(secs):
+        big = _ZH_BIG[len(secs) - 1 - i]
+        if sec == 0:
+            continue
+        txt = _zh_section(sec) + big
+        # a lower section starting below its full width needs a bridging 零
+        if parts and sec < 1000:
+            txt = "零" + txt
+        parts.append(txt)
+    s = "".join(parts)
+    # 一十X -> 十X at the very front (10..19)
+    if s.startswith("一十"):
+        s = s[1:]
+    return s
+
+
+def _zh_digits(s: str) -> str:
+    return "".join(_ZH_DIG[int(c)] for c in s)
+
+
+def normalize_zh(text: str) -> str:
+    # percents: 45.5% -> 百分之四十五点五
+    def pct(m):
+        body = m.group(1)
+        if "." in body:
+            a, b = body.split(".", 1)
+            return f"百分之{num_to_zh(int(a))}点{_zh_digits(b)}"
+        return f"百分之{num_to_zh(int(body))}"
+
+    text = re.sub(r"(\d+(?:\.\d+)?)%", pct, text)
+    # decimals
+    text = re.sub(
+        r"(\d+)\.(\d+)",
+        lambda m: f"{num_to_zh(int(m.group(1)))}点{_zh_digits(m.group(2))}",
+        text)
+    # negatives
+    text = re.sub(r"-(\d+)", lambda m: f"负{num_to_zh(int(m.group(1)))}", text)
+    # very long digit strings (phone numbers etc.) read digit by digit
+    text = re.sub(r"\d{11,}", lambda m: _zh_digits(m.group(0)), text)
+    # plain cardinals
+    text = re.sub(r"\d+", lambda m: num_to_zh(int(m.group(0))), text)
+    return text
+
+
+_EN_ONES = ["zero", "one", "two", "three", "four", "five", "six", "seven",
+            "eight", "nine", "ten", "eleven", "twelve", "thirteen",
+            "fourteen", "fifteen", "sixteen", "seventeen", "eighteen",
+            "nineteen"]
+_EN_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty",
+            "seventy", "eighty", "ninety"]
+
+
+def num_to_en(n: int) -> str:
+    if n < 0:
+        return "minus " + num_to_en(-n)
+    if n < 20:
+        return _EN_ONES[n]
+    if n < 100:
+        t = _EN_TENS[n // 10]
+        return t if n % 10 == 0 else f"{t} {_EN_ONES[n % 10]}"
+    if n < 1000:
+        head = f"{_EN_ONES[n // 100]} hundred"
+        return head if n % 100 == 0 else f"{head} {num_to_en(n % 100)}"
+    for scale, name in ((10**9, "billion"), (10**6, "million"),
+                        (10**3, "thousand")):
+        if n >= scale:
+            head = f"{num_to_en(n // scale)} {name}"
+            return head if n % scale == 0 else f"{head} {num_to_en(n % scale)}"
+    return str(n)
+
+
+def normalize_en(text: str) -> str:
+    def pct(m):
+        body = m.group(1)
+        if "." in body:
+            a, b = body.split(".", 1)
+            digits = " ".join(_EN_ONES[int(c)] for c in b)
+            return f"{num_to_en(int(a))} point {digits} percent"
+        return f"{num_to_en(int(body))} percent"
+
+    text = re.sub(r"(\d+(?:\.\d+)?)%", pct, text)
+    text = re.sub(
+        r"(\d+)\.(\d+)",
+        lambda m: f"{num_to_en(int(m.group(1)))} point "
+                  + " ".join(_EN_ONES[int(c)] for c in m.group(2)),
+        text)
+    text = re.sub(r"-(\d+)", lambda m: f"minus {num_to_en(int(m.group(1)))}",
+                  text)
+    text = re.sub(r"\d+", lambda m: num_to_en(int(m.group(0))), text)
+    return text
+
+
+def normalize(text: str, lang: str = "zh") -> str:
+    lang = lang.lower()
+    if lang.startswith("zh"):
+        return normalize_zh(text)
+    if lang.startswith("en"):
+        return normalize_en(text)
+    return text

@@ -94,3 +94,31 @@ def test_itn_german():
 
 def test_itn_unknown_language_passthrough():
     assert _inv("xin chào", "vi") == "xin chào"
+
+
+# ----------------------------------------------------- forward TN (zh/en)
+from funasr_tpu.text.tn import normalize as _tn
+from funasr_tpu.text.itn import inverse_normalize as _itn_rt
+
+
+def test_tn_zh_cardinals():
+    assert _tn("3521", "zh") == "三千五百二十一"
+    assert _tn("10", "zh") == "十"
+    assert _tn("105", "zh") == "一百零五"
+    assert _tn("120000000", "zh") == "一亿二千万"
+    assert _tn("45%", "zh") == "百分之四十五"
+    assert _tn("3.14", "zh") == "三点一四"
+    assert _tn("-7", "zh") == "负七"
+
+
+def test_tn_en_cardinals():
+    assert _tn("21", "en") == "twenty one"
+    assert _tn("325", "en") == "three hundred twenty five"
+    assert _tn("2023", "en") == "two thousand twenty three"
+    assert _tn("50%", "en") == "fifty percent"
+    assert _tn("3.14", "en") == "three point one four"
+
+
+def test_tn_itn_roundtrip():
+    for n in ("8", "42", "305", "3521", "40005"):
+        assert _itn_rt(_tn(n, "zh"), "zh") == n
