@@ -120,5 +120,6 @@ def test_tn_en_cardinals():
 
 
 def test_tn_itn_roundtrip():
-    for n in ("8", "42", "305", "3521", "40005"):
+    # single chars stay spoken by design (一个/八点 would break)
+    for n in ("42", "305", "3521", "40005"):
         assert _itn_rt(_tn(n, "zh"), "zh") == n
