@@ -43,16 +43,23 @@ class MultiHeadAttention(nn.Module):
                      param_dtype=self.param_dtype)(kv_in)
         v = nn.Dense(self.n_feat, name="linear_v", dtype=self.dtype,
                      param_dtype=self.param_dtype)(kv_in)
-        q = q.reshape(B, Tq, self.n_head, d_k) * (d_k ** -0.5)
-        k = k.reshape(B, Tk, self.n_head, d_k)
-        v = v.reshape(B, Tk, self.n_head, d_k)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        H = self.n_head
+        # merged (B*H) 3D matmuls (fewer TPU layout copies than 4D einsum)
+        q2 = (q.reshape(B, Tq, H, d_k).transpose(0, 2, 1, 3)
+              .reshape(B * H, Tq, d_k)) * (d_k ** -0.5)
+        k2 = (k.reshape(B, Tk, H, d_k).transpose(0, 2, 1, 3)
+              .reshape(B * H, Tk, d_k))
+        v2 = (v.reshape(B, Tk, H, d_k).transpose(0, 2, 1, 3)
+              .reshape(B * H, Tk, d_k))
+        scores = jnp.einsum("bqd,bkd->bqk", q2, k2).reshape(B, H, Tq, Tk)
         attn = masked_softmax(scores, None if mask is None else mask)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v)
+        ctx = jnp.einsum("bqk,bkd->bqd",
+                         attn.reshape(B * H, Tq, Tk).astype(v2.dtype), v2)
+        ctx = (ctx.reshape(B, H, Tq, d_k).transpose(0, 2, 1, 3)
+               .reshape(B, Tq, self.n_feat))
         return nn.Dense(self.n_feat, name="linear_out", dtype=self.dtype,
-                        param_dtype=self.param_dtype)(
-            ctx.reshape(B, Tq, self.n_feat))
+                        param_dtype=self.param_dtype)(ctx)
 
 
 class TransformerDecoderLayer(nn.Module):
