@@ -3,10 +3,10 @@ OpenAI checkpoints by size).
 
 Here the flax implementation from ``transformers`` provides the graph; this
 wrapper adapts it to the funasr_tpu model contract (log-mel input, greedy
-device decode via lax.scan) and to the (data, model) mesh — the encoder's
+device decode) and to the (data, model) mesh — the encoder's
 attention/FFN kernels shard over the ``model`` axis through the generic
-param-sharding rules (q/k/v/out and fc kernels match the regex table after
-``whisper_shardings`` renames).
+param-sharding rules (the q/k/v/out_proj and fc1/fc2 HF names match the
+regex table in funasr_tpu/parallel/mesh.py directly).
 
 Weights: load a HF flax checkpoint directory via ``from_pretrained`` when
 one is available locally; otherwise random init from the size config

@@ -58,6 +58,17 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*linear_q/kernel", P(None, "model")),
     (r".*linear_q/bias", P("model")),
     (r".*linear_out/kernel", P("model", None)),
+    # HF-flax style (Whisper/Qwen-Audio) and in-house generic names
+    (r".*(q_proj|k_proj|v_proj)/kernel", P(None, "model")),
+    (r".*(q_proj|k_proj|v_proj)/bias", P("model")),
+    (r".*out_proj/kernel", P("model", None)),
+    (r".*fc1/kernel", P(None, "model")),
+    (r".*fc1/bias", P("model")),
+    (r".*fc2/kernel", P("model", None)),
+    (r".*qkv/kernel", P(None, "model")),
+    (r".*qkv/bias", P("model")),
+    (r".*/out/kernel", P("model", None)),
+    (r".*lm_head/kernel", P(None, "model")),
     # vocab projections: vocab dim sharded
     (r".*output_layer/kernel", P(None, "model")),
     (r".*output_layer/bias", P("model")),
