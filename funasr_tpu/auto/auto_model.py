@@ -205,6 +205,28 @@ class AutoModel:
                     deterministic=True,
                 )
             return TransducerEngine(module, params, frontend, tokenizer)
+        if name == "Emotion2vec":
+            model = cls(**(cfg.get("model_conf") or {}))
+            params = _load_params(cfg)
+            if params is not None:
+                model.params = params
+            else:
+                model.init_params(self.rng)
+
+            class SerEngine:
+                def __init__(self, model):
+                    self.model = model
+
+                def transcribe(self, wavs, **kw):
+                    res = self.model.generate(
+                        wavs, extract_embedding=kw.get("extract_embedding",
+                                                       False))
+                    for r in res:
+                        best = int(np.argmax(r["scores"]))
+                        r["text"] = r["labels"][best]
+                    return res
+
+            return SerEngine(model)
         if name in ("Whisper", "WhisperWrap", "WhisperLID"):
             from funasr_tpu.auto.engines import WhisperEngine
 

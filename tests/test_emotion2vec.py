@@ -58,3 +58,16 @@ def test_ssl_loss(ser, rng):
                     jax.random.PRNGKey(1))
     # identical student/teacher -> zero regression loss
     assert float(loss) < 1e-9
+
+
+def test_emotion2vec_via_automodel(rng):
+    from funasr_tpu.auto.auto_model import AutoModel
+
+    am = AutoModel(model=dict(
+        model="Emotion2vec",
+        model_conf=dict(labels=["angry", "happy", "neutral"], dim=16,
+                        depth=2, n_head=2, ffn=32)))
+    wav = rng.standard_normal(3200).astype(np.float32)
+    res = am.generate([wav], key=["e"])
+    assert res[0]["text"] in ("angry", "happy", "neutral")
+    assert abs(sum(res[0]["scores"]) - 1.0) < 1e-4
