@@ -136,7 +136,10 @@ class AutoModel:
             vocab_size=vocab, input_size=input_size,
             encoder_conf=cfg.get("encoder_conf"),
         )
-        if name == "Paraformer":
+        if name in ("Paraformer", "EParaformer", "SCAMA"):
+            # same NAR contract (SCAMA/EParaformer subclass Paraformer);
+            # EParaformer's PIF predictor has no cif peaks -> timestamps
+            # come from the BiCif family instead
             module = cls(
                 decoder_conf=cfg.get("decoder_conf"),
                 predictor_conf=cfg.get("predictor_conf"),

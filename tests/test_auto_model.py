@@ -159,3 +159,12 @@ def test_generate_transducer(rng):
     am = AutoModel(model=cfg)
     res = am.generate([_wav(rng, 1.0)])
     assert len(res) == 1 and "text" in res[0]
+
+
+def test_generate_eparaformer(rng):
+    cfg = dict(ASR_CFG)
+    cfg["model"] = "EParaformer"
+    cfg["predictor_conf"] = dict(idim=16, dropout=0.0, sigma_heads=2)
+    am = AutoModel(model=cfg)
+    res = am.generate([_wav(rng, 1.0)], key=["e"])
+    assert len(res) == 1 and "text" in res[0]
