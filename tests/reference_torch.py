@@ -1,0 +1,66 @@
+"""Import helper for the *reference* torch implementation at
+/root/reference (read-only), used for logit-level parity tests.
+
+The reference package drags in deps absent from this image (omegaconf,
+hydra, kaldiio, torchaudio, ...); `load_reference()` registers minimal
+package-aware stubs and imports the requested funasr module.  Behavior
+only — nothing from the reference is executed at import beyond class
+definitions.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REF_PATH = "/root/reference"
+
+
+def _stub(name, **attrs):
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    # register as attribute of parent package
+    if "." in name:
+        parent, child = name.rsplit(".", 1)
+        if parent in sys.modules:
+            setattr(sys.modules[parent], child, mod)
+    return mod
+
+
+def install_stubs():
+    if "omegaconf" not in sys.modules or not hasattr(
+            sys.modules.get("omegaconf", None), "DictConfig"):
+        _stub("omegaconf", DictConfig=dict, ListConfig=list,
+              OmegaConf=object)
+    _stub("kaldiio")
+    ta = _stub("torchaudio")
+    ta.__path__ = []  # mark as package
+    comp = _stub("torchaudio.compliance")
+    comp.__path__ = []
+    _stub("torchaudio.compliance.kaldi", fbank=None)
+    _stub("librosa")
+    _stub("soundfile")
+    _stub("tqdm", tqdm=lambda x=None, **k: x)
+    hy = _stub("hydra", main=lambda **k: (lambda f: f))
+    hy.__path__ = []
+    _stub("hydra.utils")
+    core = _stub("hydra.core")
+    core.__path__ = []
+    _stub("hydra.core.config_store", ConfigStore=type(
+        "ConfigStore", (), {"instance": classmethod(lambda c: c())}))
+    _stub("requests")
+    _stub("oss2")
+
+
+def load_reference(module: str):
+    """Import e.g. 'funasr.models.sanm.encoder' from /root/reference."""
+    install_stubs()
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    import importlib
+
+    return importlib.import_module(module)
