@@ -64,6 +64,10 @@ def _load_params(cfg: Dict) -> Optional[Dict]:
         return None
     data = dict(np.load(path, allow_pickle=False))
     if any("." in k for k in data):  # torch-layout names
+        if any(k.startswith(("in_linear1.", "fsmn.")) for k in data):
+            from funasr_tpu.convert import fsmn_vad_from_torch
+
+            return fsmn_vad_from_torch(data)
         from funasr_tpu.convert import paraformer_from_torch
 
         return paraformer_from_torch(data)

@@ -185,3 +185,39 @@ def check_tree_matches(converted, initialized) -> list:
         elif tuple(c_flat[k]) != tuple(i_flat[k]):
             problems.append(f"shape mismatch {k}: {c_flat[k]} vs {i_flat[k]}")
     return problems
+
+
+def fsmn_vad_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference FSMN-VAD scorer state_dict (fsmn_vad_streaming/encoder.py
+    ``FSMN``) -> flax tree for funasr_tpu.models.fsmn_vad.encoder.FSMN.
+
+    Torch Linear (out, in) -> kernel (in, out); depthwise Conv2d
+    (D, 1, K, 1) -> (K, 1, D); no kernel flip (both frameworks
+    cross-correlate with identical padding orientation).
+    """
+    tree: Dict[str, Any] = {}
+
+    def lin(tname, jname, bias=True):
+        _set(tree, f"{jname}/kernel", np.ascontiguousarray(
+            np.asarray(sd[f"{tname}.weight"]).T))
+        if bias and f"{tname}.bias" in sd:
+            _set(tree, f"{jname}/bias", np.asarray(sd[f"{tname}.bias"]))
+
+    lin("in_linear1.linear", "in_linear1")
+    lin("in_linear2.linear", "in_linear2")
+    i = 0
+    while f"fsmn.{i}.linear.linear.weight" in sd:
+        lin(f"fsmn.{i}.linear.linear", f"fsmn_{i}/linear", bias=False)
+        cl = np.asarray(sd[f"fsmn.{i}.fsmn_block.conv_left.weight"])
+        _set(tree, f"fsmn_{i}/conv_left",
+             np.ascontiguousarray(cl[:, 0, :, 0].T[:, None, :]))
+        rk = f"fsmn.{i}.fsmn_block.conv_right.weight"
+        if rk in sd:
+            cr = np.asarray(sd[rk])
+            _set(tree, f"fsmn_{i}/conv_right",
+                 np.ascontiguousarray(cr[:, 0, :, 0].T[:, None, :]))
+        lin(f"fsmn.{i}.affine.linear", f"fsmn_{i}/affine")
+        i += 1
+    lin("out_linear1.linear", "out_linear1")
+    lin("out_linear2.linear", "out_linear2")
+    return {"params": tree}

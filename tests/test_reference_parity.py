@@ -109,3 +109,24 @@ def test_full_greedy_parity(ref_model, jax_model_and_params, speech):
         # identical greedy tokens
         np.testing.assert_array_equal(lp[b, :n].argmax(-1),
                                       ref_logp[b, :n].argmax(-1))
+
+
+def test_fsmn_vad_scorer_parity():
+    """FSMN VAD scorer posteriors match the reference net bit-for-bit-ish."""
+    from funasr_tpu.convert import fsmn_vad_from_torch
+    from funasr_tpu.models.fsmn_vad.encoder import FSMN as JaxFSMN
+
+    m = load_reference("funasr.models.fsmn_vad_streaming.encoder")
+    net = m.FSMN(40, 32, 3, 48, 24, 5, 2, 1, 1, 32, 6)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = fsmn_vad_from_torch(sd)
+    jnet = JaxFSMN(input_dim=40, input_affine_dim=32, fsmn_layers=3,
+                   linear_dim=48, proj_dim=24, lorder=5, rorder=2,
+                   lstride=1, rstride=1, output_affine_dim=32, output_dim=6)
+    x = np.random.default_rng(3).standard_normal((2, 25, 40)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    ours = np.asarray(jnet.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
