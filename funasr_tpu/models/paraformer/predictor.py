@@ -78,7 +78,12 @@ class CifPredictorV2(nn.Module):
 
         mask = sequence_mask(lengths, T, dtype=jnp.float32)
         alphas = alphas * mask
-        hidden_masked = h * mask[:, :, None]
+        # NOTE: hidden stays UNMASKED, exactly like the reference
+        # (tail_process_fn receives the raw encoder output): pad frames have
+        # zero alpha so zero interval width — except the tail frame at
+        # position ``lengths``, whose 0.45 alpha integrates the real encoder
+        # value there (reference cif_predictor.py:91-112 batch semantics).
+        hidden_masked = h
 
         token_num = jnp.sum(alphas, axis=-1)
         if target_length is not None:

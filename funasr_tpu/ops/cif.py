@@ -111,6 +111,14 @@ def cif(hidden: jnp.ndarray, alphas: jnp.ndarray, max_tokens: int) -> CifOutput:
         preferred_element_type=jnp.float32,
     )
     token_num = S[:, -1]
+    # Reference cif (cif_predictor.py:625) emits only FIRED tokens and
+    # zero-pads the grid: token u exists iff the integration crossed u+1.
+    # Mask the trailing partial token (eps guards the training-time exact-
+    # integer rescale against one-ulp shortfalls).
+    n_fired = jnp.floor(token_num + 1e-4)
+    u_idx = grid[..., 0]  # (1, U)
+    valid = (u_idx < n_fired[:, None]).astype(jnp.float32)[:, :, None]
+    embeds = embeds * valid
     return CifOutput(embeds.astype(hidden.dtype), token_num, fires, peaks)
 
 
