@@ -68,6 +68,10 @@ def _load_params(cfg: Dict) -> Optional[Dict]:
             from funasr_tpu.convert import fsmn_vad_from_torch
 
             return fsmn_vad_from_torch(data)
+        if "embed.weight" in data and "decoder.weight" in data:
+            from funasr_tpu.convert import ct_transformer_from_torch
+
+            return ct_transformer_from_torch(data)
         from funasr_tpu.convert import paraformer_from_torch
 
         return paraformer_from_torch(data)

@@ -221,3 +221,33 @@ def fsmn_vad_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     lin("out_linear1.linear", "out_linear1")
     lin("out_linear2.linear", "out_linear2")
     return {"params": tree}
+
+
+def _encoder_tree(sd: Mapping[str, np.ndarray], prefix: str = "encoder"
+                  ) -> Dict[str, Any]:
+    """Map a reference SANM encoder subtree (``{prefix}.encoders0.0`` etc.)."""
+    enc: Dict[str, Any] = {}
+    _enc_layer(sd, f"{prefix}.encoders0.0", enc, "encoders0")
+    n_enc = _count_layers(sd, f"{prefix}.encoders")
+    layers = []
+    for i in range(n_enc):
+        lt: Dict[str, Any] = {}
+        _enc_layer(sd, f"{prefix}.encoders.{i}", lt, "L")
+        layers.append(lt["L"])
+    if layers:
+        enc["encoders"] = _stack_layers(layers)
+    _norm(sd, f"{prefix}.after_norm", enc, "after_norm")
+    return enc
+
+
+def ct_transformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference CT-Transformer punc state_dict -> flax tree for
+    funasr_tpu.models.ct_transformer.CTTransformer (embed -> SANM encoder ->
+    punc projection; reference funasr/models/ct_transformer/model.py)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tree: Dict[str, Any] = {
+        "embed": {"embedding": sd["embed.weight"]},
+        "encoder": _encoder_tree(sd, "encoder"),
+    }
+    _linear(sd, "decoder", tree, "decoder")
+    return {"params": tree}

@@ -131,3 +131,39 @@ def test_fsmn_vad_scorer_parity():
         ref = net(torch.from_numpy(x)).numpy()
     ours = np.asarray(jnet.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ct_transformer_parity():
+    """Punctuation logits match the reference CT-Transformer."""
+    from funasr_tpu.convert import ct_transformer_from_torch
+    from funasr_tpu.models.ct_transformer.model import CTTransformer
+
+    m = load_reference("funasr.models.ct_transformer.model")
+    torch.manual_seed(0)
+    enc_conf = dict(input_size=16, output_size=16, attention_heads=2,
+                    linear_units=32, num_blocks=2, kernel_size=5,
+                    dropout_rate=0.0, attention_dropout_rate=0.0,
+                    input_layer="pe")
+    net = m.CTTransformer(vocab_size=50,
+                          punc_list=["<unk>", "_", "，", "。", "？", "、"],
+                          embed_unit=16, att_unit=16,
+                          encoder="SANMEncoder", encoder_conf=enc_conf)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = ct_transformer_from_torch(sd)
+    ours = CTTransformer(vocab_size=50, punc_size=6, embed_unit=16,
+                         att_unit=16,
+                         encoder_conf=dict(output_size=16, attention_heads=2,
+                                           linear_units=32, num_blocks=2,
+                                           kernel_size=5, dropout_rate=0.0))
+    text = np.random.default_rng(5).integers(0, 50, (2, 12)).astype(np.int32)
+    tlens = np.array([12, 8], np.int32)
+    with torch.no_grad():
+        ref_logits, _ = net.punc_forward(
+            torch.from_numpy(text.astype(np.int64)),
+            torch.from_numpy(tlens.astype(np.int64)))
+    got = np.asarray(ours.apply(params, jnp.asarray(text),
+                                jnp.asarray(tlens)))
+    for b, n in enumerate(tlens):
+        np.testing.assert_allclose(got[b, :n], ref_logits.numpy()[b, :n],
+                                   rtol=1e-4, atol=1e-5)
