@@ -251,3 +251,86 @@ def ct_transformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     }
     _linear(sd, "decoder", tree, "decoder")
     return {"params": tree}
+
+
+def conformer_from_torch(sd: Mapping[str, np.ndarray],
+                         n_mels_after_conv: int) -> Dict[str, Any]:
+    """Reference ConformerEncoder state_dict -> flax tree for
+    funasr_tpu.models.conformer.ConformerEncoder.
+
+    ``n_mels_after_conv``: frequency bins after the two stride-2 convs
+    (((n_mels - 1)//2 - 1)//2) — needed to permute the subsampling output
+    Linear: torch flattens channel-major (c * F + f), flax freq-major
+    (f * C + c).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tree: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # subsampling: torch conv2d (out, in, kh, kw) -> flax (kh, kw, in, out)
+    emb: Dict[str, Any] = {}
+    for t, j in (("embed.conv.0", "conv0"), ("embed.conv.2", "conv1")):
+        emb[j] = {
+            "kernel": np.ascontiguousarray(
+                np.transpose(sd[f"{t}.weight"], (2, 3, 1, 0))),
+            "bias": sd[f"{t}.bias"],
+        }
+    W = sd["embed.out.0.weight"]  # (D, C*F) channel-major input
+    D_out, CF = W.shape
+    F = n_mels_after_conv
+    C = CF // F
+    perm = np.asarray([c * F + f for f in range(F) for c in range(C)])
+    emb["out"] = {"kernel": np.ascontiguousarray(W[:, perm].T),
+                  "bias": sd["embed.out.0.bias"]}
+    tree["embed"] = emb
+
+    def layer_tree(p):
+        lt: Dict[str, Any] = {}
+        st: Dict[str, Any] = {}
+        for ff in ("feed_forward", "feed_forward_macaron"):
+            if f"{p}.{ff}.w_1.weight" in sd:
+                _linear(sd, f"{p}.{ff}.w_1", lt, f"{ff}/w_1")
+                _linear(sd, f"{p}.{ff}.w_2", lt, f"{ff}/w_2")
+        for nm in ("norm_ff", "norm_mha", "norm_conv", "norm_final",
+                   "norm_ff_macaron"):
+            if f"{p}.{nm}.weight" in sd:
+                _norm(sd, f"{p}.{nm}", lt, nm)
+        att = f"{p}.self_attn"
+        for q in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            _linear(sd, f"{att}.{q}", lt, f"self_attn/{q}")
+        lt["self_attn"]["linear_pos"] = {
+            "kernel": np.ascontiguousarray(sd[f"{att}.linear_pos.weight"].T)}
+        lt["self_attn"]["pos_bias_u"] = sd[f"{att}.pos_bias_u"]
+        lt["self_attn"]["pos_bias_v"] = sd[f"{att}.pos_bias_v"]
+        cm = f"{p}.conv_module"
+        conv: Dict[str, Any] = {}
+        conv["pointwise_conv1"] = {
+            "kernel": np.ascontiguousarray(sd[f"{cm}.pointwise_conv1.weight"][:, :, 0].T),
+            "bias": sd[f"{cm}.pointwise_conv1.bias"]}
+        conv["pointwise_conv2"] = {
+            "kernel": np.ascontiguousarray(sd[f"{cm}.pointwise_conv2.weight"][:, :, 0].T),
+            "bias": sd[f"{cm}.pointwise_conv2.bias"]}
+        lt["depthwise_conv"] = None  # placed below (direct params)
+        dw = sd[f"{cm}.depthwise_conv.weight"]  # (D, 1, K)
+        lt["conv_module"] = dict(conv)
+        lt["conv_module"]["depthwise_conv"] = np.ascontiguousarray(
+            np.transpose(dw, (2, 1, 0)))
+        lt["conv_module"]["depthwise_conv_bias"] = sd[f"{cm}.depthwise_conv.bias"]
+        lt["conv_module"]["norm"] = {"scale": sd[f"{cm}.norm.weight"],
+                                     "bias": sd[f"{cm}.norm.bias"]}
+        del lt["depthwise_conv"]
+        st["conv_module"] = {"norm": {
+            "mean": sd[f"{cm}.norm.running_mean"],
+            "var": sd[f"{cm}.norm.running_var"]}}
+        return lt, st
+
+    n = _count_layers(sd, "encoders")
+    lts, sts = [], []
+    for i in range(n):
+        lt, st = layer_tree(f"encoders.{i}")
+        lts.append(lt)
+        sts.append(st)
+    tree["encoders"] = _stack_layers(lts)
+    stats["encoders"] = _stack_layers(sts)
+    _norm(sd, "after_norm", tree, "after_norm")
+    return {"params": tree, "batch_stats": stats}

@@ -112,8 +112,11 @@ class ConvolutionModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask_t=None, deterministic: bool = True):
-        if mask_t is not None:
-            x = x * mask_t
+        # NOTE: the reference ConvolutionModule (conformer/encoder.py:53)
+        # does NOT mask pad frames before the depthwise conv — published
+        # checkpoints bake in that boundary behavior, so we match it
+        # (mask_t is accepted for API compatibility but unused).
+        del mask_t
         h = nn.Dense(2 * self.channels, name="pointwise_conv1",
                      dtype=self.dtype, param_dtype=self.param_dtype)(x)
         a, b = jnp.split(h, 2, axis=-1)
@@ -226,7 +229,11 @@ class Conv2dSubsampling(nn.Module):
         h = h.reshape(B2, T2, F2 * C)
         h = nn.Dense(self.odim, name="out", dtype=self.dtype,
                      param_dtype=self.param_dtype)(h)
-        out_lengths = ((lengths - 1) // 2 - 1) // 2
+        # reference semantics: the pad mask is sliced [:-2:2][:-2:2], so a
+        # subsampled frame j is valid iff original index 4j < L ->
+        # olens = min(T', ceil(L / 4)) (transformer/utils/subsampling.py via
+        # conformer/encoder.py mask slicing), NOT the conv arithmetic count.
+        out_lengths = jnp.minimum((lengths + 3) // 4, T2)
         return h, jnp.maximum(out_lengths, 0)
 
 
@@ -275,4 +282,7 @@ class ConformerEncoder(nn.Module):
             self.attention_dropout_rate, self.dtype, self.param_dtype,
             name="encoders",
         )(x, (pos_emb, mask, mask_t), deterministic)
+        # espnet normalize_before: one more LN over the stack output
+        # (reference conformer/encoder.py after_norm)
+        x = LayerNormF32(self.dtype, self.param_dtype, name="after_norm")(x)
         return x, lengths

@@ -167,3 +167,39 @@ def test_ct_transformer_parity():
     for b, n in enumerate(tlens):
         np.testing.assert_allclose(got[b, :n], ref_logits.numpy()[b, :n],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_conformer_encoder_parity():
+    """Conformer encoder outputs match the reference implementation."""
+    from funasr_tpu.convert import conformer_from_torch
+    from funasr_tpu.models.conformer import ConformerEncoder
+
+    m = load_reference("funasr.models.conformer.encoder")
+    torch.manual_seed(0)
+    net = m.ConformerEncoder(
+        input_size=20, output_size=16, attention_heads=2, linear_units=32,
+        num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, input_layer="conv2d",
+        cnn_module_kernel=7, macaron_style=True, use_cnn_module=True,
+        rel_pos_type="latest")  # latest = Transformer-XL 2T-1 rel-pos (ours)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    F_after = ((20 - 1) // 2 - 1) // 2
+    variables = conformer_from_torch(sd, F_after)
+    ours = ConformerEncoder(input_size=20, output_size=16,
+                            attention_heads=2, linear_units=32, num_blocks=2,
+                            cnn_module_kernel=7, dropout_rate=0.0,
+                            attention_dropout_rate=0.0)
+    x = np.random.default_rng(11).standard_normal((2, 40, 20)).astype(
+        np.float32)
+    lens = np.array([40, 30], np.int32)
+    with torch.no_grad():
+        ref_out, ref_lens, _ = net(torch.from_numpy(x),
+                                   torch.from_numpy(lens.astype(np.int64)))
+    got, got_lens = ours.apply(variables, jnp.asarray(x), jnp.asarray(lens))
+    # reference masks outputs; compare valid region
+    for b in range(2):
+        n = int(got_lens[b])
+        np.testing.assert_allclose(np.asarray(got)[b, :n],
+                                   ref_out.numpy()[b, :n],
+                                   rtol=5e-4, atol=5e-4)
