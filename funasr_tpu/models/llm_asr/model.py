@@ -233,3 +233,96 @@ class LLMASR(nn.Module):
         first_eos = jnp.argmax(is_eos, axis=1)
         lengths = jnp.where(any_eos, first_eos, maxlen)
         return gen, lengths
+
+
+@tables.register("model_classes", "LLMASRNAR")
+class LLMASRNAR(LLMASR):
+    """Non-autoregressive audio LLM (reference funasr/models/llm_asr_nar/
+    model.py:26 ``LLMASRNAR``): encoder -> CIF predictor emits ONE acoustic
+    embedding per output token (``target_label_length`` scaling at train
+    time, model.py:236) -> Linear adaptor (llm_asr_nar/adaptor.py:8) -> the
+    embeddings are spliced into the LLM input at the audio-token positions
+    (model.py:190-199) -> a single LLM forward; CE loss / per-position
+    argmax decode — no generation loop.
+
+    TPU form: the CIF token grid is the padded ``U`` axis, so the whole
+    model (encoder, interval-overlap CIF, LLM stack) is one static-shape
+    jitted program; NAR decode is a single forward + argmax, the fastest
+    possible decode on the MXU.  Position ``j``'s logits predict token ``j``
+    under a causal mask (the acoustic embedding for a token is visible to
+    its own query, exactly the Paraformer NAR contract).
+    """
+
+    predictor_conf: Optional[Dict] = None
+
+    def setup(self):
+        super().setup()
+        from funasr_tpu.models.paraformer.predictor import CifPredictorV2
+
+        enc_out = dict(self.encoder_conf or {}).get("output_size", 256)
+        pred_conf = dict(self.predictor_conf or {})
+        pred_conf.setdefault("idim", enc_out)
+        self.predictor = CifPredictorV2(
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="predictor", **pred_conf)
+        # CIF embeds are already token-synchronous: the reference "Linear"
+        # adaptor with downsample_rate 1 (llm_asr_nar/adaptor.py:8), not the
+        # k=5 frame-stacking projector of the AR model
+        ad_conf = dict(self.adaptor_conf or {})
+        ad_conf.setdefault("k", 1)
+        ad_conf.setdefault("llm_dim", self.llm_dim)
+        self.adaptor_nar = Adaptor(dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="adaptor_nar", **ad_conf)
+
+    def _token_embeds(self, speech, speech_lengths, max_tokens,
+                      target_length, deterministic):
+        if self.use_encoder:
+            enc, enc_lens = self.encoder(speech, speech_lengths,
+                                         deterministic)
+        else:
+            enc, enc_lens = speech, speech_lengths
+        pred = self.predictor(enc, enc_lens, max_tokens,
+                              target_length=target_length,
+                              deterministic=deterministic)
+        audio, _ = self.adaptor_nar(pred.acoustic_embeds,
+                                    jnp.round(pred.token_num).astype(jnp.int32))
+        return audio, pred
+
+    def _nar_mask(self, n_tokens, U):
+        pos = jnp.arange(U)
+        key_valid = pos[None, :] < n_tokens[:, None]  # (B, U)
+        causal = pos[None, :] <= pos[:, None]  # (U, U) query x key
+        m = key_valid[:, None, :] & causal[None]
+        return m[:, None, :, :].astype(jnp.float32)
+
+    def __call__(self, speech, speech_lengths, text, text_lengths,
+                 deterministic: bool = False):
+        """One-pass CE: logits at CIF token position j predict text[j]."""
+        U = text.shape[1]
+        audio, pred = self._token_embeds(
+            speech, speech_lengths, U,
+            text_lengths.astype(jnp.float32), deterministic)
+        mask = self._nar_mask(text_lengths, U)
+        logits = self._llm(audio, mask, deterministic)
+        pos = jnp.arange(U)[None, :]
+        tgt_valid = pos < text_lengths[:, None]
+        tgt = jnp.where(tgt_valid, text, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+        nll = jnp.where(tgt_valid, nll, 0.0)
+        loss = jnp.sum(nll) / jnp.maximum(jnp.sum(tgt_valid), 1)
+        acc = jnp.sum(
+            jnp.where(tgt_valid, (jnp.argmax(logits, -1) == tgt), False)
+        ) / jnp.maximum(jnp.sum(tgt_valid), 1)
+        return loss, {"loss": loss, "acc": acc}
+
+    def nar_decode(self, speech, speech_lengths, max_tokens: int = 64):
+        """Single-forward NAR decode -> (tokens (B, U), lengths (B,))."""
+        audio, pred = self._token_embeds(speech, speech_lengths, max_tokens,
+                                         None, True)
+        n = jnp.clip(jnp.round(pred.token_num).astype(jnp.int32),
+                     0, max_tokens)
+        mask = self._nar_mask(n, max_tokens)
+        logits = self._llm(audio, mask, True)
+        return jnp.argmax(logits, -1).astype(jnp.int32), n

@@ -66,6 +66,89 @@ def test_fsmn_kws_detect_and_loss(rng):
     assert np.isfinite(float(loss))
 
 
+def test_viterbi_chunk_carry_equals_offline():
+    """Chunked Viterbi with carried state == one offline scan (exact)."""
+    from funasr_tpu.models.kws.model import (keyword_init_carry,
+                                             keyword_viterbi_scan)
+
+    np.random.seed(0)
+    lp = jax.nn.log_softmax(
+        jnp.asarray(np.random.randn(24, 6).astype(np.float32)), -1)
+    kw = jnp.array([2, 3, 2], jnp.int32)
+    kl = jnp.array(3)
+    init = keyword_init_carry(3)
+    _, fins_full = keyword_viterbi_scan(lp, init, kw, kl, jnp.array(24))
+    c, f1 = keyword_viterbi_scan(lp[:10], init, kw, kl, jnp.array(10))
+    _, f2 = keyword_viterbi_scan(lp[10:], c, kw, kl, jnp.array(14))
+    np.testing.assert_allclose(np.concatenate([f1, f2]), fins_full,
+                               rtol=1e-6)
+
+
+def test_viterbi_carry_ignores_padding_frames():
+    """Padding frames beyond n_frames must not advance the carry."""
+    from funasr_tpu.models.kws.model import (keyword_init_carry,
+                                             keyword_viterbi_scan)
+
+    np.random.seed(1)
+    lp = jax.nn.log_softmax(
+        jnp.asarray(np.random.randn(12, 5).astype(np.float32)), -1)
+    kw = jnp.array([1, 2], jnp.int32)
+    kl = jnp.array(2)
+    init = keyword_init_carry(2)
+    c_exact, _ = keyword_viterbi_scan(lp[:7], init, kw, kl, jnp.array(7))
+    c_padded, _ = keyword_viterbi_scan(lp, init, kw, kl, jnp.array(7))
+    for a, b in zip(c_exact, c_padded):
+        np.testing.assert_allclose(a, b)
+
+
+def test_fsmn_kws_mt(rng):
+    from funasr_tpu.models.kws.model import FsmnKWSMT
+
+    m = FsmnKWSMT(vocab_size=[6, 12], encoder_conf=dict(
+        input_dim=20, input_affine_dim=16, fsmn_layers=2, linear_dim=16,
+        proj_dim=8, lorder=3, rorder=1, lstride=1, rstride=1,
+        output_affine_dim=16))
+    m.init_params(jax.random.PRNGKey(0), input_dim=20)
+    feats = rng.standard_normal((2, 30, 20)).astype(np.float32)
+    flens = np.array([30, 20])
+    hits = m.detect(feats, flens, [[3, 4], [5]], threshold=-100.0)
+    assert len(hits) == 2 and len(hits[0]) == 2
+    assert all(np.isfinite(h["score"]) for u in hits for h in u)
+    # joint loss over both heads
+    text = jnp.array([[3, 4, 0], [5, 0, 0]], jnp.int32)
+    tlens = jnp.array([2, 1], jnp.int32)
+    text2 = jnp.array([[7, 8, 9], [10, 0, 0]], jnp.int32)
+    t2lens = jnp.array([3, 1], jnp.int32)
+    l1 = m.ctc_loss(m.params, jnp.asarray(feats), jnp.asarray(flens),
+                    text, tlens)
+    l12 = m.ctc_loss(m.params, jnp.asarray(feats), jnp.asarray(flens),
+                     text, tlens, text2, t2lens)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l12))
+    assert abs(float(l1) - float(l12)) > 1e-6
+
+
+def test_sanm_kws_streaming(rng):
+    from funasr_tpu.models.kws.model import SanmKWSStreaming
+
+    m = SanmKWSStreaming(vocab_size=8, input_dim=20, encoder_conf=dict(
+        output_size=16, attention_heads=2, linear_units=32, num_blocks=2,
+        kernel_size=5, dropout_rate=0.0))
+    m.init_params(jax.random.PRNGKey(0))
+    state = m.init_stream([[3, 4], [5]], batch=2, chunk_frames=10,
+                          cache_frames=20)
+    feats = rng.standard_normal((2, 30, 20)).astype(np.float32)
+    prev_start = 0
+    for i in range(3):
+        state, hits = m.detect_chunk(state, feats[:, i * 10:(i + 1) * 10],
+                                     threshold=-100.0)
+        assert len(hits) == 2 and len(hits[0]) == 2
+        assert all(np.isfinite(h["score"]) for u in hits for h in u)
+        assert int(state.start_idx) == prev_start + 10
+        prev_start = int(state.start_idx)
+    # best-so-far ends are inside the audio seen so far
+    assert all(0 <= h["end_frame"] < 30 for u in hits for h in u)
+
+
 def test_sanm_kws_detect(rng):
     from funasr_tpu.models.kws.model import SanmKWS
 

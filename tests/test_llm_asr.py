@@ -62,6 +62,64 @@ def test_padded_text_does_not_change_loss(llm_asr):
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def llm_asr_nar():
+    from funasr_tpu.models.llm_asr.model import LLMASRNAR
+
+    cfg = dict(CFG, adaptor_conf=dict(hidden=24, llm_dim=16))  # k defaults to 1
+    model = LLMASRNAR(predictor_conf=dict(idim=16, dropout=0.0), **cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 24, 20)), jnp.float32)
+    lens = jnp.array([24, 16], jnp.int32)
+    text = jnp.array([[3, 4, 5], [6, 7, 0]], jnp.int32)
+    tlens = jnp.array([3, 2], jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, lens, text, tlens)
+    return model, params, (x, lens, text, tlens)
+
+
+def test_nar_loss_and_grad(llm_asr_nar):
+    model, params, (x, lens, text, tlens) = llm_asr_nar
+
+    def lf(p):
+        loss, _ = model.apply(p, x, lens, text, tlens, deterministic=True)
+        return loss
+
+    loss, grads = jax.value_and_grad(lf)(params)
+    assert np.isfinite(float(loss))
+    gsum = jax.tree_util.tree_reduce(
+        lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0)
+    assert gsum > 0
+    # CIF predictor and LLM stack both receive gradient
+    for key in ("predictor", "llm_layers"):
+        sub = jax.tree_util.tree_reduce(
+            lambda a, g: a + float(jnp.sum(jnp.abs(g))),
+            grads["params"][key], 0.0)
+        assert sub > 0, key
+
+
+def test_nar_padded_text_invariance(llm_asr_nar):
+    model, params, (x, lens, text, tlens) = llm_asr_nar
+    loss1, _ = model.apply(params, x, lens, text, tlens, deterministic=True)
+    text2 = text.at[1, 2].set(9)  # padded position
+    loss2, _ = model.apply(params, x, lens, text2, tlens, deterministic=True)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+
+
+def test_nar_decode_single_forward(llm_asr_nar):
+    model, params, (x, lens, _, _) = llm_asr_nar
+    toks, n = jax.jit(
+        lambda p, x, l: model.apply(p, x, l, max_tokens=8,
+                                    method=model.nar_decode)
+    )(params, x, lens)
+    assert toks.shape == (2, 8)
+    assert (np.asarray(n) >= 0).all() and (np.asarray(n) <= 8).all()
+    assert np.asarray(toks).max() < 12
+    # shorter utterance fires fewer CIF tokens
+    assert int(n[1]) <= int(n[0])
+
+
 def test_greedy_decode(llm_asr):
     model, params, (x, lens, _, _) = llm_asr
     toks, tok_lens = jax.jit(

@@ -23,6 +23,35 @@ def test_lm_forward_and_loss(rng):
     assert abs(float(loss) - np.log(20)) < 1.0
 
 
+@pytest.mark.parametrize("rnn_type", ["lstm", "gru", "rnn_tanh"])
+def test_seq_rnn_lm_forward_and_loss(rng, rnn_type):
+    from funasr_tpu.models.language_model import SequentialRNNLM
+
+    lm = SequentialRNNLM(vocab_size=20, unit=16, nlayers=2,
+                         dropout_rate=0.0, rnn_type=rnn_type)
+    tokens = jnp.asarray(rng.integers(3, 20, (2, 10)), jnp.int32)
+    lens = jnp.array([10, 7])
+    params = lm.init({"params": jax.random.PRNGKey(0)}, tokens, lens)
+    logits = lm.apply(params, tokens, lens)
+    assert logits.shape == (2, 10, 20)
+    loss = lm.apply(params, tokens, lens, deterministic=True, method=lm.loss)
+    assert np.isfinite(float(loss))
+    assert abs(float(loss) - np.log(20)) < 1.0
+
+
+def test_seq_rnn_lm_tied_weights(rng):
+    from funasr_tpu.models.language_model import SequentialRNNLM
+
+    lm = SequentialRNNLM(vocab_size=12, unit=16, nlayers=1,
+                         dropout_rate=0.0, tie_weights=True)
+    tokens = jnp.asarray(rng.integers(1, 12, (2, 6)), jnp.int32)
+    lens = jnp.array([6, 4])
+    params = lm.init({"params": jax.random.PRNGKey(0)}, tokens, lens)
+    # no separate decoder matrix when tied
+    assert "decoder" not in params["params"]
+    assert lm.apply(params, tokens, lens).shape == (2, 6, 12)
+
+
 def test_beam_with_lm_fusion(rng):
     """LM that strongly prefers token 3 shifts the beam result."""
     V, maxlen, K, sos, eos = 6, 3, 3, 1, 2
