@@ -356,13 +356,168 @@ def _itn_de(text: str) -> str:
     return re.sub(r"[A-Za-zäöüß]+", repl, text)
 
 
+# -------------------------------------------- Portuguese / Russian (additive)
+_PT_VOCAB = {
+    "zero": 0, "um": 1, "uma": 1, "dois": 2, "duas": 2, "três": 3,
+    "tres": 3, "quatro": 4, "cinco": 5, "seis": 6, "sete": 7, "oito": 8,
+    "nove": 9, "dez": 10, "onze": 11, "doze": 12, "treze": 13,
+    "catorze": 14, "quatorze": 14, "quinze": 15, "dezesseis": 16,
+    "dezessete": 17, "dezoito": 18, "dezenove": 19, "vinte": 20,
+    "trinta": 30, "quarenta": 40, "cinquenta": 50, "sessenta": 60,
+    "setenta": 70, "oitenta": 80, "noventa": 90, "cem": 100, "cento": 100,
+    "duzentos": 200, "trezentos": 300, "quatrocentos": 400,
+    "quinhentos": 500, "seiscentos": 600, "setecentos": 700,
+    "oitocentos": 800, "novecentos": 900,
+}
+_PT_SCALE = {"mil": 1000, "milhão": 10**6, "milhao": 10**6,
+             "milhões": 10**6, "milhoes": 10**6}
+
+_RU_VOCAB = {
+    "ноль": 0, "один": 1, "одна": 1, "одно": 1, "два": 2, "две": 2,
+    "три": 3, "четыре": 4, "пять": 5, "шесть": 6, "семь": 7,
+    "восемь": 8, "девять": 9, "десять": 10, "одиннадцать": 11,
+    "двенадцать": 12, "тринадцать": 13, "четырнадцать": 14,
+    "пятнадцать": 15, "шестнадцать": 16, "семнадцать": 17,
+    "восемнадцать": 18, "девятнадцать": 19, "двадцать": 20,
+    "тридцать": 30, "сорок": 40, "пятьдесят": 50, "шестьдесят": 60,
+    "семьдесят": 70, "восемьдесят": 80, "девяносто": 90, "сто": 100,
+    "двести": 200, "триста": 300, "четыреста": 400, "пятьсот": 500,
+    "шестьсот": 600, "семьсот": 700, "восемьсот": 800, "девятьсот": 900,
+}
+_RU_SCALE = {"тысяча": 1000, "тысячи": 1000, "тысяч": 1000,
+             "миллион": 10**6, "миллиона": 10**6, "миллионов": 10**6}
+
+_itn_pt = _make_western_itn(_PT_VOCAB, _PT_SCALE, {"porcento"},
+                            connectors={"e"})
+_itn_ru = _make_western_itn(_RU_VOCAB, _RU_SCALE,
+                            {"процент", "процента", "процентов"})
+
+
+# ---------------------------------- Indonesian / Vietnamese / Tagalog
+# These grammars build numbers with unit-multiplier words ("dua puluh" =
+# 2 x 10, "hai mươi ba" = 2 x 10 + 3), so the additive western parser
+# would misread them; this positional parser closes a section on each
+# multiplier, exactly like the CJK positional grammar above.
+def _positional_span_to_int(words, digits, units, bigs,
+                            standalones) -> int:
+    total, section, cur, has_cur = 0, 0, 0, False
+    for w in words:
+        if w in digits:
+            cur += digits[w]
+            has_cur = True
+        elif w in standalones:
+            # self-contained section values ("seratus" = 100): close into
+            # the section so a following unit can't re-multiply them
+            section += cur + standalones[w]
+            cur, has_cur = 0, False
+        elif w in units:
+            # explicit zero counts ("không trăm" = zero hundreds) — only
+            # default to 1 when no digit preceded the unit
+            section += (cur if has_cur else 1) * units[w]
+            cur, has_cur = 0, False
+        elif w in bigs:
+            total += max(section + cur, 1) * bigs[w]
+            section, cur, has_cur = 0, 0, False
+    return total + section + cur
+
+
+def _make_positional_itn(digits, units, bigs, pct_phrases, connectors=(),
+                         standalones=None):
+    connectors = set(connectors)
+    standalones = standalones or {}
+    keys = (set(digits) | set(units) | set(bigs) | set(standalones)
+            | connectors)
+    pct_phrases = [tuple(p.split(" ")) for p in pct_phrases]
+
+    def run(text: str) -> str:
+        tokens = text.split(" ")
+        out: List[str] = []
+        i = 0
+        while i < len(tokens):
+            j = i
+            span: List[str] = []
+            while j < len(tokens) and tokens[j].lower() in keys:
+                span.append(tokens[j].lower())
+                j += 1
+            while span and span[0] in connectors:
+                span.pop(0)
+                i += 1
+            while span and span[-1] in connectors:
+                span.pop()
+                j -= 1
+            meaningful = [w for w in span if w not in connectors]
+            if len(meaningful) >= 2 or (
+                    len(meaningful) == 1
+                    and (digits.get(meaningful[0], 0) >= 10
+                         or meaningful[0] in units or meaningful[0] in bigs
+                         or meaningful[0] in standalones)):
+                val = _positional_span_to_int(meaningful, digits, units,
+                                              bigs, standalones)
+                suffix = ""
+                for ph in pct_phrases:
+                    nxt = tuple(t.lower() for t in tokens[j: j + len(ph)])
+                    if nxt == ph:
+                        suffix = "%"
+                        j += len(ph)
+                        break
+                out.append(str(val) + suffix)
+                i = j
+            else:
+                out.append(tokens[i])
+                i += 1
+        return " ".join(out)
+
+    return run
+
+
+_ID_DIGITS = {
+    "nol": 0, "kosong": 0, "satu": 1, "dua": 2, "tiga": 3, "empat": 4,
+    "lima": 5, "enam": 6, "tujuh": 7, "delapan": 8, "sembilan": 9,
+    "sepuluh": 10, "sebelas": 11, "belas": 10,  # "dua belas" = 2 + 10
+}
+_ID_UNITS = {"puluh": 10, "ratus": 100}
+_ID_BIGS = {"seribu": 1000, "ribu": 1000, "juta": 10**6}
+_ID_STANDALONE = {"seratus": 100}
+
+_VI_DIGITS = {
+    "không": 0, "một": 1, "mốt": 1, "hai": 2, "ba": 3, "bốn": 4, "tư": 4,
+    "năm": 5, "lăm": 5, "sáu": 6, "bảy": 7, "tám": 8, "chín": 9,
+    "mười": 10,
+}
+_VI_UNITS = {"mươi": 10, "trăm": 100}
+_VI_BIGS = {"nghìn": 1000, "ngàn": 1000, "triệu": 10**6}
+
+_TL_DIGITS = {
+    "isa": 1, "isang": 1, "dalawa": 2, "dalawang": 2, "tatlo": 3,
+    "tatlong": 3, "apat": 4, "lima": 5, "limang": 5, "anim": 6, "pito": 7,
+    "pitong": 7, "walo": 8, "walong": 8, "siyam": 9, "sampu": 10,
+    "dalawampu": 20, "tatlumpu": 30, "apatnapu": 40, "limampu": 50,
+    "animnapu": 60, "pitumpu": 70, "walumpu": 80, "siyamnapu": 90,
+    # labing- teens (common spaced/joined spoken forms)
+    "labing-isa": 11, "labingisa": 11, "labindalawa": 12, "labintatlo": 13,
+    "labing-apat": 14, "labing-lima": 15, "labinlima": 15, "labing-anim": 16,
+    "labimpito": 17, "labing-walo": 18, "labinsiyam": 19,
+}
+_TL_UNITS = {"daan": 100, "raan": 100}
+_TL_BIGS = {"libo": 1000, "libong": 1000, "milyon": 10**6}
+
+_itn_id = _make_positional_itn(_ID_DIGITS, _ID_UNITS, _ID_BIGS, {"persen"},
+                               standalones=_ID_STANDALONE)
+_itn_vi = _make_positional_itn(_VI_DIGITS, _VI_UNITS, _VI_BIGS,
+                               {"phần trăm"}, connectors={"linh", "lẻ"})
+_itn_tl = _make_positional_itn(_TL_DIGITS, _TL_UNITS, _TL_BIGS,
+                               {"porsyento"}, connectors={"at", "'t"},
+                               standalones={"sandaan": 100, "sanlibo": 1000})
+
+
 def inverse_normalize(text: str, lang: str = "zh") -> str:
     """Spoken-form -> written-form for numbers/decimals/percents.
 
-    Language coverage (reference fun_text_processing supports zh en ja ko
-    de es fr id pt ru tl vi): zh/en are the deepest; ja/ko share the CJK
-    positional grammar; es/fr/de cover cardinals + percents.  Unknown
-    languages pass through unchanged.
+    Language coverage matches the reference fun_text_processing set (zh en
+    ja ko de es fr id pt ru tl vi, inverse_text_normalization/ dirs): zh/en
+    are the deepest; ja/ko share the CJK positional grammar; es/fr/de/pt/ru
+    cover additive cardinals + percents; id/vi/tl use the unit-multiplier
+    positional parser.  Unknown languages pass through unchanged.
     """
     lang = lang.lower()
     if lang.startswith("zh"):
@@ -379,4 +534,14 @@ def inverse_normalize(text: str, lang: str = "zh") -> str:
         return _itn_fr(text)
     if lang.startswith("de"):
         return _itn_de(text)
+    if lang.startswith("pt"):
+        return _itn_pt(text)
+    if lang.startswith("ru"):
+        return _itn_ru(text)
+    if lang.startswith("id"):
+        return _itn_id(text)
+    if lang.startswith("vi"):
+        return _itn_vi(text)
+    if lang.startswith("tl"):
+        return _itn_tl(text)
     return text

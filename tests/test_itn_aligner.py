@@ -92,8 +92,43 @@ def test_itn_german():
     assert _inv("hallo welt", "de") == "hallo welt"
 
 
-def test_itn_unknown_language_passthrough():
+def test_itn_portuguese():
+    assert _inv("tenho trinta e cinco anos", "pt") == "tenho 35 anos"
+    assert _inv("dois mil e vinte e três", "pt") == "2023"
+    assert _inv("cinquenta porcento", "pt") == "50%"
+
+
+def test_itn_russian():
+    assert _inv("двадцать три", "ru") == "23"
+    assert _inv("две тысячи двадцать три", "ru") == "2023"
+    assert _inv("пятьдесят процентов", "ru") == "50%"
+
+
+def test_itn_indonesian():
+    assert _inv("dua puluh tiga", "id") == "23"
+    assert _inv("seratus dua puluh lima", "id") == "125"
+    assert _inv("dua ribu dua puluh tiga", "id") == "2023"
+    assert _inv("lima puluh persen", "id") == "50%"
+    assert _inv("dua belas", "id") == "12"
+
+
+def test_itn_vietnamese():
+    assert _inv("hai mươi ba", "vi") == "23"
+    assert _inv("một trăm lẻ năm", "vi") == "105"
+    assert _inv("hai nghìn không trăm hai mươi ba", "vi") == "2023"
+    assert _inv("năm mươi phần trăm", "vi") == "50%"
+    # ordinary words untouched
     assert _inv("xin chào", "vi") == "xin chào"
+
+
+def test_itn_tagalog():
+    assert _inv("dalawampu at tatlo", "tl") == "23"
+    assert _inv("dalawang daan", "tl") == "200"
+    assert _inv("limampu porsyento", "tl") == "50%"
+
+
+def test_itn_unknown_language_passthrough():
+    assert _inv("habari ya dunia arobaini", "sw") == "habari ya dunia arobaini"
 
 
 # ----------------------------------------------------- forward TN (zh/en)
