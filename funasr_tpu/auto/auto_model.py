@@ -180,6 +180,7 @@ class AutoModel:
             from funasr_tpu.auto.engines import HybridEngine
 
             module = cls(
+                decoder=cfg.get("decoder", "TransformerDecoder"),
                 decoder_conf=cfg.get("decoder_conf"),
                 **common, **(cfg.get("model_conf") or {}),
             )

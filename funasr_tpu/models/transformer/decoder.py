@@ -146,3 +146,97 @@ class TransformerDecoder(nn.Module):
         x = LayerNormF32(self.dtype, self.param_dtype, name="after_norm")(x)
         return nn.Dense(self.vocab_size, name="output_layer",
                         dtype=self.dtype, param_dtype=self.param_dtype)(x)
+
+
+class RWKVDecoderLayer(nn.Module):
+    """Decoder layer with an RWKV time-mix in place of causal self-attention
+    (reference funasr/models/conformer_rwkv/decoder.py:37 ``DecoderLayer``,
+    which swaps MultiHeadedAttention for ``RWKV_TimeMix``).
+
+    The WKV recurrence is causal by construction, so no subsequent mask is
+    needed; padding tokens sit after the valid prefix and cannot leak
+    backwards through the scan.  Cross-attention and the FFN are the
+    standard transformer blocks.
+    """
+
+    size: int
+    n_head: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    src_attention_dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inputs, deterministic: bool = True):
+        from funasr_tpu.models.rwkv import TimeMix
+
+        tgt_mask, memory, memory_mask = inputs
+        res = x
+        h = LayerNormF32(self.dtype, self.param_dtype, name="norm1")(x)
+        h = TimeMix(self.size, param_dtype=self.param_dtype,
+                    name="self_attn")(h).astype(x.dtype)
+        x = res + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        res = x
+        h = LayerNormF32(self.dtype, self.param_dtype, name="norm2")(x)
+        h = MultiHeadAttention(self.n_head, self.size,
+                               self.src_attention_dropout_rate,
+                               self.dtype, self.param_dtype, name="src_attn"
+                               )(h, memory, memory_mask, deterministic)
+        x = res + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        res = x
+        h = LayerNormF32(self.dtype, self.param_dtype, name="norm3")(x)
+        h = PositionwiseFeedForward(self.linear_units, self.size,
+                                    self.dropout_rate, self.dtype,
+                                    self.param_dtype, name="feed_forward"
+                                    )(h, deterministic)
+        return res + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic), None
+
+
+@tables.register("decoder_classes", "TransformerRWKVDecoder")
+class TransformerRWKVDecoder(nn.Module):
+    """AR decoder whose self-attention is the RWKV WKV recurrence
+    (reference funasr/models/conformer_rwkv/decoder.py:379
+    ``TransformerRWKVDecoder``; select with ``decoder:
+    TransformerRWKVDecoder`` in a hybrid config = the reference's
+    conformer_rwkv model).  Same call contract as ``TransformerDecoder``."""
+
+    vocab_size: int
+    encoder_output_size: int
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    self_attention_dropout_rate: float = 0.0
+    src_attention_dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, memory, memory_lengths, ys_in, ys_in_lengths,
+                 deterministic: bool = True):
+        B, U = ys_in.shape
+        T = memory.shape[1]
+        d = self.encoder_output_size
+        x = nn.Embed(self.vocab_size, d, name="embed",
+                     dtype=self.dtype, param_dtype=self.param_dtype)(ys_in)
+        pe = transformer_encoding(U, d)
+        x = x * (d ** 0.5) + pe[None].astype(x.dtype)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+        memory_mask = key_mask(memory_lengths, T, jnp.float32)[:, None, :, :]
+        Stack = nn.scan(
+            RWKVDecoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_blocks,
+            in_axes=(nn.broadcast, nn.broadcast),
+        )
+        x, _ = Stack(
+            d, self.attention_heads, self.linear_units, self.dropout_rate,
+            self.src_attention_dropout_rate,
+            self.dtype, self.param_dtype, name="decoders",
+        )(x, (None, memory.astype(self.dtype), memory_mask), deterministic)
+        x = LayerNormF32(self.dtype, self.param_dtype, name="after_norm")(x)
+        return nn.Dense(self.vocab_size, name="output_layer",
+                        dtype=self.dtype, param_dtype=self.param_dtype)(x)

@@ -46,6 +46,7 @@ class _HybridModel(nn.Module):
     vocab_size: int
     input_size: int = 80
     encoder_conf: Dict[str, Any] = None
+    decoder: str = "TransformerDecoder"
     decoder_conf: Dict[str, Any] = None
     ctc_weight: float = 0.3
     lsm_weight: float = 0.1
@@ -64,7 +65,10 @@ class _HybridModel(nn.Module):
         self.encoder = self.make_encoder()
         d = self.encoder.output_size
         dec_conf = dict(self.decoder_conf or {})
-        self.decoder = TransformerDecoder(
+        # decoder selectable by registry name (e.g. TransformerRWKVDecoder
+        # = the reference's conformer_rwkv model)
+        dec_cls = tables.get("decoder_classes", self.decoder)
+        self.decoder_module = dec_cls(
             vocab_size=self.vocab_size, encoder_output_size=d,
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="decoder", **dec_conf,
@@ -81,7 +85,7 @@ class _HybridModel(nn.Module):
         ys_in, ys_out, ys_lens = add_sos_eos(
             text, text_lengths, self.sos, self.eos, self.ignore_id
         )
-        logits = self.decoder(enc, enc_lens, ys_in, ys_lens, deterministic)
+        logits = self.decoder_module(enc, enc_lens, ys_in, ys_lens, deterministic)
         loss_att = losses.label_smoothing_loss(
             logits, ys_out, self.ignore_id, self.lsm_weight,
             self.length_normalized_loss,
@@ -112,7 +116,7 @@ class _HybridModel(nn.Module):
         def decode_fn(ys, step):
             L = ys.shape[1]
             lens = jnp.full((ys.shape[0],), L, jnp.int32)
-            logits = self.decoder(enc_rep, lens_rep, ys, lens, True)
+            logits = self.decoder_module(enc_rep, lens_rep, ys, lens, True)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return jnp.take_along_axis(
                 logp, jnp.broadcast_to(step[None, None, None],
