@@ -85,6 +85,72 @@ class AudioDataset:
         return batch
 
 
+@tables.register("dataset_classes", "SenseVoiceCTCDataset")
+class SenseVoiceCTCDataset(AudioDataset):
+    """SenseVoice CTC training dataset (reference
+    funasr/datasets/sense_voice_datasets/datasets.py:235
+    ``SenseVoiceCTCDataset``): the target is ``[lid, emo, event, itn,
+    text]`` token ids — the rich-tag prefix tokens come from the jsonl
+    fields ``text_language`` / ``emo_target`` / ``event_target`` /
+    ``with_or_wo_itn`` (defaults <|zh|> <|NEUTRAL|> <|Speech|> <|woitn|>,
+    datasets.py:328-331), produced by the sensevoice2jsonl CLI."""
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        rec = self.index_ds[i]
+        wav = load_audio(rec["source"], fs=self.fs)
+        item = {"key": rec["key"], "speech": wav, "speech_length": len(wav)}
+        if self.tokenizer is not None and rec.get("target"):
+            prefix = (rec.get("text_language", "<|zh|>")
+                      + rec.get("emo_target", "<|NEUTRAL|>")
+                      + rec.get("event_target", "<|Speech|>")
+                      + rec.get("with_or_wo_itn", "<|woitn|>"))
+            ids = (self.tokenizer.encode(prefix)
+                   + self.tokenizer.encode(rec["target"]))
+            item["text"] = np.asarray(ids, np.int32)
+            item["text_length"] = len(ids)
+        return item
+
+
+@tables.register("dataset_classes", "KwsMTDataset")
+class KwsMTDataset(AudioDataset):
+    """Multi-task KWS dataset (reference
+    funasr/datasets/kws_datasets/datasets.py:10 ``KwsMTDataset``): the same
+    target is tokenized by TWO tokenizers — keyword vocabulary (``text``)
+    and full ASR vocabulary (``text2``) — feeding FsmnKWSMT's dual CTC
+    heads (kws_datasets/datasets.py:82-96)."""
+
+    def __init__(self, index_ds, tokenizer=None, tokenizer2=None,
+                 fs: int = 16000, data_type: str = "sound", **kwargs):
+        super().__init__(index_ds, tokenizer, fs, data_type, **kwargs)
+        self.tokenizer2 = tokenizer2
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        item = super().__getitem__(i)
+        rec = self.index_ds[i]
+        if self.tokenizer2 is not None and rec.get("target"):
+            ids2 = self.tokenizer2.encode(rec["target"])
+            item["text2"] = np.asarray(ids2, np.int32)
+            item["text2_length"] = len(ids2)
+        return item
+
+    def collate(self, items, pad_speech_len=None, pad_text_len=None,
+                ignore_id: int = -1, pad_text2_len=None):
+        batch = super().collate(items, pad_speech_len, pad_text_len,
+                                ignore_id)
+        if "text2" in items[0]:
+            B = len(items)
+            t_len = pad_text2_len or max(it["text2_length"] for it in items)
+            text2 = np.full((B, t_len), ignore_id, np.int32)
+            text2_lengths = np.zeros((B,), np.int32)
+            for b, it in enumerate(items):
+                n = min(it["text2_length"], t_len)
+                text2[b, :n] = it["text2"][:n]
+                text2_lengths[b] = n
+            batch["text2"] = text2
+            batch["text2_lengths"] = text2_lengths
+        return batch
+
+
 @tables.register("dataset_classes", "AudioDatasetHotword")
 class AudioDatasetHotword(AudioDataset):
     """Hotword-training dataset (reference datasets.py:122

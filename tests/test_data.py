@@ -252,3 +252,55 @@ def test_llm_chat_dataset(tmp_path, rng):
     batch = ds.collate(items)
     assert "prompt" in batch and batch["prompt"].shape[0] == 2
     assert (batch["prompt_lengths"] > 0).all()
+
+
+def test_kws_mt_dataset(corpus):
+    from funasr_tpu.datasets.dataset import KwsMTDataset
+
+    jsonl, recs = corpus
+    ids = IndexDSJsonl(str(jsonl))
+    toks = ["<blank>", "<s>", "</s>", "你", "好", "世", "界"]
+    tok_kw = CharTokenizer(token_list=toks[:5], split_with_space=True)
+    tok_asr = CharTokenizer(token_list=toks, split_with_space=True)
+    ds = KwsMTDataset(ids, tokenizer=tok_kw, tokenizer2=tok_asr)
+    item = ds[3]
+    assert "text" in item and "text2" in item
+    batch = ds.collate([ds[0], ds[3]], pad_speech_len=16000,
+                       pad_text_len=6, pad_text2_len=6)
+    assert batch["text"].shape == (2, 6) and batch["text2"].shape == (2, 6)
+    assert (batch["text2"][0, batch["text2_lengths"][0]:] == -1).all()
+    # same target, two vocabularies: lengths agree, ids may differ
+    assert (batch["text_lengths"] == batch["text2_lengths"]).all()
+
+
+def test_sensevoice_ctc_dataset(tmp_path, rng):
+    from funasr_tpu.datasets.dataset import SenseVoiceCTCDataset
+
+    n = 3200
+    wav = rng.standard_normal(n).astype(np.float32) * 0.1
+    p = tmp_path / "sv.wav"
+    _write_wav(p, wav)
+    rec = dict(key="sv0", source=str(p), target="你 好",
+               source_len=n, target_len=2,
+               text_language="<|en|>", emo_target="<|HAPPY|>",
+               event_target="<|BGM|>", with_or_wo_itn="<|withitn|>")
+    jsonl = tmp_path / "sv.jsonl"
+    with open(jsonl, "w", encoding="utf-8") as f:
+        f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+    toks = ["<blank>", "<s>", "</s>", "你", "好",
+            "<|en|>", "<|HAPPY|>", "<|BGM|>", "<|withitn|>"]
+
+    class _SVTok:
+        def encode(self, s):
+            import re
+            out = []
+            for piece in re.findall(r"<\|[^|]+\|>|\S", s):
+                if piece in toks:
+                    out.append(toks.index(piece))
+            return out
+
+    ds = SenseVoiceCTCDataset(IndexDSJsonl(str(jsonl)), tokenizer=_SVTok())
+    item = ds[0]
+    # [lid, emo, event, itn, text...]
+    assert item["text"][:4].tolist() == [5, 6, 7, 8]
+    assert item["text_length"] == 6
