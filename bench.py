@@ -64,6 +64,9 @@ def main():
         feats, flens = fbank_pallas(wav, lens)
         lfr, lfr_lens = F.apply_lfr(feats, flens, 7, 6)
         x = F.apply_cmvn(lfr, cmvn)
+        # 128-aligned frame axis: clean MXU tiling + the fused Pallas
+        # attention path (ops/attention_pallas.py)
+        x = F.pad_frames(x, 128)
         return model.apply(params, x, lfr_lens, max_tokens=max_tokens,
                            method=model.greedy_decode)
 

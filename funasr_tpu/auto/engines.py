@@ -58,6 +58,7 @@ class FrontendConfig:
         if self.lfr_m != 1 or self.lfr_n != 1:
             feats, flens = F.apply_lfr(feats, flens, self.lfr_m, self.lfr_n)
         feats = F.apply_cmvn(feats, self.cmvn)
+        feats = F.pad_frames(feats, 128)
         return feats, flens
 
 

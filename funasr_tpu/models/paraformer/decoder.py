@@ -94,6 +94,22 @@ class CrossAttention(nn.Module):
                       dtype=self.dtype, param_dtype=self.param_dtype)(memory)
         k, v = jnp.split(kv, 2, axis=-1)
         H = self.n_head
+
+        from funasr_tpu.ops import attention_pallas as AP
+
+        key_mask_only = memory_mask is None or memory_mask.shape[1] == 1
+        if (AP.enabled() and key_mask_only
+                and AP.supported(U, d_k, v.dtype, None, Tk=T)
+                and (self.dropout_rate == 0.0 or deterministic)):
+            # fused VMEM cross-attention (same kernel as the encoder path)
+            if memory_mask is None:
+                bias = jnp.zeros((B, T), jnp.float32)
+            else:
+                bias = (1.0 - memory_mask[:, 0, :].astype(jnp.float32)) * -1e30
+            ctx = AP.fused_attention(q * (d_k ** -0.5), k, v, bias, H)
+            return nn.Dense(self.n_feat, name="linear_out",
+                            dtype=self.dtype, param_dtype=self.param_dtype)(ctx)
+
         # merged (B*H) 3D matmuls (fewer TPU layout copies than 4D einsum)
         q2 = (q.reshape(B, U, H, d_k).transpose(0, 2, 1, 3)
               .reshape(B * H, U, d_k)) * (d_k ** -0.5)

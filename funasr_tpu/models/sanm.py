@@ -121,6 +121,24 @@ class MultiHeadedAttentionSANM(nn.Module):
 
         B, T, _ = x.shape
         H = self.n_head
+
+        from funasr_tpu.ops import attention_pallas as AP
+
+        if (AP.enabled() and AP.supported(T, d_k, v.dtype, attn_mask)
+                and (self.dropout_rate == 0.0 or deterministic)):
+            # fused VMEM attention: scores never hit HBM, inputs stay in
+            # (B, T, H*d) layout (no head transposes)
+            if mask is None:
+                bias = jnp.zeros((B, T), jnp.float32)
+            else:
+                bias = (1.0 - mask[:, 0, :].astype(jnp.float32)) * -1e30
+            ctx = AP.fused_attention(q * (d_k ** -0.5), k, v, bias, H)
+            out = nn.Dense(
+                self.n_feat, name="linear_out",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )(ctx)
+            return out + mem
+
         # merged (B*H) 3D batched matmuls: measurably fewer layout copies
         # on TPU than the 4D "bthd,bshd->bhts" form (XLA re-lays the 4D
         # attention matrix between the two dots and softmax)
