@@ -334,3 +334,39 @@ def conformer_from_torch(sd: Mapping[str, np.ndarray],
     stats["encoders"] = _stack_layers(sts)
     _norm(sd, "after_norm", tree, "after_norm")
     return {"params": tree, "batch_stats": stats}
+
+
+def sense_voice_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference SenseVoiceSmall state_dict -> flax tree for
+    funasr_tpu.models.sense_voice.SenseVoiceSmall.
+
+    Reference layout (funasr/models/sense_voice/model.py:443,588):
+    ``encoder.encoders0.0`` / ``encoder.encoders.{i}`` /
+    ``encoder.tp_encoders.{i}`` SANM layers, ``encoder.after_norm`` /
+    ``encoder.tp_norm``, prompt-query ``embed`` (16 x input_size), and the
+    ``ctc.ctc_lo`` head.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tree: Dict[str, Any] = {}
+
+    enc: Dict[str, Any] = {}
+    _enc_layer(sd, "encoder.encoders0.0", enc, "encoders0")
+    for tname, jname in (("encoder.encoders", "encoders"),
+                         ("encoder.tp_encoders", "tp_encoders")):
+        n = _count_layers(sd, tname)
+        layers = []
+        for i in range(n):
+            lt: Dict[str, Any] = {}
+            _enc_layer(sd, f"{tname}.{i}", lt, "L")
+            layers.append(lt["L"])
+        if layers:
+            enc[jname] = _stack_layers(layers)
+    _norm(sd, "encoder.after_norm", enc, "after_norm")
+    _norm(sd, "encoder.tp_norm", enc, "tp_norm")
+    tree["encoder"] = enc
+
+    tree["embed"] = {"embedding": sd["embed.weight"]}
+    ctc: Dict[str, Any] = {}
+    _linear(sd, "ctc.ctc_lo", ctc, "ctc_lo")
+    tree["ctc_lo"] = ctc["ctc_lo"]
+    return {"params": tree}

@@ -203,3 +203,60 @@ def test_conformer_encoder_parity():
         np.testing.assert_allclose(np.asarray(got)[b, :n],
                                    ref_out.numpy()[b, :n],
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_sense_voice_parity():
+    """SenseVoice CTC logits (incl. the 4 prompt-query positions) match the
+    reference SenseVoiceEncoderSmall + prompt composition + ctc_lo."""
+    from funasr_tpu.convert import sense_voice_from_torch
+    from funasr_tpu.models.sense_voice.model import SenseVoiceSmall
+
+    m = load_reference("funasr.models.sense_voice.model")
+    torch.manual_seed(3)
+    IN_SV, D_SV, V_SV = 20, 16, 40
+    enc = m.SenseVoiceEncoderSmall(
+        input_size=IN_SV, output_size=D_SV, attention_heads=2,
+        linear_units=32, num_blocks=2, tp_blocks=2, kernel_size=5,
+        dropout_rate=0.0, attention_dropout_rate=0.0)
+    enc.eval()
+    embed = torch.nn.Embedding(16, IN_SV)
+    ctc_lo = torch.nn.Linear(D_SV, V_SV)
+    sd = {}
+    for k, v in enc.state_dict().items():
+        sd[f"encoder.{k}"] = v.detach().numpy()
+    sd["embed.weight"] = embed.weight.detach().numpy()
+    sd["ctc.ctc_lo.weight"] = ctc_lo.weight.detach().numpy()
+    sd["ctc.ctc_lo.bias"] = ctc_lo.bias.detach().numpy()
+    params = sense_voice_from_torch(sd)
+
+    ours = SenseVoiceSmall(
+        vocab_size=V_SV, input_size=IN_SV,
+        encoder_conf=dict(output_size=D_SV, attention_heads=2,
+                          linear_units=32, num_blocks=2, tp_blocks=2,
+                          kernel_size=5, dropout_rate=0.0))
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 26, IN_SV)).astype(np.float32)
+    lens = np.array([26, 18], np.int32)
+    lid = np.array([3, 4], np.int32)       # zh, en query ids
+    tn = np.array([15, 14], np.int32)      # woitn, withitn
+
+    # reference composition (model.py:756-772): [lang, event, emo, style]
+    with torch.no_grad():
+        sp = torch.from_numpy(x)
+        lang_q = embed(torch.from_numpy(lid.astype(np.int64))[:, None])
+        style_q = embed(torch.from_numpy(tn.astype(np.int64))[:, None])
+        ev_emo = embed(torch.tensor([[1, 2]])).repeat(2, 1, 1)
+        sp = torch.cat([lang_q, ev_emo, style_q, sp], dim=1)
+        sl = torch.from_numpy((lens + 4).astype(np.int64))
+        ref_out, _ = enc(sp, sl)
+        ref_logits = ctc_lo(ref_out).numpy()
+
+    got = np.asarray(ours.apply(
+        params, jnp.asarray(x), jnp.asarray(lens), jnp.asarray(lid),
+        jnp.asarray(tn), True,
+        method=lambda mdl, s, sl_, li, tn_, det: mdl.ctc_lo(
+            mdl.encode(s, sl_, li, tn_, det)[0])))
+    for b, n in enumerate(lens + 4):
+        np.testing.assert_allclose(got[b, :n], ref_logits[b, :n],
+                                   rtol=1e-4, atol=1e-4)
