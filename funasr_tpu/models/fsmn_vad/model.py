@@ -384,6 +384,13 @@ class FsmnVADStreaming:
         return np.asarray(posteriors)[..., self.sil_pdf_ids].sum(-1)
 
     def new_state(self) -> VadStateMachine:
+        """Endpoint state machine: native C++ (runtime/native/fta_vad.cc)
+        when the toolchain is available, else this module's Python
+        implementation — identical semantics (tests/test_native_vad.py)."""
+        from funasr_tpu.runtime import native_vad
+
+        if native_vad.is_available():
+            return native_vad.NativeVadStateMachine(self.opts)
         return VadStateMachine(self.opts)
 
     def segments_offline(self, feats: jnp.ndarray, waveform: np.ndarray
