@@ -370,3 +370,77 @@ def sense_voice_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     _linear(sd, "ctc.ctc_lo", ctc, "ctc_lo")
     tree["ctc_lo"] = ctc["ctc_lo"]
     return {"params": tree}
+
+
+def campplus_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference CAMPPlus state_dict -> flax variables (params +
+    batch_stats) for funasr_tpu.models.campplus.CAMPPlus.
+
+    Reference layout (funasr/models/campplus/model.py:37, components.py):
+    ``head`` FCM (conv2d/bn2d + two residual stages), ``xvector`` Sequential
+    of tdnn / block{i}.tdnnd{j} (CAM dense TDNN) / transit{i} /
+    out_nonlinear / dense.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv2d(t, jp):
+        _set(params, f"{jp}/kernel", np.ascontiguousarray(
+            np.transpose(sd[f"{t}.weight"], (2, 3, 1, 0))))
+
+    def conv1d(t, jp):
+        w = sd[f"{t}.weight"]  # (out, in, k)
+        _set(params, f"{jp}/kernel", np.ascontiguousarray(
+            np.transpose(w, (2, 1, 0))))
+        if f"{t}.bias" in sd:
+            _set(params, f"{jp}/bias", sd[f"{t}.bias"])
+
+    def bn(t, jp, affine=True):
+        if affine:
+            _set(params, f"{jp}/scale", sd[f"{t}.weight"])
+            _set(params, f"{jp}/bias", sd[f"{t}.bias"])
+        _set(stats, f"{jp}/mean", sd[f"{t}.running_mean"])
+        _set(stats, f"{jp}/var", sd[f"{t}.running_var"])
+
+    # FCM head
+    conv2d("head.conv1", "head/conv1")
+    bn("head.bn1", "head/bn1")
+    for stage in (1, 2):
+        for i in (0, 1):
+            p = f"head.layer{stage}.{i}"
+            jp = f"head/layer{stage}_{i}"
+            conv2d(f"{p}.conv1", f"{jp}/conv1")
+            bn(f"{p}.bn1", f"{jp}/bn1")
+            conv2d(f"{p}.conv2", f"{jp}/conv2")
+            bn(f"{p}.bn2", f"{jp}/bn2")
+            if f"{p}.shortcut.0.weight" in sd:
+                conv2d(f"{p}.shortcut.0", f"{jp}/shortcut_conv")
+                bn(f"{p}.shortcut.1", f"{jp}/shortcut_bn")
+    conv2d("head.conv2", "head/conv2")
+    bn("head.bn2", "head/bn2")
+
+    # xvector trunk
+    conv1d("xvector.tdnn.linear", "tdnn_conv")
+    bn("xvector.tdnn.nonlinear.batchnorm", "tdnn_bn")
+    for bi in (1, 2, 3):
+        li = 1
+        while f"xvector.block{bi}.tdnnd{li}.linear1.weight" in sd:
+            p = f"xvector.block{bi}.tdnnd{li}"
+            jp = f"block{bi}_tdnnd{li}"
+            bn(f"{p}.nonlinear1.batchnorm", f"{jp}/bn1")
+            conv1d(f"{p}.linear1", f"{jp}/linear1")
+            bn(f"{p}.nonlinear2.batchnorm", f"{jp}/bn2")
+            conv1d(f"{p}.cam_layer.linear_local", f"{jp}/cam_layer/linear_local")
+            conv1d(f"{p}.cam_layer.linear1", f"{jp}/cam_layer/linear1")
+            conv1d(f"{p}.cam_layer.linear2", f"{jp}/cam_layer/linear2")
+            li += 1
+        bn(f"xvector.transit{bi}.nonlinear.batchnorm", f"transit{bi}_bn")
+        conv1d(f"xvector.transit{bi}.linear", f"transit{bi}_linear")
+    bn("xvector.out_nonlinear.batchnorm", "out_bn")
+    # dense: conv1d k=1 (out, in, 1) -> Dense (in, out); affine-less BN
+    _set(params, "dense_linear/kernel", np.ascontiguousarray(
+        sd["xvector.dense.linear.weight"][:, :, 0].T))
+    bn("xvector.dense.nonlinear.batchnorm", "dense_bn", affine=False)
+
+    return {"params": params, "batch_stats": stats}

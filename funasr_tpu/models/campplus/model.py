@@ -88,7 +88,9 @@ class FCM(nn.Module):
                          dtype=jnp.float32)(h)
         h = nn.relu(h)
         B, F_, T, C = h.shape
-        return jnp.swapaxes(h, 1, 2).reshape(B, T, F_ * C)
+        # channel-major flatten (torch reshape(B, C*F, T), components.py:76):
+        # feature index = c * F + f
+        return jnp.transpose(h, (0, 2, 3, 1)).reshape(B, T, C * F_)
 
 
 class CAMLayer(nn.Module):
@@ -105,12 +107,17 @@ class CAMLayer(nn.Module):
         y = conv1d(x, self.out_channels, self.kernel,
                    dilation=self.dilation, name="linear_local")
         glob = jnp.mean(x, axis=1, keepdims=True)  # (B, 1, C)
-        # segment pooling: mean over fixed 100-frame segments, broadcast back
+        # segment pooling: mean over 100-frame segments, broadcast back.
+        # The tail segment averages over its ACTUAL length (the reference
+        # uses avg_pool1d(ceil_mode=True), components.py:172-175), so the
+        # zero-padded sum is divided by the true per-segment frame count.
         B, T, C = x.shape
         pad = (-T) % self.seg_len
         xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         nseg = xp.shape[1] // self.seg_len
-        seg = xp.reshape(B, nseg, self.seg_len, C).mean(axis=2)
+        counts = jnp.clip(T - jnp.arange(nseg) * self.seg_len, 1, self.seg_len)
+        seg = (xp.reshape(B, nseg, self.seg_len, C).sum(axis=2)
+               / counts[None, :, None])
         seg = jnp.repeat(seg, self.seg_len, axis=1)[:, :T]
         context = glob + seg
         m = nn.relu(nn.Conv(self.bn_channels // self.reduction, (1,),

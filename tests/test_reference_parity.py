@@ -260,3 +260,28 @@ def test_sense_voice_parity():
     for b, n in enumerate(lens + 4):
         np.testing.assert_allclose(got[b, :n], ref_logits[b, :n],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_campplus_parity():
+    """Speaker embeddings match the reference CAM++ D-TDNN."""
+    from funasr_tpu.convert import campplus_from_torch
+    from funasr_tpu.models.campplus.model import CAMPPlus
+
+    m = load_reference("funasr.models.campplus.model")
+    torch.manual_seed(1)
+    net = m.CAMPPlus(feat_dim=16, embedding_size=8, growth_rate=4,
+                     bn_size=2, init_channels=8, memory_efficient=False)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    variables = campplus_from_torch(sd)
+
+    ours = CAMPPlus(feat_dim=16, embedding_size=8, growth_rate=4,
+                    bn_size=2, init_channels=8)
+    rng = np.random.default_rng(13)
+    # > 100 frames after the stride-2 tdnn so CAM segment pooling hits the
+    # ceil-mode tail-average path
+    x = rng.standard_normal((2, 230, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
