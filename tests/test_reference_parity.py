@@ -285,3 +285,90 @@ def test_campplus_parity():
         ref = net(torch.from_numpy(x)).numpy()
     got = np.asarray(ours.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["light", "light2d", "dynamic", "dynamic2d"])
+def test_conv_attention_parity(kind):
+    """Lightweight/dynamic convolution 'attention' matches the reference
+    fairseq-style modules (transformer/utils/{lightconv,dynamic_conv}*.py)."""
+    from funasr_tpu.models.transformer.decoder import (DynamicConvolution,
+                                                       LightweightConvolution)
+
+    H, C, k, B, T = 2, 8, 5, 2, 12
+    torch.manual_seed(0)
+    if kind == "light":
+        m = load_reference("funasr.models.transformer.utils.lightconv")
+        ref = m.LightweightConvolution(H, C, 0.0, k, use_kernel_mask=True,
+                                       use_bias=True)
+    elif kind == "light2d":
+        m = load_reference("funasr.models.transformer.utils.lightconv2d")
+        ref = m.LightweightConvolution2D(H, C, 0.0, k, use_kernel_mask=True,
+                                         use_bias=True)
+    elif kind == "dynamic":
+        m = load_reference("funasr.models.transformer.utils.dynamic_conv")
+        ref = m.DynamicConvolution(H, C, 0.0, k, use_kernel_mask=True,
+                                   use_bias=True)
+    else:
+        m = load_reference("funasr.models.transformer.utils.dynamic_conv2d")
+        ref = m.DynamicConvolution2D(H, C, 0.0, k, use_kernel_mask=True,
+                                     use_bias=True)
+    ref.eval()
+    sd = {kk: v.detach().numpy() for kk, v in ref.state_dict().items()}
+
+    params = {
+        "linear1": {"kernel": sd["linear1.weight"].T,
+                    "bias": sd["linear1.bias"]},
+        "linear2": {"kernel": sd["linear2.weight"].T,
+                    "bias": sd["linear2.bias"]},
+        "bias": sd["bias"],
+    }
+    if kind.startswith("light"):
+        params["weight"] = sd["weight"][:, 0, :]
+        if kind.endswith("2d"):
+            params["weight_f"] = sd["weight_f"][0, 0]
+        ours = LightweightConvolution(wshare=H, n_feat=C, kernel_size=k,
+                                      use_kernel_mask=True, use_bias=True,
+                                      freq2d=kind.endswith("2d"))
+    else:
+        params["linear_weight"] = {"kernel": sd["linear_weight.weight"].T,
+                                   "bias": sd["linear_weight.bias"]}
+        if kind.endswith("2d"):
+            params["linear_weight_f"] = {
+                "kernel": sd["linear_weight_f.weight"].T,
+                "bias": sd["linear_weight_f.bias"]}
+        ours = DynamicConvolution(wshare=H, n_feat=C, kernel_size=k,
+                                  use_kernel_mask=True, use_bias=True,
+                                  freq2d=kind.endswith("2d"))
+
+    x = np.random.default_rng(3).standard_normal((B, T, C)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), None, None, None).numpy()
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_lightconv_decoder_in_hybrid(rng=np.random.default_rng(4)):
+    """Conformer + LightweightConvolutionTransformerDecoder end to end."""
+    from funasr_tpu.models.transformer.model import Conformer
+
+    m = Conformer(
+        vocab_size=12, input_size=20,
+        encoder_conf=dict(output_size=16, attention_heads=2,
+                          linear_units=32, num_blocks=2,
+                          cnn_module_kernel=7, dropout_rate=0.0),
+        decoder="LightweightConvolutionTransformerDecoder",
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=2,
+                          dropout_rate=0.0, conv_wshare=2,
+                          conv_kernel_length=(3, 5)))
+    x = jnp.asarray(rng.standard_normal((2, 24, 20)), jnp.float32)
+    lens = jnp.array([24, 16], jnp.int32)
+    text = jnp.array([[3, 4, 5], [6, 7, 0]], jnp.int32)
+    tlens = jnp.array([3, 2], jnp.int32)
+    params = m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, lens, text, tlens)
+    loss, _ = m.apply(params, x, lens, text, tlens, deterministic=True)
+    assert np.isfinite(float(loss))
+    toks, lens_out, scores = m.apply(params, x, lens, 3, 5,
+                                     method=m.decode_beam)
+    assert toks.shape[0] == 2 and np.isfinite(np.asarray(scores)).all()
