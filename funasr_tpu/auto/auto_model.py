@@ -175,14 +175,18 @@ class AutoModel:
                     method=module.greedy_decode,
                 )
             return SenseVoiceEngine(module, params, frontend, tokenizer)
-        if name in ("Conformer", "Transformer", "Branchformer",
+        if name in ("Conformer", "Transformer", "SANM", "Branchformer",
                     "EBranchformer"):
             from funasr_tpu.auto.engines import HybridEngine
 
+            kw = {}
+            if name in ("Conformer", "Transformer", "SANM") \
+                    and cfg.get("encoder"):
+                kw["encoder_name"] = cfg["encoder"]
             module = cls(
                 decoder=cfg.get("decoder", "TransformerDecoder"),
                 decoder_conf=cfg.get("decoder_conf"),
-                **common, **(cfg.get("model_conf") or {}),
+                **common, **(cfg.get("model_conf") or {}), **kw,
             )
             params = _load_params(cfg)
             if params is None:

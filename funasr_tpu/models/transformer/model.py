@@ -45,6 +45,7 @@ class _HybridModel(nn.Module):
 
     vocab_size: int
     input_size: int = 80
+    encoder_name: Optional[str] = None  # registry override of the default
     encoder_conf: Dict[str, Any] = None
     decoder: str = "TransformerDecoder"
     decoder_conf: Dict[str, Any] = None
@@ -58,8 +59,24 @@ class _HybridModel(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    def make_encoder(self):
+    def default_encoder(self) -> str:
         raise NotImplementedError
+
+    def make_encoder(self):
+        """Encoder by registry name: the config's ``encoder`` key when set
+        (AutoModel maps it to ``encoder_name``), else the family default."""
+        name = self.encoder_name or self.default_encoder()
+        conf = dict(self.encoder_conf or {})
+        for k in ("selfattention_layer_type", "pos_enc_class",
+                  "positional_dropout_rate", "pos_enc_layer_type",
+                  "rel_pos_type", "macaron_style", "use_cnn_module",
+                  "activation_type", "normalize_before"):
+            conf.pop(k, None)
+        if name != "SANMEncoder":  # SANM takes "pe"/None, not conv2d
+            conf.setdefault("input_layer", "conv2d")
+        cls = tables.get("encoder_classes", name)
+        return cls(input_size=self.input_size, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="encoder", **conf)
 
     def setup(self):
         self.encoder = self.make_encoder()
@@ -139,34 +156,70 @@ class _HybridModel(nn.Module):
 
 @tables.register("model_classes", "Transformer")
 class Transformer(_HybridModel):
-    def make_encoder(self):
-        conf = dict(self.encoder_conf or {})
-        conf.pop("selfattention_layer_type", None)
-        conf.pop("pos_enc_class", None)
-        conf.pop("positional_dropout_rate", None)
-        conf.setdefault("input_layer", "conv2d")
-        # reference Transformer model uses the conformer-style encoder stack
-        # without conv module; we use ConformerEncoder for conformer and a
-        # SANM-free path is future work — Transformer maps onto Conformer
-        # encoder with cnn kernel 1 would differ; keep ConformerEncoder for
-        # both families until a dedicated vanilla encoder lands.
-        return ConformerEncoder(
-            input_size=self.input_size, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="encoder", **conf,
-        )
+    """AR CTC/attention model over the vanilla TransformerEncoder
+    (reference funasr/models/transformer/model.py)."""
+
+    def default_encoder(self) -> str:
+        return "TransformerEncoder"
 
 
 @tables.register("model_classes", "Conformer")
 class Conformer(_HybridModel):
-    def make_encoder(self):
+    def default_encoder(self) -> str:
+        return "ConformerEncoder"
+
+
+@tables.register("model_classes", "SANM")
+class SANM(_HybridModel):
+    """AR SAN-M model: the Transformer contract with the SANM encoder
+    (reference funasr/models/sanm/model.py:14 ``SANM(Transformer)``)."""
+
+    def default_encoder(self) -> str:
+        return "SANMEncoder"
+
+
+@tables.register("model_classes", "CTC")
+class CTCModel(nn.Module):
+    """Encoder + CTC head only — no attention decoder (reference
+    funasr/models/ctc/model.py:17, registered as "CTC": forward computes
+    just the CTC loss, :97-104)."""
+
+    vocab_size: int
+    input_size: int = 80
+    encoder_name: Optional[str] = None
+    encoder_conf: Dict[str, Any] = None
+    ignore_id: int = -1
+    blank_id: int = 0
+    length_normalized_loss: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        name = self.encoder_name or "TransformerEncoder"
         conf = dict(self.encoder_conf or {})
-        for k in ("selfattention_layer_type", "pos_enc_class",
-                  "positional_dropout_rate", "pos_enc_layer_type",
-                  "rel_pos_type", "macaron_style", "use_cnn_module",
-                  "activation_type"):
-            conf.pop(k, None)
-        conf.setdefault("input_layer", "conv2d")
-        return ConformerEncoder(
-            input_size=self.input_size, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="encoder", **conf,
-        )
+        if name != "SANMEncoder":
+            conf.setdefault("input_layer", "conv2d")
+        cls = tables.get("encoder_classes", name)
+        self.encoder = cls(input_size=self.input_size, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="encoder",
+                           **conf)
+        self.ctc_lo = nn.Dense(self.vocab_size, name="ctc_lo",
+                               dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def encode(self, speech, speech_lengths, deterministic=True):
+        return self.encoder(speech, speech_lengths, deterministic)
+
+    def __call__(self, speech, speech_lengths, text, text_lengths,
+                 deterministic: bool = False):
+        enc, enc_lens = self.encode(speech, speech_lengths, deterministic)
+        logits = self.ctc_lo(enc)
+        loss = losses.ctc_loss(logits, enc_lens, text, text_lengths,
+                               self.ignore_id, self.blank_id)
+        return loss, {"loss": loss, "loss_ctc": loss}
+
+    def greedy_decode(self, speech, speech_lengths):
+        from funasr_tpu.ops.ctc_decode import ctc_greedy_decode
+
+        enc, enc_lens = self.encode(speech, speech_lengths, True)
+        logp = jax.nn.log_softmax(self.ctc_lo(enc).astype(jnp.float32), -1)
+        return ctc_greedy_decode(logp, enc_lens, self.blank_id)

@@ -59,3 +59,52 @@ def test_hybrid_model_train_and_decode(cls, rng):
         params, x, lens, beam=3, maxlen=6, method=model.decode_beam)
     assert toks.shape[0] == 2 and toks.shape[1] == 3
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_transformer_uses_vanilla_encoder(rng):
+    """Transformer now runs the true TransformerEncoder (no conv module),
+    SANM model the SANM encoder, CTC model is encoder+CTC only."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from funasr_tpu.models.transformer.model import CTCModel, SANM, Transformer
+
+    x = jnp.asarray(rng.standard_normal((2, 24, 20)), jnp.float32)
+    lens = jnp.array([24, 16], jnp.int32)
+    text = jnp.array([[3, 4, 5], [6, 7, 0]], jnp.int32)
+    tlens = jnp.array([3, 2], jnp.int32)
+
+    tm = Transformer(vocab_size=12, input_size=20,
+                     encoder_conf=dict(output_size=16, attention_heads=2,
+                                       linear_units=32, num_blocks=2,
+                                       dropout_rate=0.0))
+    p = tm.init({"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, x, lens, text, tlens)
+    # vanilla layer: per-layer linear_q/k/v self-attn, no conv module
+    enc_layer = jax.tree_util.tree_map(
+        lambda a: a, p["params"]["encoder"]["encoders"])
+    assert "self_attn" in enc_layer and "conv_module" not in enc_layer
+    loss, _ = tm.apply(p, x, lens, text, tlens, deterministic=True)
+    assert np.isfinite(float(loss))
+
+    sm = SANM(vocab_size=12, input_size=20,
+              encoder_conf=dict(output_size=16, attention_heads=2,
+                                linear_units=32, num_blocks=2, kernel_size=5,
+                                dropout_rate=0.0))
+    p = sm.init({"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, x, lens, text, tlens)
+    assert "linear_q_k_v" in p["params"]["encoder"]["encoders0"]["self_attn"]
+    loss, _ = sm.apply(p, x, lens, text, tlens, deterministic=True)
+    assert np.isfinite(float(loss))
+
+    cm = CTCModel(vocab_size=12, input_size=20,
+                  encoder_conf=dict(output_size=16, attention_heads=2,
+                                    linear_units=32, num_blocks=2,
+                                    dropout_rate=0.0))
+    p = cm.init({"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, x, lens, text, tlens)
+    assert "decoder" not in p["params"]
+    loss, stats = cm.apply(p, x, lens, text, tlens, deterministic=True)
+    assert np.isfinite(float(loss))
+    toks, tok_lens = cm.apply(p, x, lens, method=cm.greedy_decode)
+    assert toks.shape[0] == 2
