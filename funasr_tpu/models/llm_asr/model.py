@@ -43,9 +43,11 @@ from funasr_tpu.registry import tables
 Dtype = Any
 
 
+@tables.register("adaptor_classes", "Linear")
 class Adaptor(nn.Module):
-    """Frame-stacking projector (adaptor.py EncoderProjectorConcat): stack
-    ``k`` frames -> Dense -> relu -> Dense(llm_dim)."""
+    """Frame-stacking projector (reference llm_asr/adaptor.py:10 ``Linear``,
+    registered as adaptor "Linear"): stack ``k`` frames (remainder frames
+    discarded, adaptor.py:21-23) -> Dense -> relu -> Dense(llm_dim)."""
 
     k: int = 5
     hidden: int = 2048
@@ -64,6 +66,133 @@ class Adaptor(nn.Module):
         h = nn.Dense(self.llm_dim, name="linear2", dtype=self.dtype,
                      param_dtype=self.param_dtype)(h)
         return h, lengths // self.k
+
+
+@tables.register("adaptor_classes", "Transformer")
+class TransformerAdaptor(nn.Module):
+    """Frame-stacking projector + transformer refiner (reference
+    llm_asr/adaptor.py:93 ``Transformer``): ceil-pad to a multiple of ``k``,
+    stack+project like Linear, then ``n_layer`` pre-norm MHA/FFN(llm_dim//4)
+    layers at the LLM width."""
+
+    k: int = 2
+    hidden: int = 2048
+    llm_dim: int = 512
+    n_layer: int = 2
+    heads: int = 8
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
+                 deterministic: bool = True):
+        from funasr_tpu.ops.masks import key_mask
+
+        B, T, D = x.shape
+        chunks = (T - 1) // self.k + 1
+        x = jnp.pad(x, ((0, 0), (0, chunks * self.k - T), (0, 0)))
+        x = x.reshape(B, chunks, D * self.k)
+        h = nn.Dense(self.hidden, name="linear1", dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.llm_dim, name="linear2", dtype=self.dtype,
+                     param_dtype=self.param_dtype)(h)
+        out_lens = (lengths - 1) // self.k + 1
+        mask = key_mask(out_lens, chunks, jnp.float32)[:, None, :, :]
+        from funasr_tpu.models.transformer.decoder import MultiHeadAttention
+
+        for i in range(self.n_layer):
+            res = h
+            y = LayerNormF32(self.dtype, self.param_dtype,
+                             name=f"norm1_{i}")(h)
+            y = MultiHeadAttention(self.heads, self.llm_dim,
+                                   self.dropout_rate, self.dtype,
+                                   self.param_dtype, name=f"self_attn_{i}"
+                                   )(y, y, mask, deterministic)
+            h = res + y
+            res = h
+            y = LayerNormF32(self.dtype, self.param_dtype,
+                             name=f"norm2_{i}")(h)
+            y = PositionwiseFeedForward(self.llm_dim // 4, self.llm_dim,
+                                        self.dropout_rate, self.dtype,
+                                        self.param_dtype,
+                                        name=f"feed_forward_{i}"
+                                        )(y, deterministic)
+            h = res + y
+        return h, out_lens
+
+
+@tables.register("adaptor_classes", "QFormer")
+class QFormerAdaptor(nn.Module):
+    """Query-former projector (reference llm_asr/adaptor.py:36
+    ``EncoderProjectorQFormer``): the input is split into fixed windows
+    (~1/90 of the sequence each, adaptor.py:58-63), ``query_len`` learned
+    queries cross-attend to each window through ``n_layer`` transformer
+    layers, and the query outputs are projected + layer-normed to the LLM
+    width — output length = n_windows * query_len, independent of T."""
+
+    llm_dim: int = 512
+    query_len: int = 8
+    qformer_dim: int = 256
+    n_layer: int = 2
+    heads: int = 4
+    n_windows: int = 4
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
+                 deterministic: bool = True):
+        from funasr_tpu.models.transformer.decoder import MultiHeadAttention
+
+        B, T, D = x.shape
+        W = self.n_windows
+        win = (T - 1) // W + 1
+        x = jnp.pad(x, ((0, 0), (0, W * win - T), (0, 0)))
+        xw = x.reshape(B * W, win, D)
+        q = self.param("query", nn.initializers.normal(1.0),
+                       (1, self.query_len, self.qformer_dim),
+                       self.param_dtype)
+        h = jnp.broadcast_to(q.astype(self.dtype),
+                             (B * W, self.query_len, self.qformer_dim))
+        # window-content key mask from utterance lengths
+        pos = jnp.arange(W * win).reshape(W, win)
+        valid = (pos[None] < lengths[:, None, None]).reshape(B * W, 1, 1, win)
+        for i in range(self.n_layer):
+            res = h
+            y = LayerNormF32(self.dtype, self.param_dtype,
+                             name=f"norm_q_{i}")(h)
+            y = MultiHeadAttention(self.heads, self.qformer_dim, 0.0,
+                                   self.dtype, self.param_dtype,
+                                   name=f"self_attn_{i}"
+                                   )(y, y, None, deterministic)
+            h = res + y
+            res = h
+            y = LayerNormF32(self.dtype, self.param_dtype,
+                             name=f"norm_x_{i}")(h)
+            kv = nn.Dense(self.qformer_dim, name=f"kv_proj_{i}",
+                          dtype=self.dtype, param_dtype=self.param_dtype)(xw)
+            y = MultiHeadAttention(self.heads, self.qformer_dim, 0.0,
+                                   self.dtype, self.param_dtype,
+                                   name=f"cross_attn_{i}"
+                                   )(y, kv, valid.astype(jnp.float32),
+                                     deterministic)
+            h = res + y
+            res = h
+            y = LayerNormF32(self.dtype, self.param_dtype,
+                             name=f"norm_f_{i}")(h)
+            y = PositionwiseFeedForward(self.qformer_dim * 4,
+                                        self.qformer_dim, 0.0, self.dtype,
+                                        self.param_dtype,
+                                        name=f"feed_forward_{i}"
+                                        )(y, deterministic)
+            h = res + y
+        out = nn.Dense(self.llm_dim, name="linear", dtype=self.dtype,
+                       param_dtype=self.param_dtype)(h)
+        out = LayerNormF32(self.dtype, self.param_dtype, name="norm")(out)
+        out = out.reshape(B, W * self.query_len, self.llm_dim)
+        return out, jnp.full((B,), W * self.query_len, jnp.int32)
 
 
 class _CausalLayer(nn.Module):
@@ -107,6 +236,7 @@ class LLMASR(nn.Module):
     vocab_size: int
     input_size: int = 560
     encoder_conf: Optional[Dict] = None
+    adaptor: str = "Linear"  # adaptor_classes registry name
     adaptor_conf: Optional[Dict] = None
     llm_conf: Optional[Dict] = None
     sos: int = 1
@@ -123,13 +253,23 @@ class LLMASR(nn.Module):
             self.encoder = SANMEncoder(
                 input_size=self.input_size, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="encoder", **enc_conf)
+        import dataclasses
+
         ad_conf = dict(self.adaptor_conf or {})
         llm_conf = dict(self.llm_conf or {})
         self.llm_dim = llm_conf.get("dim", 512)
         ad_conf.setdefault("llm_dim", self.llm_dim)
-        self.adaptor = Adaptor(dtype=self.dtype,
-                               param_dtype=self.param_dtype,
-                               name="adaptor", **ad_conf)
+        # reference adaptor kwarg names (adaptor.py ctor signature)
+        if "downsample_rate" in ad_conf:
+            ad_conf["k"] = ad_conf.pop("downsample_rate")
+        if "ffn_dim" in ad_conf:
+            ad_conf["hidden"] = ad_conf.pop("ffn_dim")
+        ad_cls = tables.get("adaptor_classes", self.adaptor)
+        fields = {f.name for f in dataclasses.fields(ad_cls)}
+        ad_conf = {k: v for k, v in ad_conf.items() if k in fields}
+        self.adaptor_module = ad_cls(dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="adaptor", **ad_conf)
         self.n_layers = llm_conf.get("layers", 4)
         self.n_head = llm_conf.get("heads", 8)
         self.ffn = llm_conf.get("ffn", 4 * self.llm_dim)
@@ -177,7 +317,7 @@ class LLMASR(nn.Module):
                                          deterministic)
         else:
             enc, enc_lens = speech, speech_lengths
-        return self.adaptor(enc, enc_lens)
+        return self.adaptor_module(enc, enc_lens)
 
     def __call__(self, speech, speech_lengths, text, text_lengths,
                  deterministic: bool = False):

@@ -118,3 +118,34 @@ def spec_aug_lfr(
             kt, spec, 1, tuple(time_mask_width_range), num_time_mask, 1
         )
     return spec, spec_lengths
+
+
+from funasr_tpu.registry import tables as _tables
+
+
+@_tables.register("specaug_classes", "SpecAugLFR")
+class SpecAugLFR:
+    """Config-object wrapper over :func:`spec_aug_lfr` (reference
+    funasr/models/specaug/specaug.py:106 ``SpecAugLFR``): holds the mask /
+    warp settings from ``specaug_conf`` and applies them per batch with an
+    explicit PRNG key."""
+
+    def __init__(self, **conf):
+        # accept the reference template.yaml keys verbatim
+        self.conf = {k: v for k, v in conf.items() if k in (
+            "apply_time_warp", "time_warp_window", "apply_freq_mask",
+            "freq_mask_width_range", "num_freq_mask", "lfr_rate",
+            "apply_time_mask", "time_mask_width_range", "num_time_mask")}
+
+    def __call__(self, rng, spec, spec_lengths):
+        return spec_aug_lfr(rng, spec, spec_lengths, **self.conf)
+
+
+@_tables.register("specaug_classes", "SpecAug")
+class SpecAug(SpecAugLFR):
+    """Non-LFR SpecAug (reference specaug.py:17): identical masking with
+    ``lfr_rate`` pinned to 1 so time masks are in raw-frame units."""
+
+    def __init__(self, **conf):
+        super().__init__(**conf)
+        self.conf["lfr_rate"] = 1

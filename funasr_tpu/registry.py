@@ -58,6 +58,9 @@ class RegisterTables:
         "funasr_tpu.frontends",
         "funasr_tpu.tokenizer",
         "funasr_tpu.datasets",
+        "funasr_tpu.ops.specaug",
+        # reference-name aliases last: they look up the real classes above
+        "funasr_tpu.registry_compat",
     )
 
     def __init__(self):

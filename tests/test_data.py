@@ -304,3 +304,55 @@ def test_sensevoice_ctc_dataset(tmp_path, rng):
     # [lid, emo, event, itn, text...]
     assert item["text"][:4].tolist() == [5, 6, 7, 8]
     assert item["text_length"] == 6
+
+
+def test_dataloader_entry(corpus):
+    """Dataloader (reference DataloaderMapStyle): build_iter with resume +
+    data_split slicing."""
+    from funasr_tpu.registry import tables
+
+    jsonl, recs = corpus
+    ids = IndexDSJsonl(str(jsonl))
+    tok = CharTokenizer(token_list=["<blank>", "<s>", "</s>", "你", "好",
+                                    "世", "界"], split_with_space=True)
+    ds = AudioDataset(ids, tokenizer=tok)
+    sampler = tables.build(
+        "batch_sampler_classes", "CustomDistributedBatchSampler",
+        source_lens=ds.source_lens(), target_lens=ds.target_lens(),
+        batch_size=4, shuffle=True, seed=0)
+    dl = tables.build("dataloader_classes", "DataloaderMapStyle",
+                      dataset=ds, sampler=sampler)
+    batches = list(dl.build_iter(epoch=0))
+    assert batches and all("speech" in b and "text" in b for b in batches)
+    n_items = sum(len(b["keys"]) for b in batches)
+    assert n_items == 10
+    # mid-epoch resume yields strictly fewer batches
+    resumed = list(dl.build_iter(epoch=0, start_step=1))
+    assert len(resumed) == len(batches) - 1
+    # data_split: both halves together cover the epoch
+    dl2 = tables.build("dataloader_classes", "DataloaderMapStyle",
+                       dataset=ds, sampler=sampler, data_split_num=2)
+    n_split = sum(len(b["keys"]) for i in range(2)
+                  for b in dl2.build_iter(0, 0, data_split_i=i))
+    assert n_split == 10
+
+
+def test_specaug_classes():
+    import jax
+    import jax.numpy as jnp
+    from funasr_tpu.registry import tables
+
+    sa = tables.build("specaug_classes", "SpecAugLFR",
+                      apply_time_warp=False, num_freq_mask=1,
+                      freq_mask_width_range=(0, 5), num_time_mask=1,
+                      time_mask_width_range=(0, 4), lfr_rate=6)
+    spec = jnp.ones((2, 30, 24))
+    lens = jnp.array([30, 20])
+    out, out_lens = sa(jax.random.PRNGKey(0), spec, lens)
+    assert out.shape == spec.shape and (out_lens == lens).all()
+    assert float(out.sum()) < float(spec.sum())  # something was masked
+    sa2 = tables.build("specaug_classes", "SpecAug",
+                       num_freq_mask=1, freq_mask_width_range=(0, 5),
+                       num_time_mask=1, time_mask_width_range=(0, 4))
+    out2, _ = sa2(jax.random.PRNGKey(1), spec, lens)
+    assert out2.shape == spec.shape

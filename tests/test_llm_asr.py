@@ -129,3 +129,31 @@ def test_greedy_decode(llm_asr):
     assert toks.shape == (2, 6)
     assert (np.asarray(tok_lens) <= 6).all()
     assert np.asarray(toks).max() < 12
+
+
+@pytest.mark.parametrize("adaptor,aconf", [
+    ("Transformer", dict(downsample_rate=2, ffn_dim=24, n_layer=1, heads=2)),
+    ("QFormer", dict(query_len=4, qformer_dim=16, n_layer=1, heads=2,
+                     n_windows=2)),
+])
+def test_llm_asr_adaptors(rng, adaptor, aconf):
+    """Adaptor selectable by registry name (reference adaptor_classes)."""
+    from funasr_tpu.models.llm_asr.model import LLMASR
+
+    cfg = dict(CFG)
+    cfg.pop("adaptor_conf")
+    model = LLMASR(adaptor=adaptor, adaptor_conf=aconf, **cfg)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 24, 20)),
+                    jnp.float32)
+    lens = jnp.array([24, 16], jnp.int32)
+    text = jnp.array([[3, 4, 5], [6, 7, 0]], jnp.int32)
+    tlens = jnp.array([3, 2], jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, lens, text, tlens)
+    loss, stats = model.apply(params, x, lens, text, tlens,
+                              deterministic=True)
+    assert np.isfinite(float(loss))
+    toks, n = model.apply(params, x, lens, maxlen=4,
+                          method=model.greedy_decode)
+    assert toks.shape == (2, 4)
