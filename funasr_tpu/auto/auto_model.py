@@ -149,6 +149,7 @@ class AutoModel:
             # EParaformer's PIF predictor has no cif peaks -> timestamps
             # come from the BiCif family instead
             module = cls(
+                decoder_name=cfg.get("decoder"),
                 decoder_conf=cfg.get("decoder_conf"),
                 predictor_conf=cfg.get("predictor_conf"),
                 **common, **(cfg.get("model_conf") or {}),

@@ -286,3 +286,79 @@ class ParaformerSANMDecoder(nn.Module):
     def embed_tokens(self, ids: jnp.ndarray) -> jnp.ndarray:
         """Token embedding lookup (used by the GLM sampler)."""
         return self.embed(ids)
+
+
+@tables.register("decoder_classes", "ParaformerSANDecoder")
+class ParaformerSANDecoder(nn.Module):
+    """NAR decoder with standard (non-FSMN) multi-head self-attention over
+    the CIF embeddings (reference paraformer/decoder.py:982
+    ``ParaformerSANDecoder``): bidirectional — the target mask is only the
+    pad mask, no subsequent mask (decoder.py:1060-1063).  Same call
+    contract as ``ParaformerSANMDecoder`` so ``Paraformer`` selects it by
+    registry name."""
+
+    vocab_size: int
+    encoder_output_size: int
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    self_attention_dropout_rate: float = 0.0
+    src_attention_dropout_rate: float = 0.0
+    use_output_layer: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        from funasr_tpu.models.transformer.decoder import (
+            TransformerDecoderLayer)
+
+        d = self.encoder_output_size
+        self.embed = nn.Embed(
+            self.vocab_size, d, name="embed", param_dtype=self.param_dtype,
+            dtype=self.dtype,
+        )
+        self.decoders = nn.scan(
+            TransformerDecoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_blocks,
+            in_axes=(nn.broadcast, nn.broadcast),
+        )(
+            d, self.attention_heads, self.linear_units, self.dropout_rate,
+            self.self_attention_dropout_rate,
+            self.src_attention_dropout_rate,
+            self.dtype, self.param_dtype, name="decoders",
+        )
+        self.after_norm = LayerNormF32(self.dtype, self.param_dtype,
+                                       name="after_norm")
+        if self.use_output_layer:
+            self.output_layer = nn.Dense(
+                self.vocab_size, name="output_layer",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )
+
+    def __call__(self, memory, memory_lengths, semantic_embeds,
+                 token_lengths, deterministic: bool = True,
+                 return_hidden: bool = False):
+        B, U, _ = semantic_embeds.shape
+        T = memory.shape[1]
+        # bidirectional: pad-only key mask on both self- and cross-attention
+        tgt_mask = sequence_mask(token_lengths, U,
+                                 dtype=jnp.float32)[:, None, None, :]
+        memory_mask = key_mask(memory_lengths, T,
+                               dtype=jnp.float32)[:, None, :, :]
+        x = semantic_embeds.astype(self.dtype)
+        x, _ = self.decoders(
+            x, (tgt_mask, memory.astype(self.dtype), memory_mask),
+            deterministic)
+        hidden = self.after_norm(x)
+        if self.use_output_layer and not return_hidden:
+            return self.output_layer(hidden)
+        return hidden
+
+    def project(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        return self.output_layer(hidden)
+
+    def embed_tokens(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed(ids)

@@ -55,6 +55,7 @@ class Paraformer(nn.Module):
     vocab_size: int
     input_size: int = 560
     encoder_conf: Dict[str, Any] = None
+    decoder_name: Optional[str] = None  # registry override (default SANM)
     decoder_conf: Dict[str, Any] = None
     predictor_conf: Dict[str, Any] = None
     ctc_weight: float = 0.0
@@ -85,13 +86,20 @@ class Paraformer(nn.Module):
         )
         d_model = self.encoder.output_size
 
+        import dataclasses
+
         dec_conf = dict(self.decoder_conf or {})
         dec_conf.pop("positional_dropout_rate", None)
-        dec_sanm_shift = dec_conf.pop("sanm_shfit", 0)
-        self.decoder = ParaformerSANMDecoder(
+        dec_conf["sanm_shift"] = dec_conf.pop("sanm_shfit", 0)
+        from funasr_tpu.registry import tables as _tables
+
+        dec_cls = (ParaformerSANMDecoder if self.decoder_name is None
+                   else _tables.get("decoder_classes", self.decoder_name))
+        fields = {f.name for f in dataclasses.fields(dec_cls)}
+        dec_conf = {k: v for k, v in dec_conf.items() if k in fields}
+        self.decoder = dec_cls(
             vocab_size=self.vocab_size,
             encoder_output_size=d_model,
-            sanm_shift=dec_sanm_shift,
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="decoder", **dec_conf,
         )

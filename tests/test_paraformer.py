@@ -119,3 +119,37 @@ def test_batch_invariance(model_and_params):
             np.asarray(logp_b[b, :n]), np.asarray(logp_1[0, :n]),
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_paraformer_san_decoder(rng):
+    """Paraformer with the standard-MHA decoder (reference
+    ParaformerSANDecoder, decoder.py:982): bidirectional over CIF embeds."""
+    from funasr_tpu.models.paraformer.model import Paraformer
+
+    m = Paraformer(
+        vocab_size=16, input_size=20,
+        encoder_conf=dict(output_size=16, attention_heads=2,
+                          linear_units=32, num_blocks=2, kernel_size=5,
+                          dropout_rate=0.0),
+        decoder_name="ParaformerSANDecoder",
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=2,
+                          dropout_rate=0.0),
+        predictor_conf=dict(idim=16, dropout=0.0), sampling_ratio=0.5)
+    x = jnp.asarray(rng.standard_normal((2, 30, 20)), jnp.float32)
+    lens = jnp.array([30, 22], jnp.int32)
+    text = jnp.array([[3, 4, 5], [6, 7, -1]], jnp.int32)
+    tlens = jnp.array([3, 2], jnp.int32)
+    variables = m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "sampler": jax.random.PRNGKey(2)},
+        x, lens, text, tlens)
+    loss, stats = m.apply(variables, x, lens, text, tlens,
+                          deterministic=True,
+                          rngs={"sampler": jax.random.PRNGKey(3)})
+    assert np.isfinite(float(loss))
+    # no FSMN block in the SAN decoder params
+    dec = variables["params"]["decoder"]
+    assert "fsmn_block" not in str(jax.tree_util.tree_structure(dec))
+    toks, tok_lens, _ = m.apply(variables, x, lens, max_tokens=8,
+                                method=m.greedy_decode)
+    assert toks.shape == (2, 8)
