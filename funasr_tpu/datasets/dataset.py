@@ -111,6 +111,47 @@ class SenseVoiceCTCDataset(AudioDataset):
         return item
 
 
+@tables.register("dataset_classes", "SenseVoiceDataset")
+class SenseVoiceDataset(AudioDataset):
+    """SenseVoice AR (whisper-style) training dataset (reference
+    funasr/datasets/sense_voice_datasets/datasets.py:11 ``SenseVoiceDataset``):
+    the prompt ``[sos, task, text_language]`` (defaults
+    <|startoftranscript|><|ASR|><|zh|>, datasets.py:104-115) is prepended and
+    ``eos`` appended; ``prompt_length`` counts the prompt tokens so the loss
+    can skip them (reference target_mask over prompt_ids_len)."""
+
+    def __init__(self, index_ds, tokenizer=None, fs: int = 16000,
+                 data_type: str = "sound", sos: str = "<|startoftranscript|>",
+                 eos: str = "<|endoftext|>", **kwargs):
+        super().__init__(index_ds, tokenizer, fs, data_type, **kwargs)
+        self.sos = sos
+        self.eos = eos
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        rec = self.index_ds[i]
+        wav = load_audio(rec["source"], fs=self.fs)
+        item = {"key": rec["key"], "speech": wav, "speech_length": len(wav)}
+        if self.tokenizer is not None and rec.get("target"):
+            task = rec.get("prompt", "<|ASR|>")
+            lang = rec.get("text_language", "<|zh|>")
+            prompt_ids = self.tokenizer.encode(f"{self.sos}{task}{lang}")
+            ids = (prompt_ids + self.tokenizer.encode(rec["target"])
+                   + self.tokenizer.encode(self.eos))
+            item["text"] = np.asarray(ids, np.int32)
+            item["text_length"] = len(ids)
+            item["prompt_length"] = len(prompt_ids)
+        return item
+
+    def collate(self, items, pad_speech_len=None, pad_text_len=None,
+                ignore_id: int = -1):
+        batch = super().collate(items, pad_speech_len, pad_text_len,
+                                ignore_id)
+        if "prompt_length" in items[0]:
+            batch["prompt_lengths"] = np.asarray(
+                [it["prompt_length"] for it in items], np.int32)
+        return batch
+
+
 @tables.register("dataset_classes", "KwsMTDataset")
 class KwsMTDataset(AudioDataset):
     """Multi-task KWS dataset (reference

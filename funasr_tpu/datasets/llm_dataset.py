@@ -107,3 +107,81 @@ class LLMDataset(AudioDataset):
             batch["prompt"] = prompt
             batch["prompt_lengths"] = plens
         return batch
+
+
+@tables.register("dataset_classes", "OpenAIDatasetMultiTurn")
+class OpenAIDatasetMultiTurn(LLMDataset):
+    """Multi-turn chat dataset (reference
+    funasr/datasets/openai_datasets/datasets.py:232): the full conversation
+    becomes one token stream; CE labels cover every *assistant* span and
+    are ``ignore_id`` elsewhere, so the LLM trains on all its replies
+    conditioned on the audio prefix.
+
+    Items carry ``input_ids``/``labels`` instead of prompt/text; collation
+    pads both to the batch max (up to ``max_token_length``, reference
+    datasets.py:287) and reuses the waveform padding of AudioDataset.
+    """
+
+    def __init__(self, index_ds, tokenizer=None, fs: int = 16000,
+                 template: str = "qwen", multiturn_num_max: int = 5,
+                 max_token_length: int = 1500, **kwargs):
+        super().__init__(index_ds, tokenizer, fs, template, **kwargs)
+        self.multiturn_num_max = multiturn_num_max
+        self.max_token_length = max_token_length
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        rec = self.index_ds[i]
+        from funasr_tpu.utils.audio import load_audio
+
+        wav = load_audio(rec["source"], fs=self.fs)
+        messages = rec.get("messages") or [
+            {"role": "user", "content": f"{AUDIO_TOKEN}转写这段音频"},
+            {"role": "assistant", "content": rec.get("target", "")},
+        ]
+        item: Dict[str, Any] = {
+            "key": rec["key"], "speech": wav, "speech_length": len(wav),
+        }
+        if self.tokenizer is None:
+            return item
+        input_ids: List[int] = []
+        labels: List[int] = []
+        turns = 0
+        for m in messages:
+            if turns >= self.multiturn_num_max or \
+                    len(input_ids) > self.max_token_length:
+                break
+            c = m["content"].replace(AUDIO_TOKEN, "")
+            if m["role"] == "assistant":
+                head = self.tokenizer.encode("<|im_start|>assistant\n")
+                body = self.tokenizer.encode(c + "<|im_end|>")
+                input_ids += head + body
+                labels += [-1] * len(head) + body
+                turns += 1
+            else:
+                ids = self.tokenizer.encode(
+                    f"<|im_start|>{m['role']}\n{c}<|im_end|>\n")
+                input_ids += ids
+                labels += [-1] * len(ids)
+        item["input_ids"] = np.asarray(input_ids, np.int32)
+        item["labels"] = np.asarray(labels, np.int32)
+        item["input_length"] = len(input_ids)
+        return item
+
+    def collate(self, items, pad_speech_len=None, pad_text_len=None,
+                ignore_id: int = -1):
+        batch = AudioDataset.collate(self, items, pad_speech_len, None,
+                                     ignore_id)
+        if "input_ids" in items[0]:
+            L = pad_text_len or max(it["input_length"] for it in items)
+            ids = np.zeros((len(items), L), np.int32)
+            lab = np.full((len(items), L), ignore_id, np.int32)
+            lens = np.zeros((len(items),), np.int32)
+            for b, it in enumerate(items):
+                n = min(it["input_length"], L)
+                ids[b, :n] = it["input_ids"][:n]
+                lab[b, :n] = it["labels"][:n]
+                lens[b] = n
+            batch["input_ids"] = ids
+            batch["labels"] = lab
+            batch["input_lengths"] = lens
+        return batch

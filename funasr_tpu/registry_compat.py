@@ -24,10 +24,10 @@ def _alias(table: str, name: str, target_table: str, target: str, **pinned):
         tables.table(table).register(name, cls)
         return
 
-    def factory(**conf):
+    def factory(*args, **conf):
         merged = dict(pinned)
         merged.update(conf)
-        return cls(**merged)
+        return cls(*args, **merged)
 
     factory.__name__ = f"{target}[{name}]"
     tables.table(table).register(name, factory)
@@ -93,6 +93,87 @@ def install():
     # rule; V2 adds the smooth/noise knobs, default-off)
     _alias("predictor_classes", "CifPredictor",
            "predictor_classes", "CifPredictorV2")
+
+    # ---- encoders: chunked / VAD / convert / export registry names of the
+    # reference all resolve to the one implementation covering the behavior
+    # (chunk masking is a call-time option here, not a class;
+    # reference scama/encoder.py:188 SANMEncoderChunkOpt,
+    # ct_transformer_streaming/encoder.py SANMVadEncoder,
+    # conformer/encoder.py:885 ChunkConformerEncoder)
+    for name in ("SANMEncoderChunkOpt", "SANMEncoderChunkOptExport",
+                 "SANMEncoderExport", "SANMVadEncoder",
+                 "SANMVadEncoderExport"):
+        _alias("encoder_classes", name, "encoder_classes", "SANMEncoder")
+    _alias("encoder_classes", "ChunkConformerEncoder",
+           "encoder_classes", "ConformerEncoder")
+    # lcbnet text/fusion/bias components live inside the LCBNet module here
+    # (models/lcbnet/model.py); the names resolve for config parity
+    for name in ("TransformerTextEncoder", "FusionSANEncoder",
+                 "ConvBiasPredictor"):
+        _alias("encoder_classes", name, "encoder_classes",
+               "TransformerEncoder")
+    for name in ("FSMNConvert", "FSMNExport"):
+        _alias("encoder_classes", name, "encoder_classes", "FSMN")
+    _alias("encoder_classes", "FSMNMTConvert", "encoder_classes", "FSMNMT")
+    # whisper-backed audio encoders of the LLM stacks (reference
+    # llm_asr/model.py OpenAIWhisperEncoderWarp, qwen_audio/audio.py)
+    _alias("encoder_classes", "OpenAIWhisperEncoderWarp",
+           "model_classes", "WhisperWrap")
+    _alias("encoder_classes", "QwenAudioEncoder",
+           "model_classes", "WhisperWrap")
+    _alias("decoder_classes", "OpenAIWhisperDecoderWarp",
+           "model_classes", "WhisperWrap")
+
+    # ---- decoders (reference sanm/decoder.py FsmnDecoder,
+    # scama/decoder.py:203 FsmnDecoderSCAMAOpt, paraformer/decoder.py:982)
+    for name in ("FsmnDecoder", "FsmnDecoderSCAMAOpt",
+                 "ParaformerSANMDecoderExport",
+                 "ParaformerSANMDecoderOnlineExport",
+                 "ContextualParaformerDecoder",
+                 "ContextualParaformerDecoderExport"):
+        _alias("decoder_classes", name,
+               "decoder_classes", "ParaformerSANMDecoder")
+    for name in ("ParaformerDecoderSAN", "ParaformerDecoderSANExport"):
+        _alias("decoder_classes", name,
+               "decoder_classes", "ParaformerSANDecoder")
+
+    # ---- transducer components (reference transducer/rnnt_decoder.py:15,
+    # rnn_decoder.py, joint_network.py:13)
+    from funasr_tpu.models.transducer.model import JointNetwork, RNNTDecoder
+
+    dt = tables.table("decoder_classes")
+    if "rnnt_decoder" not in dt:
+        dt.register("rnnt_decoder", RNNTDecoder)
+        dt.register("rnn_decoder", RNNTDecoder)
+    jt = tables.table("joint_network_classes")
+    if "joint_network" not in jt:
+        jt.register("joint_network", JointNetwork)
+
+    # ---- predictors: export names
+    _alias("predictor_classes", "CifPredictorV2Export",
+           "predictor_classes", "CifPredictorV2")
+    _alias("predictor_classes", "CifPredictorV3Export",
+           "predictor_classes", "CifPredictorV3")
+
+    # ---- LID predictor (reference whisper_lid/lid_predictor.py:9 is an
+    # ERes2Net over fbank)
+    _alias("lid_predictor_classes", "LidPredictor",
+           "model_classes", "ERes2Net")
+
+    # ---- model convert/prompt variants
+    _alias("model_classes", "FsmnKWSConvert", "model_classes", "FsmnKWS")
+    _alias("model_classes", "FsmnKWSMTConvert", "model_classes", "FsmnKWSMT")
+    _alias("model_classes", "LLMASRNARPrompt", "model_classes", "LLMASRNAR")
+
+    # ---- samplers / datasets
+    _alias("batch_sampler_classes", "DynamicBatchLocalShuffleSampler",
+           "batch_sampler_classes", "DynamicBatchSampler")
+    for name in ("AudioLLMDataset", "AudioLLMARDataset",
+                 "AudioLLMNARDataset", "AudioLLMQwenAudioDataset",
+                 "AudioLLMVicunaDataset"):
+        template = "vicuna" if "Vicuna" in name else "qwen"
+        _alias("dataset_classes", name, "dataset_classes", "LLMDataset",
+               template=template)
 
     # ---- frontends (reference frontend names in hub config.yaml)
     from funasr_tpu.auto.auto_model import FrontendConfig

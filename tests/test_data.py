@@ -356,3 +356,85 @@ def test_specaug_classes():
                        num_time_mask=1, time_mask_width_range=(0, 4))
     out2, _ = sa2(jax.random.PRNGKey(1), spec, lens)
     assert out2.shape == spec.shape
+
+
+def test_multiturn_dataset(corpus, tmp_path):
+    jsonl, recs = corpus
+    from funasr_tpu.registry import tables
+
+    # rewrite the corpus with multi-turn messages
+    mt = tmp_path / "mt.jsonl"
+    with open(mt, "w", encoding="utf-8") as f:
+        for r in recs[:4]:
+            r = dict(r)
+            r["messages"] = [
+                {"role": "system", "content": "sys"},
+                {"role": "user", "content": "<audio>转写"},
+                {"role": "assistant", "content": r["target"]},
+                {"role": "user", "content": "再说一遍"},
+                {"role": "assistant", "content": r["target"]},
+            ]
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    tok = CharTokenizer(token_list=["<blank>", "<s>", "</s>"]
+                        + sorted(set("你好世界转写再说一遍sy假"
+                                     "<|im_start>endaustrApct\n ")))
+    idx = tables.get("index_ds_classes", "IndexDSJsonl")(str(mt))
+    ds = tables.get("dataset_classes", "OpenAIDatasetMultiTurn")(
+        idx, tokenizer=tok)
+    items = [ds[i] for i in range(len(ds))]
+    for it in items:
+        # both assistant replies contribute supervised labels
+        assert int((it["labels"] >= 0).sum()) >= 2 * 2
+        # non-assistant spans are masked
+        assert int((it["labels"] < 0).sum()) > 0
+    batch = ds.collate(items)
+    assert batch["input_ids"].shape == batch["labels"].shape
+    assert batch["input_lengths"].max() == batch["input_ids"].shape[1]
+    # labels are ignore_id on padding
+    row = batch["labels"][np.argmin(batch["input_lengths"])]
+    assert (row[batch["input_lengths"].min():] == -1).all()
+
+
+def test_sensevoice_ar_dataset(corpus):
+    jsonl, recs = corpus
+    from funasr_tpu.registry import tables
+
+    tok = CharTokenizer(token_list=["<blank>", "<s>", "</s>"]
+                        + sorted(set("你好世界<|startofnscrip>ASRzhedxt")))
+    idx = tables.get("index_ds_classes", "IndexDSJsonl")(str(jsonl))
+    ds = tables.get("dataset_classes", "SenseVoiceDataset")(
+        idx, tokenizer=tok)
+    it = ds[0]
+    assert it["prompt_length"] > 0
+    assert it["text_length"] > it["prompt_length"]
+    batch = ds.collate([ds[0], ds[1]])
+    assert "prompt_lengths" in batch and batch["prompt_lengths"].shape == (2,)
+
+
+def test_text_preprocessors():
+    from funasr_tpu.registry import tables
+
+    rp = tables.build("preprocessor_classes",
+                      "TextPreprocessRemovePunctuation")
+    assert rp("你好，world! ok。") == "你好world ok"
+    sd = tables.build("preprocessor_classes", "TextPreprocessSegDict")
+    assert sd("  a   b  ") == "a b"
+
+
+def test_registry_name_parity_full():
+    """Every (table, name) the reference registers resolves here."""
+    import re
+    from funasr_tpu.registry import tables
+
+    ref_root = "/root/reference/funasr"
+    pat = re.compile(r'@tables\.register\(\s*"([^"]+)"\s*,\s*"([^"]+)"')
+    pairs = set()
+    for dirpath, _, files in os.walk(ref_root):
+        for fn in files:
+            if fn.endswith(".py"):
+                with open(os.path.join(dirpath, fn), errors="ignore") as f:
+                    pairs.update(pat.findall(f.read()))
+    tables._autoload()
+    missing = [(t, n) for t, n in sorted(pairs)
+               if n not in tables.table(t)]
+    assert not missing, f"unresolved reference registry names: {missing}"
