@@ -123,8 +123,10 @@ class AutoModel:
         self.vad_engine = None
         self.punc_engine = None
         self.spk_engine = None
+        self.main_cfg: Dict = {}
         if model is not None:
-            self.engine = self._build_main(_resolve_cfg(model, model_conf))
+            self.main_cfg = _resolve_cfg(model, model_conf)
+            self.engine = self._build_main(self.main_cfg)
         if vad_model is not None:
             self.vad_engine = self._build_vad(_resolve_cfg(vad_model, vad_conf))
         if punc_model is not None:
@@ -333,6 +335,25 @@ class AutoModel:
         if output_dir:
             self._write_results(results, output_dir)
         return results
+
+    # ------------------------------------------------------------- export
+    def export(self, output_dir: str, batch_sizes=(1, 8), seconds=(15,),
+               platforms=None) -> Dict:
+        """Export the main engine as a StableHLO servable bundle (reference
+        auto_model.py:675 ``export`` produces ONNX; here the artifact is an
+        AOT-compiled jax.export program per (batch, seconds) bucket plus
+        model.npz + config.yaml — see funasr_tpu/auto/export.py)."""
+        from funasr_tpu.auto.export import export_engine
+
+        if self.engine is None or not hasattr(self.engine, "decode_fn"):
+            raise ValueError("export needs a main model with an export "
+                             "surface (Paraformer/SenseVoice/Hybrid/"
+                             "Transducer engines)")
+        cfg = {k: v for k, v in self.main_cfg.items()
+               if isinstance(v, (str, int, float, bool, list, dict))}
+        return export_engine(self.engine, output_dir,
+                             batch_sizes=batch_sizes, seconds=seconds,
+                             platforms=platforms, config=cfg)
 
     @staticmethod
     def _write_results(results: List[Dict], output_dir: str):

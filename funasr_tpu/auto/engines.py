@@ -99,6 +99,15 @@ class ParaformerEngine(BatchedAsrEngine):
 
         self._run = _run
 
+    def decode_fn(self, params, wav, lens):
+        """Export surface: (params, wav, lens) -> (tokens, token_lengths)
+        with static shapes (used by auto/export.py)."""
+        dur_s = wav.shape[1] / self.frontend.fs
+        max_tokens = max(
+            16, int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+        tokens, tok_lens, _, _ = self._run(params, wav, lens, max_tokens)
+        return tokens, tok_lens
+
     def transcribe(
         self, wavs: Sequence[np.ndarray], with_timestamp: bool = False,
         vad_offsets: Optional[Sequence[int]] = None,
@@ -154,6 +163,15 @@ class SenseVoiceEngine(BatchedAsrEngine):
 
         self._run = _run
 
+    def decode_fn(self, params, wav, lens):
+        """Export surface (lid=auto, textnorm off)."""
+        from funasr_tpu.models.sense_voice.model import lid_id, textnorm_id
+
+        B = wav.shape[0]
+        lid = jnp.full((B,), lid_id("auto"), jnp.int32)
+        tn = jnp.full((B,), textnorm_id(False), jnp.int32)
+        return self._run(params, wav, lens, lid, tn)
+
     def transcribe(self, wavs, language="auto", use_itn=False,
                    rich_text: bool = True) -> List[Dict[str, Any]]:
         from funasr_tpu.models.sense_voice.model import lid_id, textnorm_id
@@ -200,6 +218,12 @@ class HybridEngine(BatchedAsrEngine):
         self.beam = beam
         self.maxlen = maxlen
 
+    def decode_fn(self, params, wav, lens):
+        """Export surface: top-1 beam hypothesis."""
+        toks, tok_lens, _ = self._run(params, wav, lens, self.beam,
+                                      self.maxlen)
+        return toks[:, 0], tok_lens[:, 0]
+
     def transcribe(self, wavs: Sequence[np.ndarray], **kw
                    ) -> List[Dict[str, Any]]:
         if not len(wavs):
@@ -238,6 +262,10 @@ class TransducerEngine(BatchedAsrEngine):
 
         self._run = _run
         self.max_tokens = max_tokens
+
+    def decode_fn(self, params, wav, lens):
+        """Export surface: greedy RNN-T decode."""
+        return self._run(params, wav, lens, self.max_tokens)
 
     def transcribe(self, wavs: Sequence[np.ndarray], **kw
                    ) -> List[Dict[str, Any]]:
