@@ -56,7 +56,10 @@ def main():
     len_d = jnp.asarray(lengths, jnp.int32)
     cmvn = jnp.stack([jnp.zeros(560, jnp.float32), jnp.ones(560, jnp.float32)])
 
-    max_tokens = 256  # ~15 s of Mandarin
+    # Token budget: the production engine allots 128 tokens per 15 s
+    # (auto/engines.py max_tokens_per_15s=128, ~2x the realistic Mandarin
+    # char rate) — the decoder grid matches what serving actually runs.
+    max_tokens = 128
 
     from funasr_tpu.ops.fbank_pallas import fbank_pallas
 
