@@ -21,6 +21,9 @@ def main(argv=None):
     ap.add_argument("--valid-jsonl", default=None)
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--model-parallel", type=int, default=1)
+    ap.add_argument("--fsdp", action="store_true",
+                    help="shard params over the data axis (ZeRO/FSDP "
+                         "equivalent, reference bin/train.py:123-146)")
     ap.add_argument("--max-epoch", type=int, default=None)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -94,7 +97,8 @@ def main(argv=None):
     params = model.init({"params": rng, "dropout": rng, "sampler": rng},
                         b0["speech"], b0["speech_lengths"],
                         b0["text"], b0["text_lengths"])
-    params = jax.device_put(params, param_shardings(params, mesh))
+    params = jax.device_put(
+        params, param_shardings(params, mesh, fsdp=args.fsdp))
 
     tx, _ = build_optimizer(
         cfg.get("optim", "adam"), cfg.get("optim_conf"),

@@ -92,12 +92,33 @@ def _spec_for(path: str, ndim: int) -> P:
     return P()  # replicate
 
 
-def param_shardings(params, mesh: Mesh):
-    """Tree of NamedShardings for a flax param tree."""
+def param_shardings(params, mesh: Mesh, fsdp: bool = False,
+                    fsdp_min_size: int = 2 ** 14):
+    """Tree of NamedShardings for a flax param tree.
+
+    ``fsdp=True`` is the reference's FSDP/ZeRO equivalent
+    (funasr/bin/train.py:123-146 wraps in FullyShardedDataParallel with a
+    min-1e5-param auto-wrap policy): every parameter additionally shards
+    one free dim over the ``data`` axis, so each DP rank holds 1/data of
+    the weights and XLA inserts the all-gather before use / reduce-scatter
+    of grads — the ZeRO-3 dataflow, compiler-scheduled.  Small leaves
+    (< ``fsdp_min_size`` elements, the auto-wrap analogue) stay replicated.
+    """
+    n_data = mesh.shape.get("data", 1)
 
     def assign(kp, leaf):
         path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-        return NamedSharding(mesh, _spec_for(path, leaf.ndim))
+        spec = _spec_for(path, leaf.ndim)
+        if fsdp and n_data > 1 and leaf.size >= fsdp_min_size:
+            parts = list(spec) + [None] * (leaf.ndim - len(spec))
+            # shard the largest data-divisible free dim over `data`
+            free = [d for d in range(leaf.ndim)
+                    if parts[d] is None and leaf.shape[d] % n_data == 0]
+            if free:
+                d = max(free, key=lambda i: leaf.shape[i])
+                parts[d] = "data"
+                spec = P(*parts)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(assign, params)
 

@@ -118,3 +118,45 @@ def test_param_sharding_rules():
     assert any("w_1" in p for p in model_sharded)
     assert any("linear_q_k_v" in p for p in model_sharded)
     assert any("output_layer" in p for p in model_sharded)
+
+
+def test_fsdp_param_sharding_train_step(rng):
+    """fsdp=True (ZeRO/FSDP equivalent): big params shard a free dim over
+    the data axis; the train step still runs and matches DP loss."""
+    mesh = make_mesh(data=4, model=2)
+    model = Paraformer(**CONF)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": key, "dropout": key, "sampler": key},
+        batch["speech"], batch["speech_lengths"],
+        batch["text"], batch["text_lengths"],
+    )
+    sh = param_shardings(params, mesh, fsdp=True, fsdp_min_size=256)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    data_sharded = [kp for kp, s in flat if "data" in str(s.spec)]
+    assert data_sharded, "no param picked up a data-axis shard"
+    # small leaves (biases under min_size) stay off the data axis
+    leaves = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    for kp, s in flat:
+        if leaves[kp].size < 256:
+            assert "data" not in str(s.spec)
+
+    params_f = jax.device_put(params, sh)
+    tx, _ = build_optimizer("adam", {"lr": 1e-3}, "warmuplr",
+                            {"warmup_steps": 100}, grad_clip=5.0)
+    from funasr_tpu.parallel.mesh import init_sharded_opt_state
+    opt_state = init_sharded_opt_state(tx, params_f, mesh)
+    state = TrainState(params_f, opt_state, jnp.zeros((), jnp.int32))
+    batch_s = jax.device_put(batch, batch_sharding(mesh))
+    train_step = jax.jit(make_train_step(model, tx))
+    new_state, stats = train_step(state, batch_s, jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats["loss"]))
+
+    # loss identical to the non-fsdp layout (same math, different layout)
+    params_r = jax.device_put(params, param_shardings(params, mesh))
+    opt_r = init_sharded_opt_state(tx, params_r, mesh)
+    state_r = TrainState(params_r, opt_r, jnp.zeros((), jnp.int32))
+    _, stats_r = train_step(state_r, batch_s, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(stats["loss"]), float(stats_r["loss"]),
+                               rtol=2e-5)
