@@ -47,7 +47,13 @@ def _resolve_cfg(model: Union[str, Dict, None], conf: Optional[Dict]) -> Dict:
     elif isinstance(model, str) and (os.path.isdir(model) or os.path.isfile(model)):
         cfg = load_config(model)
     elif isinstance(model, str):
-        cfg = {"model": model}
+        from funasr_tpu.download import download_model, is_hub_id
+
+        if is_hub_id(model):  # hub id / alias -> local snapshot dir
+            cfg = load_config(
+                download_model(model, hub=(conf or {}).get("hub", "ms")))
+        else:
+            cfg = {"model": model}
     else:
         cfg = {}
     if conf:

@@ -168,3 +168,26 @@ def test_generate_eparaformer(rng):
     am = AutoModel(model=cfg)
     res = am.generate([_wav(rng, 1.0)], key=["e"])
     assert len(res) == 1 and "text" in res[0]
+
+
+def test_hub_id_resolution(tmp_path, monkeypatch):
+    """Hub ids/aliases route through download_model to a local snapshot
+    (reference download_model_from_hub.py:8); SDKs absent -> clear error."""
+    import funasr_tpu.download as D
+
+    assert D.is_hub_id("paraformer-zh")
+    assert D.is_hub_id("iic/SenseVoiceSmall")
+    assert not D.is_hub_id(str(tmp_path))
+
+    # a fake snapshot dir wired through the alias map
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    import yaml
+    with open(snap / "config.yaml", "w") as f:
+        yaml.safe_dump(ASR_CFG, f, allow_unicode=True)
+    with pytest.raises(RuntimeError, match="modelscope is not installed"):
+        D.download_model("iic/does-not-matter")
+
+    monkeypatch.setattr(D, "download_model", lambda m, **kw: str(snap))
+    am = AutoModel(model="paraformer-zh")
+    assert am.engine is not None
