@@ -91,6 +91,59 @@ class AsrWebSocketServer:
             return " ".join(map(str, token_ids))
         return tok.decode(token_ids)
 
+    # ------------------------------------------- transport-agnostic protocol
+    def on_binary(self, sess: WsSession, payload: bytes) -> list:
+        """One binary PCM frame -> JSON response strings to send."""
+        sess.buffer.extend(payload)
+        out = []
+        if sess.mode in ("online", "2pass") and sess.stream_cache is not None:
+            text = self._decode_online_chunk(sess, bytes(payload), False)
+            if text:
+                out.append(json.dumps({
+                    "mode": "2pass-online" if sess.mode == "2pass"
+                            else "online",
+                    "wav_name": sess.wav_name,
+                    "text": text,
+                    "is_final": False,
+                }, ensure_ascii=False))
+        return out
+
+    def on_text(self, sess: WsSession, message: str) -> list:
+        """One JSON control message -> JSON response strings to send."""
+        msg = json.loads(message)
+        out = []
+        if "mode" in msg or "wav_name" in msg or "audio_fs" in msg:
+            sess.config(msg)
+        if msg.get("is_speaking") is False:
+            # utterance end: flush online, run offline pass
+            if sess.mode in ("online", "2pass") and sess.stream_cache is not None:
+                text = self._decode_online_chunk(sess, b"", True)
+                if text:
+                    out.append(json.dumps({
+                        "mode": "2pass-online" if sess.mode == "2pass"
+                                else "online",
+                        "wav_name": sess.wav_name,
+                        "text": text, "is_final": sess.mode == "online",
+                    }, ensure_ascii=False))
+            if sess.mode in ("offline", "2pass"):
+                result = self._decode_offline(sess)
+                resp = {
+                    "mode": "2pass-offline" if sess.mode == "2pass"
+                            else "offline",
+                    "wav_name": sess.wav_name,
+                    "text": result.get("text", ""),
+                    "is_final": True,
+                }
+                if "timestamp" in result:
+                    resp["timestamp"] = result["timestamp"]
+                if "sentence_info" in result:
+                    resp["stamp_sents"] = result["sentence_info"]
+                out.append(json.dumps(resp, ensure_ascii=False, default=str))
+            sess.buffer = bytearray()
+            if sess.mode in ("online", "2pass") and self.streaming_model:
+                sess.stream_cache = self.streaming_model.init_cache()
+        return out
+
     # ------------------------------------------------------------- handler
     async def handle(self, websocket):
         sess = WsSession(self)
@@ -98,55 +151,13 @@ class AsrWebSocketServer:
         try:
             async for message in websocket:
                 if isinstance(message, (bytes, bytearray)):
-                    sess.buffer.extend(message)
-                    if sess.mode in ("online", "2pass") and sess.stream_cache is not None:
-                        text = await loop.run_in_executor(
-                            None, self._decode_online_chunk, sess,
-                            bytes(message), False,
-                        )
-                        if text:
-                            await websocket.send(json.dumps({
-                                "mode": "2pass-online" if sess.mode == "2pass"
-                                        else "online",
-                                "wav_name": sess.wav_name,
-                                "text": text,
-                                "is_final": False,
-                            }, ensure_ascii=False))
-                    continue
-                msg = json.loads(message)
-                if "mode" in msg or "wav_name" in msg or "audio_fs" in msg:
-                    sess.config(msg)
-                if msg.get("is_speaking") is False:
-                    # utterance end: flush online, run offline pass
-                    if sess.mode in ("online", "2pass") and sess.stream_cache is not None:
-                        text = await loop.run_in_executor(
-                            None, self._decode_online_chunk, sess, b"", True)
-                        if text:
-                            await websocket.send(json.dumps({
-                                "mode": "2pass-online" if sess.mode == "2pass"
-                                        else "online",
-                                "wav_name": sess.wav_name,
-                                "text": text, "is_final": sess.mode == "online",
-                            }, ensure_ascii=False))
-                    if sess.mode in ("offline", "2pass"):
-                        result = await loop.run_in_executor(
-                            None, self._decode_offline, sess)
-                        out = {
-                            "mode": "2pass-offline" if sess.mode == "2pass"
-                                    else "offline",
-                            "wav_name": sess.wav_name,
-                            "text": result.get("text", ""),
-                            "is_final": True,
-                        }
-                        if "timestamp" in result:
-                            out["timestamp"] = result["timestamp"]
-                        if "sentence_info" in result:
-                            out["stamp_sents"] = result["sentence_info"]
-                        await websocket.send(json.dumps(out, ensure_ascii=False,
-                                                        default=str))
-                    sess.buffer = bytearray()
-                    if sess.mode in ("online", "2pass") and self.streaming_model:
-                        sess.stream_cache = self.streaming_model.init_cache()
+                    responses = await loop.run_in_executor(
+                        None, self.on_binary, sess, bytes(message))
+                else:
+                    responses = await loop.run_in_executor(
+                        None, self.on_text, sess, message)
+                for r in responses:
+                    await websocket.send(r)
         except Exception:  # pragma: no cover - connection teardown
             log.exception("websocket session error")
 
