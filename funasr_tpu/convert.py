@@ -101,6 +101,64 @@ def _count_layers(sd: Mapping[str, np.ndarray], prefix: str) -> int:
     return (max(idx) + 1) if idx else 0
 
 
+def _sanm_decoder_tree(sd, prefix: str) -> Dict[str, Any]:
+    """ParaformerSANMDecoder params (reference paraformer/decoder.py:225):
+    decoders (self+src), optional decoders2 (self only), decoders3 (ff
+    only), after_norm, optional embed/output_layer."""
+    dec: Dict[str, Any] = {}
+    n_att = _count_layers(sd, f"{prefix}.decoders")
+    layers = []
+    for i in range(n_att):
+        lt: Dict[str, Any] = {}
+        _dec_layer(sd, f"{prefix}.decoders.{i}", lt, "L")
+        layers.append(lt["L"])
+    if layers:
+        dec["decoders"] = _stack_layers(layers)
+    n2 = _count_layers(sd, f"{prefix}.decoders2")
+    if n2:
+        layers = []
+        for i in range(n2):
+            lt: Dict[str, Any] = {}
+            _dec_layer(sd, f"{prefix}.decoders2.{i}", lt, "L", has_src=False)
+            layers.append(lt["L"])
+        dec["decoders2"] = _stack_layers(layers)
+    if f"{prefix}.decoders3.0.norm1.weight" in sd:
+        lt = {}
+        _dec_layer(sd, f"{prefix}.decoders3.0", lt, "L",
+                   has_self=False, has_src=False)
+        dec["decoders3"] = lt["L"]
+    _norm(sd, f"{prefix}.after_norm", dec, "after_norm")
+    if f"{prefix}.output_layer.weight" in sd:
+        _linear(sd, f"{prefix}.output_layer", dec, "output_layer")
+    if f"{prefix}.embed.0.weight" in sd:
+        dec["embed"] = {"embedding": sd[f"{prefix}.embed.0.weight"]}
+    return dec
+
+
+def _lstm(sd, tprefix: str, tree: Dict, jprefix: str, num_layers: int = 2):
+    """torch.nn.LSTM -> flax ``nn.RNN(nn.OptimizedLSTMCell)`` per layer.
+
+    torch packs gates as [i, f, g, o] rows of weight_ih/hh_l{n}; flax keeps
+    per-gate Dense modules (ii/if/ig/io without bias, hi/hf/hg/ho with
+    bias), so the hidden bias absorbs torch's bias_ih + bias_hh.
+    """
+    for layer in range(num_layers):
+        wih = sd[f"{tprefix}.weight_ih_l{layer}"]  # (4H, E)
+        whh = sd[f"{tprefix}.weight_hh_l{layer}"]  # (4H, H)
+        bih = sd.get(f"{tprefix}.bias_ih_l{layer}")
+        bhh = sd.get(f"{tprefix}.bias_hh_l{layer}")
+        H = whh.shape[1]
+        cell = f"{jprefix}/OptimizedLSTMCell_{layer}"
+        for gi, g in enumerate(("i", "f", "g", "o")):
+            rows = slice(gi * H, (gi + 1) * H)
+            _set(tree, f"{cell}/i{g}/kernel",
+                 np.ascontiguousarray(wih[rows].T))
+            _set(tree, f"{cell}/h{g}/kernel",
+                 np.ascontiguousarray(whh[rows].T))
+            if bih is not None and bhh is not None:
+                _set(tree, f"{cell}/h{g}/bias", bih[rows] + bhh[rows])
+
+
 def paraformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     """Build the ``{'params': ...}`` tree for funasr_tpu Paraformer from a
     reference torch state_dict (values as numpy arrays)."""
@@ -130,31 +188,7 @@ def paraformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     tree["predictor"] = pred
 
     # ---- decoder
-    dec: Dict[str, Any] = {}
-    n_att = _count_layers(sd, "decoder.decoders")
-    layers = []
-    for i in range(n_att):
-        lt: Dict[str, Any] = {}
-        _dec_layer(sd, f"decoder.decoders.{i}", lt, "L")
-        layers.append(lt["L"])
-    if layers:
-        dec["decoders"] = _stack_layers(layers)
-    n2 = _count_layers(sd, "decoder.decoders2")
-    if n2:
-        layers = []
-        for i in range(n2):
-            lt: Dict[str, Any] = {}
-            _dec_layer(sd, f"decoder.decoders2.{i}", lt, "L", has_src=False)
-            layers.append(lt["L"])
-        dec["decoders2"] = _stack_layers(layers)
-    lt = {}
-    _dec_layer(sd, "decoder.decoders3.0", lt, "L", has_self=False, has_src=False)
-    dec["decoders3"] = lt["L"]
-    _norm(sd, "decoder.after_norm", dec, "after_norm")
-    _linear(sd, "decoder.output_layer", dec, "output_layer")
-    if "decoder.embed.0.weight" in sd:
-        dec["embed"] = {"embedding": sd["decoder.embed.0.weight"]}
-    tree["decoder"] = dec
+    tree["decoder"] = _sanm_decoder_tree(sd, "decoder")
 
     if "ctc.ctc_lo.weight" in sd:
         ctc: Dict[str, Any] = {}
@@ -162,6 +196,41 @@ def paraformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
         tree["ctc_lo"] = ctc["ctc_lo"]
 
     return {"params": tree}
+
+
+def bicif_paraformer_from_torch(sd: Mapping[str, np.ndarray]
+                                ) -> Dict[str, Any]:
+    """BiCifParaformer (reference bicif_paraformer/cif_predictor.py:97
+    ``CifPredictorV3``): the Paraformer tree + the upsampled timestamp head
+    (ConvTranspose1d ``upsample_cnn`` + ``cif_output2``, upsample_type
+    'cnn')."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    out = paraformer_from_torch(sd)
+    pred = out["params"]["predictor"]
+    # torch ConvTranspose1d weight (in=D, out=D, K=u); ours is
+    # (u, D_in, D_out) applied as einsum("btd,udo->btuo")
+    w = sd["predictor.upsample_cnn.weight"]
+    pred["upsample_cnn"] = np.ascontiguousarray(np.transpose(w, (2, 0, 1)))
+    pred["upsample_cnn_bias"] = sd["predictor.upsample_cnn.bias"]
+    _linear(sd, "predictor.cif_output2", pred, "cif_output2")
+    return out
+
+
+def seaco_paraformer_from_torch(sd: Mapping[str, np.ndarray]
+                                ) -> Dict[str, Any]:
+    """SeacoParaformer (reference seaco_paraformer/model.py:44): BiCif tree
+    + the 2-layer LSTM ``bias_encoder`` (model.py:67), the SANM
+    ``seaco_decoder`` (use_output_layer=False) and
+    ``hotword_output_layer`` (model.py:95)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    out = (bicif_paraformer_from_torch(sd)
+           if "predictor.upsample_cnn.weight" in sd
+           else paraformer_from_torch(sd))
+    tree = out["params"]
+    _lstm(sd, "bias_encoder", tree, "bias_encoder", num_layers=2)
+    tree["seaco_decoder"] = _sanm_decoder_tree(sd, "seaco_decoder")
+    _linear(sd, "hotword_output_layer", tree, "hotword_output_layer")
+    return out
 
 
 def check_tree_matches(converted, initialized) -> list:

@@ -94,11 +94,20 @@ class CifPredictorV3(nn.Module):
                           - self.noise_threshold2)
         mask2 = jnp.repeat(mask, u, axis=-1)
         alphas2 = alphas2 * mask2
-        # fire track of the upsampled head
-        s, c = compensated_cumsum(alphas2, axis=-1)
-        S = s + c
-        P = S - alphas2
-        us_peaks = jnp.floor(S) > jnp.floor(P)
+
+        def us_track(a2, count):
+            # rescale so the upsampled head integrates to exactly `count`
+            # (reference cif_predictor.py:283-284), then fire at multiples of
+            # threshold-1e-4 — the reference's own cif_wo_hidden
+            # (bicif cif_predictor.py:71,290) subtracts that theta per fire,
+            # so fires sit at k*theta crossings of the cumsum.
+            theta = self.threshold - 1e-4
+            scale = count / jnp.maximum(jnp.sum(a2, axis=-1), 1e-6)
+            a2 = a2 * scale[:, None]
+            s, c = compensated_cumsum(a2, axis=-1)
+            S = s + c
+            P = S - a2
+            return a2, jnp.floor(S / theta) > jnp.floor(P / theta)
 
         if target_length is not None:
             scale = target_length.astype(jnp.float32) / jnp.maximum(token_num, 1e-6)
@@ -106,6 +115,8 @@ class CifPredictorV3(nn.Module):
             o = cif(hidden_masked, a, max_tokens)
             base = PredictorOutput(o.embeds.astype(self.dtype), token_num, a,
                                    o.fires, o.peaks)
+            alphas2, us_peaks = us_track(
+                alphas2, target_length.astype(jnp.float32))
             return PredictorOutputV3(base, alphas2, us_peaks)
 
         if self.tail_threshold > 0.0:
@@ -115,6 +126,7 @@ class CifPredictorV3(nn.Module):
         o = cif(hidden_masked, alphas, max_tokens)
         base = PredictorOutput(o.embeds.astype(self.dtype), token_num, alphas,
                                o.fires, o.peaks)
+        alphas2, us_peaks = us_track(alphas2, token_num.astype(jnp.float32))
         return PredictorOutputV3(base, alphas2, us_peaks)
 
 

@@ -98,13 +98,15 @@ class SeacoParaformer(BiCifParaformer):
         return self.hotword_output_layer(cif_att + dec_att)
 
     # ------------------------------------------------------------ inference
-    def decode_with_hotwords(
+    def hotword_logprobs(
         self,
         speech, speech_lengths,
         hotword_pad, hotword_lengths,  # (H, Lh), (H,) — last row = no-bias
         max_tokens: int = 128,
     ):
-        """Greedy decode with hotword bias fusion -> (tokens, token_lengths)."""
+        """Merged (decoder ⊕ bias-head) log-probs over the token grid
+        (reference model.py:234 ``_seaco_decode_with_ASF``)
+        -> (merged_logp, token_lengths)."""
         enc, enc_lens = self.encode(speech, speech_lengths, True)
         pred = self.predictor(enc, enc_lens, max_tokens=max_tokens,
                               deterministic=True)
@@ -126,6 +128,17 @@ class SeacoParaformer(BiCifParaformer):
         lam = self.seaco_weight
         merged = jnp.where(use_dec, dec_logp,
                            (1 - lam) * dec_logp + lam * dha_logp)
+        return merged, tok_lens
+
+    def decode_with_hotwords(
+        self,
+        speech, speech_lengths,
+        hotword_pad, hotword_lengths,
+        max_tokens: int = 128,
+    ):
+        """Greedy decode with hotword bias fusion -> (tokens, token_lengths)."""
+        merged, tok_lens = self.hotword_logprobs(
+            speech, speech_lengths, hotword_pad, hotword_lengths, max_tokens)
         tokens = jnp.argmax(merged, axis=-1)
         valid = sequence_mask(tok_lens, max_tokens, jnp.bool_)
         return jnp.where(valid, tokens, self.blank_id), tok_lens

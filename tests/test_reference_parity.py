@@ -372,3 +372,133 @@ def test_lightconv_decoder_in_hybrid(rng=np.random.default_rng(4)):
     toks, lens_out, scores = m.apply(params, x, lens, 3, 5,
                                      method=m.decode_beam)
     assert toks.shape[0] == 2 and np.isfinite(np.asarray(scores)).all()
+
+
+# --------------------------------------------------------------------------
+# BiCifParaformer: upsampled timestamp track parity
+# --------------------------------------------------------------------------
+
+PRED_V3 = dict(idim=D, threshold=1.0, l_order=1, r_order=1,
+               tail_threshold=0.45, smooth_factor2=0.25,
+               noise_threshold2=0.01, upsample_times=3, use_cif1_cnn=False)
+
+
+@pytest.fixture(scope="module")
+def bicif_pair():
+    from funasr_tpu.convert import bicif_paraformer_from_torch
+    from funasr_tpu.models.bicif_paraformer.model import BiCifParaformer
+
+    load_reference("funasr.models.sanm.encoder")
+    load_reference("funasr.models.paraformer.decoder")
+    load_reference("funasr.models.bicif_paraformer.cif_predictor")
+    bm = load_reference("funasr.models.bicif_paraformer.model")
+    torch.manual_seed(1)
+    ref = bm.BiCifParaformer(
+        encoder="SANMEncoder", encoder_conf=dict(ENC, input_layer="pe"),
+        decoder="ParaformerSANMDecoder", decoder_conf=dict(DEC),
+        predictor="CifPredictorV3",
+        predictor_conf=dict(PRED_V3, upsample_type="cnn"),
+        ctc_weight=0.0, input_size=IN, vocab_size=V,
+        predictor_weight=1.0, predictor_bias=1, sampling_ratio=0.0,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = bicif_paraformer_from_torch(sd)
+    ours = BiCifParaformer(vocab_size=V, input_size=IN, encoder_conf=ENC,
+                           decoder_conf=DEC, predictor_conf=PRED_V3,
+                           sampling_ratio=0.0)
+    return ref, ours, params
+
+
+def test_bicif_timestamp_parity(bicif_pair, speech):
+    ref, ours, params = bicif_pair
+    x, lens = speech
+    with torch.no_grad():
+        enc, enc_lens = ref.encode(
+            torch.from_numpy(x), torch.from_numpy(lens.astype(np.int64)))
+        _, tok_len, _, _ = ref.calc_predictor(enc, enc_lens)
+        tok_len = tok_len.round().long()
+        _, _, us_alphas, us_fires = ref.calc_predictor_timestamp(
+            enc, enc_lens, tok_len)
+    U = int(tok_len.max()) + 2
+    _, tok_lens, pred = ours.apply(
+        params, jnp.asarray(x), jnp.asarray(lens), max_tokens=U,
+        method=ours.inference_logits)
+    assert tok_lens.tolist() == tok_len.tolist()
+    theta = 1.0 - 1e-4
+    ref_peaks = us_fires.numpy() >= theta
+    got_alphas = np.asarray(pred.us_alphas)
+    got_peaks = np.asarray(pred.us_peaks)
+    for b, n in enumerate(lens):
+        nu = int(n) * 3
+        np.testing.assert_allclose(got_alphas[b, :nu],
+                                   us_alphas.numpy()[b, :nu],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(got_peaks[b, :nu], ref_peaks[b, :nu])
+
+
+# --------------------------------------------------------------------------
+# SeacoParaformer: merged hotword log-prob parity
+# --------------------------------------------------------------------------
+
+
+def test_seaco_hotword_parity(speech):
+    from funasr_tpu.convert import seaco_paraformer_from_torch
+    from funasr_tpu.models.seaco_paraformer.model import SeacoParaformer
+
+    load_reference("funasr.models.sanm.encoder")
+    load_reference("funasr.models.paraformer.decoder")
+    load_reference("funasr.models.bicif_paraformer.cif_predictor")
+    sm = load_reference("funasr.models.seaco_paraformer.model")
+    torch.manual_seed(2)
+    sdec = dict(attention_heads=2, linear_units=32, num_blocks=2,
+                att_layer_num=2, kernel_size=5, dropout_rate=0.0,
+                self_attention_dropout_rate=0.0,
+                src_attention_dropout_rate=0.0, use_output_layer=False)
+    ref = sm.SeacoParaformer(
+        encoder="SANMEncoder", encoder_conf=dict(ENC, input_layer="pe"),
+        decoder="ParaformerSANMDecoder", decoder_conf=dict(DEC),
+        predictor="CifPredictorV3",
+        predictor_conf=dict(PRED_V3, upsample_type="cnn"),
+        seaco_decoder="ParaformerSANMDecoder", seaco_decoder_conf=sdec,
+        inner_dim=D, NO_BIAS=V - 1, seaco_weight=1.0,
+        ctc_weight=0.0, input_size=IN, vocab_size=V,
+        predictor_weight=1.0, predictor_bias=1, sampling_ratio=0.0,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = seaco_paraformer_from_torch(sd)
+
+    ours = SeacoParaformer(
+        vocab_size=V, input_size=IN, encoder_conf=ENC, decoder_conf=DEC,
+        predictor_conf=PRED_V3,
+        seaco_decoder_conf={k: v for k, v in sdec.items()
+                            if k != "use_output_layer"},
+        inner_dim=D, no_bias_id=V - 1, seaco_weight=1.0, sampling_ratio=0.0)
+
+    x, lens = speech
+    hw_list = [[3, 4], [7], [V - 1]]  # last row = no-bias entry
+    with torch.no_grad():
+        enc, enc_lens = ref.encode(
+            torch.from_numpy(x), torch.from_numpy(lens.astype(np.int64)))
+        pre_embeds, tok_len, _, _ = ref.calc_predictor(enc, enc_lens)
+        tok_len = tok_len.round().long()
+        want = ref._seaco_decode_with_ASF(
+            enc, enc_lens, pre_embeds, tok_len, hw_list,
+            nfilter=0, seaco_weight=1.0).numpy()
+
+    U = want.shape[1]
+    hw_pad = np.zeros((3, 2), np.int32)
+    hw_lens = np.array([2, 1, 1], np.int32)
+    for i, hw in enumerate(hw_list):
+        hw_pad[i, :len(hw)] = hw
+    got, tok_lens = ours.apply(
+        params, jnp.asarray(x), jnp.asarray(lens), jnp.asarray(hw_pad),
+        jnp.asarray(hw_lens), max_tokens=U, method=ours.hotword_logprobs)
+    assert tok_lens.tolist() == tok_len.tolist()
+    got = np.asarray(got)
+    for b, n in enumerate(np.asarray(tok_lens)):
+        np.testing.assert_allclose(got[b, :n], want[b, :n],
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_array_equal(got[b, :n].argmax(-1),
+                                      want[b, :n].argmax(-1))
