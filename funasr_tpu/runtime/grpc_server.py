@@ -43,12 +43,22 @@ def _de(data: bytes) -> Dict[str, Any]:
 
 class AsrGrpcServer:
     def __init__(self, auto_model, host: str = "0.0.0.0", port: int = 10098,
-                 max_workers: int = 8):
+                 max_workers: int = 8, max_batch: int = 32,
+                 batch_wait_ms: float = 10.0):
         self.auto_model = auto_model
         self.host = host
         self.port = port
         self.max_workers = max_workers
         self._server = None
+        # Concurrent streams' end-of-utterance decodes coalesce into one
+        # device batch (runtime/batcher.py).
+        if max_batch and max_batch > 1:
+            from funasr_tpu.runtime.batcher import BatchingAutoModel
+
+            self.decode_model = BatchingAutoModel(
+                auto_model, max_batch=max_batch, max_wait_ms=batch_wait_ms)
+        else:
+            self.decode_model = auto_model
 
     # ------------------------------------------------------------ handlers
     def _recognize_stream(self, request_iterator: Iterator[Dict[str, Any]],
@@ -71,7 +81,7 @@ class AsrGrpcServer:
                     wav = resample_linear(wav, fs, 16000)
                 text = ""
                 if len(wav) >= 400:
-                    res = self.auto_model.generate(wav, key=[user or "grpc"])
+                    res = self.decode_model.generate(wav, key=[user or "grpc"])
                     text = res[0].get("text", "") if res else ""
                 buf = bytearray()
                 yield _ser({"sentence": text, "user": user,

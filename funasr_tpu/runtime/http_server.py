@@ -26,10 +26,20 @@ log = logging.getLogger(__name__)
 
 
 class AsrHttpServer:
-    def __init__(self, auto_model, host: str = "0.0.0.0", port: int = 10096):
+    def __init__(self, auto_model, host: str = "0.0.0.0", port: int = 10096,
+                 max_batch: int = 32, batch_wait_ms: float = 10.0):
         self.auto_model = auto_model
         self.host = host
         self.port = port
+        # Concurrent uploads coalesce into one device batch (see
+        # runtime/batcher.py; reference servers decode via a thread pool).
+        if max_batch and max_batch > 1:
+            from funasr_tpu.runtime.batcher import BatchingAutoModel
+
+            self.decode_model = BatchingAutoModel(
+                auto_model, max_batch=max_batch, max_wait_ms=batch_wait_ms)
+        else:
+            self.decode_model = auto_model
 
     def _decode(self, data: bytes, audio_fs: int, key: str,
                 use_itn: bool) -> Dict[str, Any]:
@@ -52,7 +62,7 @@ class AsrHttpServer:
                 wav = load_audio(wav, fs=16000, audio_fs=fs)
         else:
             wav = load_audio(data, fs=16000, audio_fs=audio_fs)
-        res = self.auto_model.generate(wav, key=[key], use_itn=use_itn)
+        res = self.decode_model.generate(wav, key=[key], use_itn=use_itn)
         return res[0] if res else {"text": ""}
 
     def make_app(self):

@@ -53,11 +53,21 @@ class WsSession:
 
 class AsrWebSocketServer:
     def __init__(self, auto_model, streaming_model=None, host="0.0.0.0",
-                 port=10095):
+                 port=10095, max_batch: int = 32, batch_wait_ms: float = 10.0):
         self.auto_model = auto_model  # funasr_tpu.AutoModel (offline path)
         self.streaming_model = streaming_model  # ParaformerStreaming or None
         self.host = host
         self.port = port
+        # Cross-connection dynamic batching: concurrent offline decodes
+        # coalesce into one padded device batch (runtime/batcher.py; the
+        # reference server's decoder thread pool / Triton dynamic batching).
+        if max_batch and max_batch > 1:
+            from funasr_tpu.runtime.batcher import BatchingAutoModel
+
+            self.decode_model = BatchingAutoModel(
+                auto_model, max_batch=max_batch, max_wait_ms=batch_wait_ms)
+        else:
+            self.decode_model = auto_model
 
     # ------------------------------------------------------------- decoding
     def _pcm_to_wave(self, pcm: bytes, fs: int) -> np.ndarray:
@@ -72,7 +82,7 @@ class AsrWebSocketServer:
         wav = self._pcm_to_wave(bytes(sess.buffer), sess.audio_fs)
         if len(wav) < 400:
             return {"text": ""}
-        res = self.auto_model.generate(wav, key=[sess.wav_name])
+        res = self.decode_model.generate(wav, key=[sess.wav_name])
         return res[0] if res else {"text": ""}
 
     def _decode_online_chunk(self, sess: WsSession, pcm: bytes,
