@@ -39,7 +39,15 @@ def _timed(fn):
 
 def main():
     from funasr_tpu.ops import fbank as F
+    from funasr_tpu.ops import quant
     from __graft_entry__ import _flagship
+
+    # int8 dynamic quantization (ops/quant.py + ops/ffn_pallas.py): default
+    # on, mirroring the reference serving default (funasr-wss-server.cpp:54
+    # "--quantize true (Default)"; int8 keeps CER at 1.95,
+    # benchmark_onnx_cpp.md:63-81).  FUNASR_TPU_INT8=0 opts out.
+    use_int8 = os.environ.get("FUNASR_TPU_INT8", "1") == "1"
+    quant.enable(use_int8)
 
     model = _flagship(dtype=jnp.bfloat16)
 
@@ -128,7 +136,8 @@ def main():
         "unit": "audio-s/s",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),
         "detail": {
-            "batch": B, "utt_seconds": secs, "dtype": "bfloat16",
+            "batch": B, "utt_seconds": secs,
+            "dtype": "bfloat16+int8" if use_int8 else "bfloat16",
             "model": "paraformer-large-arch(220M)",
             "batch_latency_ms": round(dt * 1000, 1),
             "compile_s": round(compile_s, 1),

@@ -121,10 +121,19 @@ class AutoModel:
         spk_model: Union[str, Dict, None] = None,
         spk_conf: Optional[Dict] = None,
         seed: int = 0,
+        quantize: bool = False,
         **kwargs,
     ):
         self.kwargs = kwargs
         self.rng = jax.random.PRNGKey(seed)
+        if quantize:
+            # int8 dynamic quantization on the MXU (reference funasr_onnx
+            # `quantize=True` loads the onnxruntime dynamic-quant int8 model,
+            # runtime/docs/benchmark_onnx_cpp.md:69-81). Trace-time switch —
+            # set before the engines jit (ops/quant.py).
+            from funasr_tpu.ops import quant
+
+            quant.enable(True)
         self.engine = None
         self.vad_engine = None
         self.punc_engine = None

@@ -20,6 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+from funasr_tpu.ops.quant import QDense
 from jax import lax
 
 from funasr_tpu.models.sanm import LayerNormF32, masked_softmax
@@ -63,13 +65,13 @@ class RelPosMultiHeadAttention(nn.Module):
     def __call__(self, x, pos_emb, mask, deterministic: bool = True):
         B, T, _ = x.shape
         d_k = self.n_feat // self.n_head
-        q = nn.Dense(self.n_feat, name="linear_q", dtype=self.dtype,
+        q = QDense(self.n_feat, name="linear_q", dtype=self.dtype,
                      param_dtype=self.param_dtype)(x)
-        k = nn.Dense(self.n_feat, name="linear_k", dtype=self.dtype,
+        k = QDense(self.n_feat, name="linear_k", dtype=self.dtype,
                      param_dtype=self.param_dtype)(x)
-        v = nn.Dense(self.n_feat, name="linear_v", dtype=self.dtype,
+        v = QDense(self.n_feat, name="linear_v", dtype=self.dtype,
                      param_dtype=self.param_dtype)(x)
-        p = nn.Dense(self.n_feat, use_bias=False, name="linear_pos",
+        p = QDense(self.n_feat, use_bias=False, name="linear_pos",
                      dtype=self.dtype, param_dtype=self.param_dtype)(
             pos_emb.astype(self.dtype))
         pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(),
@@ -100,7 +102,7 @@ class RelPosMultiHeadAttention(nn.Module):
                          attn.reshape(B * H, T, T).astype(v2.dtype), v2)
         ctx = (ctx.reshape(B, H, T, d_k).transpose(0, 2, 1, 3)
                .reshape(B, T, self.n_feat))
-        return nn.Dense(self.n_feat, name="linear_out", dtype=self.dtype,
+        return QDense(self.n_feat, name="linear_out", dtype=self.dtype,
                         param_dtype=self.param_dtype)(ctx)
 
 
@@ -117,7 +119,7 @@ class ConvolutionModule(nn.Module):
         # checkpoints bake in that boundary behavior, so we match it
         # (mask_t is accepted for API compatibility but unused).
         del mask_t
-        h = nn.Dense(2 * self.channels, name="pointwise_conv1",
+        h = QDense(2 * self.channels, name="pointwise_conv1",
                      dtype=self.dtype, param_dtype=self.param_dtype)(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * nn.sigmoid(b)  # GLU
@@ -137,7 +139,7 @@ class ConvolutionModule(nn.Module):
             dtype=jnp.float32, param_dtype=self.param_dtype,
         )(h.astype(jnp.float32)).astype(self.dtype)
         h = h * nn.sigmoid(h)  # swish
-        return nn.Dense(self.channels, name="pointwise_conv2",
+        return QDense(self.channels, name="pointwise_conv2",
                         dtype=self.dtype, param_dtype=self.param_dtype)(h)
 
 
@@ -150,11 +152,11 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.hidden, name="w_1", dtype=self.dtype,
+        h = QDense(self.hidden, name="w_1", dtype=self.dtype,
                      param_dtype=self.param_dtype)(x)
         h = h * nn.sigmoid(h)  # swish (conformer default)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(self.out, name="w_2", dtype=self.dtype,
+        return QDense(self.out, name="w_2", dtype=self.dtype,
                         param_dtype=self.param_dtype)(h)
 
 
@@ -227,7 +229,7 @@ class Conv2dSubsampling(nn.Module):
         h = nn.relu(h)
         B2, T2, F2, C = h.shape
         h = h.reshape(B2, T2, F2 * C)
-        h = nn.Dense(self.odim, name="out", dtype=self.dtype,
+        h = QDense(self.odim, name="out", dtype=self.dtype,
                      param_dtype=self.param_dtype)(h)
         # reference semantics: the pad mask is sliced [:-2:2][:-2:2], so a
         # subsampled frame j is valid iff original index 4j < L ->
@@ -258,7 +260,7 @@ class ConformerEncoder(nn.Module):
                 self.output_size, self.dtype, self.param_dtype, name="embed"
             )(xs, lengths)
         elif self.input_layer == "linear":
-            x = nn.Dense(self.output_size, name="embed", dtype=self.dtype,
+            x = QDense(self.output_size, name="embed", dtype=self.dtype,
                          param_dtype=self.param_dtype)(xs.astype(self.dtype))
         else:
             raise NotImplementedError(self.input_layer)

@@ -18,6 +18,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
+from funasr_tpu.ops.quant import QDense
+
 from funasr_tpu.models.sanm import (
     LayerNormF32,
     fsmn_memory,
@@ -41,12 +43,12 @@ class FeedForwardDecoderSANM(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.hidden_units, name="w_1",
+        h = QDense(self.hidden_units, name="w_1",
                      dtype=self.dtype, param_dtype=self.param_dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = LayerNormF32(self.dtype, self.param_dtype, name="norm")(h)
-        return nn.Dense(self.out_units, name="w_2", use_bias=False,
+        return QDense(self.out_units, name="w_2", use_bias=False,
                         dtype=self.dtype, param_dtype=self.param_dtype)(h)
 
 
@@ -88,9 +90,9 @@ class CrossAttention(nn.Module):
         d_k = self.n_feat // self.n_head
         B, U, _ = x.shape
         T = memory.shape[1]
-        q = nn.Dense(self.n_feat, name="linear_q",
+        q = QDense(self.n_feat, name="linear_q",
                      dtype=self.dtype, param_dtype=self.param_dtype)(x)
-        kv = nn.Dense(2 * self.n_feat, name="linear_k_v",
+        kv = QDense(2 * self.n_feat, name="linear_k_v",
                       dtype=self.dtype, param_dtype=self.param_dtype)(memory)
         k, v = jnp.split(kv, 2, axis=-1)
         H = self.n_head
@@ -107,7 +109,7 @@ class CrossAttention(nn.Module):
             else:
                 bias = (1.0 - memory_mask[:, 0, :].astype(jnp.float32)) * -1e30
             ctx = AP.fused_attention(q * (d_k ** -0.5), k, v, bias, H)
-            return nn.Dense(self.n_feat, name="linear_out",
+            return QDense(self.n_feat, name="linear_out",
                             dtype=self.dtype, param_dtype=self.param_dtype)(ctx)
 
         # merged (B*H) 3D matmuls (fewer TPU layout copies than 4D einsum)
@@ -126,7 +128,7 @@ class CrossAttention(nn.Module):
                          attn.reshape(B * H, U, T).astype(v2.dtype), v2)
         ctx = (ctx.reshape(B, H, U, d_k).transpose(0, 2, 1, 3)
                .reshape(B, U, self.n_feat))
-        return nn.Dense(self.n_feat, name="linear_out",
+        return QDense(self.n_feat, name="linear_out",
                         dtype=self.dtype, param_dtype=self.param_dtype)(ctx)
 
 
@@ -247,7 +249,7 @@ class ParaformerSANMDecoder(nn.Module):
         self.after_norm = LayerNormF32(self.dtype, self.param_dtype,
                                        name="after_norm")
         if self.use_output_layer:
-            self.output_layer = nn.Dense(
+            self.output_layer = QDense(
                 self.vocab_size, name="output_layer",
                 dtype=self.dtype, param_dtype=self.param_dtype,
             )
@@ -333,7 +335,7 @@ class ParaformerSANDecoder(nn.Module):
         self.after_norm = LayerNormF32(self.dtype, self.param_dtype,
                                        name="after_norm")
         if self.use_output_layer:
-            self.output_layer = nn.Dense(
+            self.output_layer = QDense(
                 self.vocab_size, name="output_layer",
                 dtype=self.dtype, param_dtype=self.param_dtype,
             )

@@ -28,6 +28,8 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+from funasr_tpu.ops.quant import QDense
 from jax import lax
 
 from funasr_tpu.ops.masks import mask_fill
@@ -101,7 +103,7 @@ class MultiHeadedAttentionSANM(nn.Module):
         if isinstance(mask, (tuple, list)):
             mask, attn_mask = mask
         d_k = self.n_feat // self.n_head
-        qkv = nn.Dense(
+        qkv = QDense(
             3 * self.n_feat, name="linear_q_k_v",
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(x)
@@ -133,7 +135,7 @@ class MultiHeadedAttentionSANM(nn.Module):
             else:
                 bias = (1.0 - mask[:, 0, :].astype(jnp.float32)) * -1e30
             ctx = AP.fused_attention(q * (d_k ** -0.5), k, v, bias, H)
-            out = nn.Dense(
+            out = QDense(
                 self.n_feat, name="linear_out",
                 dtype=self.dtype, param_dtype=self.param_dtype,
             )(ctx)
@@ -159,11 +161,29 @@ class MultiHeadedAttentionSANM(nn.Module):
                          attn.reshape(B * H, T, T).astype(v2.dtype), v2)
         ctx = (ctx.reshape(B, H, T, d_k).transpose(0, 2, 1, 3)
                .reshape(B, T, self.n_feat))
-        out = nn.Dense(
+        out = QDense(
             self.n_feat, name="linear_out",
             dtype=self.dtype, param_dtype=self.param_dtype,
         )(ctx)
         return out + mem
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder shaped exactly like ``nn.Dense`` (same names,
+    shapes, and default inits) for kernels that consume raw weights."""
+
+    in_features: int
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return kernel, bias
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -177,11 +197,32 @@ class PositionwiseFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.hidden_units, name="w_1",
+        from funasr_tpu.ops import ffn_pallas as FP
+        from funasr_tpu.ops import quant
+
+        M = 1
+        for d in x.shape[:-1]:
+            M *= d
+        if ((deterministic or self.dropout_rate == 0.0) and quant.enabled()
+                and FP.enabled()
+                and FP.supported(M, x.shape[-1], self.hidden_units,
+                                 self.out_units, self.dtype)):
+            # fused VMEM FFN (ops/ffn_pallas.py): the (M, hidden) tensor
+            # never reaches HBM and both contractions run on the int8 MXU.
+            # int8-only: in bf16 the hidden-traffic saving measured slightly
+            # below XLA's epilogue-fused matmuls, so the XLA path stays
+            # default there.
+            k1, b1 = _DenseParams(x.shape[-1], self.hidden_units,
+                                  self.param_dtype, name="w_1")()
+            k2, b2 = _DenseParams(self.hidden_units, self.out_units,
+                                  self.param_dtype, name="w_2")()
+            return FP.fused_ffn(x.astype(self.dtype), k1, b1, k2, b2,
+                                int8=quant.enabled())
+        h = QDense(self.hidden_units, name="w_1",
                      dtype=self.dtype, param_dtype=self.param_dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(self.out_units, name="w_2",
+        return QDense(self.out_units, name="w_2",
                         dtype=self.dtype, param_dtype=self.param_dtype)(h)
 
 

@@ -23,6 +23,7 @@ import flax.linen as nn
 
 from funasr_tpu import losses
 from funasr_tpu.models.sanm import EncoderLayerSANM, LayerNormF32
+from funasr_tpu.ops.quant import QDense
 from funasr_tpu.ops.ctc_decode import ctc_greedy_decode
 from funasr_tpu.ops.masks import key_mask, sequence_mask
 from funasr_tpu.ops.posenc import sinusoidal_encoding
@@ -119,7 +120,7 @@ class SenseVoiceSmall(nn.Module):
         # prompt-token embedding at input feature width (model.py:646)
         self.embed = nn.Embed(QUERY_VOCAB, self.input_size, name="embed",
                               dtype=self.dtype, param_dtype=self.param_dtype)
-        self.ctc_lo = nn.Dense(self.vocab_size, name="ctc_lo",
+        self.ctc_lo = QDense(self.vocab_size, name="ctc_lo",
                                dtype=self.dtype, param_dtype=self.param_dtype)
 
     def _compose(self, speech, speech_lengths, lid_ids, textnorm_ids):

@@ -15,6 +15,8 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+from funasr_tpu.ops.quant import QDense
 from jax import lax
 
 from funasr_tpu.models.sanm import LayerNormF32, PositionwiseFeedForward, masked_softmax
@@ -37,11 +39,11 @@ class MultiHeadAttention(nn.Module):
         B, Tq, _ = q_in.shape
         Tk = kv_in.shape[1]
         d_k = self.n_feat // self.n_head
-        q = nn.Dense(self.n_feat, name="linear_q", dtype=self.dtype,
+        q = QDense(self.n_feat, name="linear_q", dtype=self.dtype,
                      param_dtype=self.param_dtype)(q_in)
-        k = nn.Dense(self.n_feat, name="linear_k", dtype=self.dtype,
+        k = QDense(self.n_feat, name="linear_k", dtype=self.dtype,
                      param_dtype=self.param_dtype)(kv_in)
-        v = nn.Dense(self.n_feat, name="linear_v", dtype=self.dtype,
+        v = QDense(self.n_feat, name="linear_v", dtype=self.dtype,
                      param_dtype=self.param_dtype)(kv_in)
         H = self.n_head
         # merged (B*H) 3D matmuls (fewer TPU layout copies than 4D einsum)
@@ -58,7 +60,7 @@ class MultiHeadAttention(nn.Module):
                          attn.reshape(B * H, Tq, Tk).astype(v2.dtype), v2)
         ctx = (ctx.reshape(B, H, Tq, d_k).transpose(0, 2, 1, 3)
                .reshape(B, Tq, self.n_feat))
-        return nn.Dense(self.n_feat, name="linear_out", dtype=self.dtype,
+        return QDense(self.n_feat, name="linear_out", dtype=self.dtype,
                         param_dtype=self.param_dtype)(ctx)
 
 
@@ -144,7 +146,7 @@ class TransformerDecoder(nn.Module):
             self.dtype, self.param_dtype, name="decoders",
         )(x, (tgt_mask, memory.astype(self.dtype), memory_mask), deterministic)
         x = LayerNormF32(self.dtype, self.param_dtype, name="after_norm")(x)
-        return nn.Dense(self.vocab_size, name="output_layer",
+        return QDense(self.vocab_size, name="output_layer",
                         dtype=self.dtype, param_dtype=self.param_dtype)(x)
 
 
@@ -238,7 +240,7 @@ class TransformerRWKVDecoder(nn.Module):
             self.dtype, self.param_dtype, name="decoders",
         )(x, (None, memory.astype(self.dtype), memory_mask), deterministic)
         x = LayerNormF32(self.dtype, self.param_dtype, name="after_norm")(x)
-        return nn.Dense(self.vocab_size, name="output_layer",
+        return QDense(self.vocab_size, name="output_layer",
                         dtype=self.dtype, param_dtype=self.param_dtype)(x)
 
 
@@ -264,7 +266,7 @@ class LightweightConvolution(nn.Module):
     def __call__(self, x, time_mask=None, deterministic: bool = True):
         B, T, C = x.shape
         H, k = self.wshare, self.kernel_size
-        h = nn.Dense(2 * C, name="linear1", dtype=self.dtype,
+        h = QDense(2 * C, name="linear1", dtype=self.dtype,
                      param_dtype=self.param_dtype)(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * nn.sigmoid(b)  # GLU
@@ -299,7 +301,7 @@ class LightweightConvolution(nn.Module):
                 dimension_numbers=("NHC", "HIO", "NHC"),
             ).reshape(B, T, C)
             y = jnp.concatenate([y, xf], axis=-1)
-        return nn.Dense(C, name="linear2", dtype=self.dtype,
+        return QDense(C, name="linear2", dtype=self.dtype,
                         param_dtype=self.param_dtype)(y.astype(x.dtype))
 
 
@@ -324,12 +326,12 @@ class DynamicConvolution(nn.Module):
     def __call__(self, x, time_mask=None, deterministic: bool = True):
         B, T, C = x.shape
         H, k = self.wshare, self.kernel_size
-        h = nn.Dense(2 * C, name="linear1", dtype=self.dtype,
+        h = QDense(2 * C, name="linear1", dtype=self.dtype,
                      param_dtype=self.param_dtype)(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * nn.sigmoid(b)
 
-        w = nn.Dense(H * k, name="linear_weight", use_bias=True,
+        w = QDense(H * k, name="linear_weight", use_bias=True,
                      dtype=self.dtype, param_dtype=self.param_dtype)(h)
         w = w.reshape(B, T, H, k).astype(jnp.float32)
         # banded scores: score[b,h,t,s] = w[b,t,h, s - t + (k-1)//2]
@@ -354,7 +356,7 @@ class DynamicConvolution(nn.Module):
         if time_mask is not None and not self.use_kernel_mask:
             y = y * time_mask
         if self.freq2d:
-            wf = nn.Dense(k, name="linear_weight_f", dtype=self.dtype,
+            wf = QDense(k, name="linear_weight_f", dtype=self.dtype,
                           param_dtype=self.param_dtype)(h).astype(jnp.float32)
             # per-(b,t) kernel over the feature axis: k shifted FMAs,
             # xf[..., c] = sum_j wf[..., j] * h[..., c + j - k//2]
@@ -368,7 +370,7 @@ class DynamicConvolution(nn.Module):
                     shifted = jnp.pad(hf[..., :s], ((0, 0), (0, 0), (-s, 0)))
                 xf = xf + wf[..., j:j + 1] * shifted
             y = jnp.concatenate([y, xf], axis=-1)
-        return nn.Dense(C, name="linear2", dtype=self.dtype,
+        return QDense(C, name="linear2", dtype=self.dtype,
                         param_dtype=self.param_dtype)(y.astype(x.dtype))
 
 
@@ -466,7 +468,7 @@ class _ConvTransformerDecoder(nn.Module):
                 self.dtype, self.param_dtype, name=f"decoders_{i}",
             )(x, memory.astype(self.dtype), memory_mask, deterministic)
         x = LayerNormF32(self.dtype, self.param_dtype, name="after_norm")(x)
-        return nn.Dense(self.vocab_size, name="output_layer",
+        return QDense(self.vocab_size, name="output_layer",
                         dtype=self.dtype, param_dtype=self.param_dtype)(x)
 
 

@@ -14,6 +14,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from funasr_tpu.ops.quant import QDense
+
 from funasr_tpu.models.sanm import LayerNormF32, PositionwiseFeedForward
 from funasr_tpu.models.transformer.decoder import MultiHeadAttention
 from funasr_tpu.ops.masks import key_mask
@@ -73,7 +75,7 @@ class TransformerEncoder(nn.Module):
                 self.output_size, self.dtype, self.param_dtype, name="embed"
             )(xs, lengths)
         elif self.input_layer == "linear":
-            x = nn.Dense(self.output_size, name="embed", dtype=self.dtype,
+            x = QDense(self.output_size, name="embed", dtype=self.dtype,
                          param_dtype=self.param_dtype)(xs)
         else:
             raise NotImplementedError(self.input_layer)
