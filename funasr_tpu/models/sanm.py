@@ -186,6 +186,58 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """Parameter holder shaped exactly like ``LayerNormF32``."""
+
+    dim: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          self.param_dtype)
+        return scale, bias
+
+
+class _SANMAttnParams(nn.Module):
+    """Parameter holder mirroring ``MultiHeadedAttentionSANM``'s tree
+    (linear_q_k_v / fsmn_block / linear_out) for the fused layer kernel."""
+
+    n_feat: int
+    kernel_size: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseParams(self.n_feat, 3 * self.n_feat,
+                                  self.param_dtype, name="linear_q_k_v")()
+        fsmn = self.param("fsmn_block", nn.initializers.lecun_normal(),
+                          (self.kernel_size, 1, self.n_feat),
+                          self.param_dtype)
+        wout, bout = _DenseParams(self.n_feat, self.n_feat,
+                                  self.param_dtype, name="linear_out")()
+        return wqkv, bqkv, fsmn, wout, bout
+
+
+class _FFNParams(nn.Module):
+    """Parameter holder mirroring ``PositionwiseFeedForward``'s tree."""
+
+    in_features: int
+    hidden_units: int
+    out_units: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.in_features, self.hidden_units,
+                              self.param_dtype, name="w_1")()
+        w2, b2 = _DenseParams(self.hidden_units, self.out_units,
+                              self.param_dtype, name="w_2")()
+        return w1, b1, w2, b2
+
+
 class PositionwiseFeedForward(nn.Module):
     """w_2(dropout(relu(w_1(x)))) — transformer/positionwise_feed_forward.py."""
 
@@ -272,6 +324,39 @@ class EncoderLayerSANM(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         """Returns ``(x, None)`` — the (carry, out) shape ``nn.scan`` needs."""
+        from funasr_tpu.ops import quant
+        from funasr_tpu.ops import sanm_layer_pallas as SL
+
+        if (self.in_size == self.size
+                and (deterministic or (self.dropout_rate == 0.0
+                                       and self.attention_dropout_rate == 0.0))
+                and quant.enabled() and SL.enabled()
+                and not isinstance(mask, (tuple, list))
+                and SL.supported(x.shape[1], self.size, self.linear_units,
+                                 self.n_head)):
+            # fully fused int8 layer (ops/sanm_layer_pallas.py): one HBM
+            # round-trip per layer instead of ~8; every matmul on the int8
+            # MXU.  Parameter tree identical to the module path below.
+            if mask is None:
+                lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+            else:
+                lengths = jnp.sum(
+                    (mask[:, 0, :] > 0).astype(jnp.int32), axis=-1)
+            ln1 = _LNParams(self.size, self.param_dtype, name="norm1")()
+            wqkv, bqkv, fsmn, wout, bout = _SANMAttnParams(
+                self.size, self.kernel_size, self.param_dtype,
+                name="self_attn")()
+            ln2 = _LNParams(self.size, self.param_dtype, name="norm2")()
+            w1, b1, w2, b2 = _FFNParams(
+                self.size, self.linear_units, self.size, self.param_dtype,
+                name="feed_forward")()
+            left = (self.kernel_size - 1) // 2 + max(self.sanm_shift, 0)
+            out = SL.fused_sanm_layer(
+                x.astype(self.dtype), lengths, ln1, wqkv, bqkv, fsmn,
+                wout, bout, ln2, w1, b1, w2, b2, n_head=self.n_head,
+                left=left, right=self.kernel_size - 1 - left)
+            return out, None
+
         residual = x
         h = LayerNormF32(self.dtype, self.param_dtype, name="norm1")(x)
         attn = MultiHeadedAttentionSANM(

@@ -64,15 +64,25 @@ def quantize_rows(x: jnp.ndarray, axis: int = -1):
     return q.astype(jnp.int8), scale
 
 
+import os
+
+_MIN_M = int(os.environ.get("FUNASR_TPU_INT8_MIN_M", "1024"))
+_MIN_N = int(os.environ.get("FUNASR_TPU_INT8_MIN_N", "1024"))
+
+
 def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
-                     preferred_element_type=None, min_m: int = 1024,
-                     min_n: int = 1024):
+                     preferred_element_type=None, min_m: int = None,
+                     min_n: int = None):
     """``lax.dot_general`` drop-in computing the contraction on the int8 MXU.
 
     Handles the Dense-shaped contraction (last lhs dim x first rhs dim, no
     batch dims); anything else falls back to the float path unchanged.
     ``min_m``/``min_n`` gate the shapes worth quantizing (pass 0 to force).
     """
+    if min_m is None:
+        min_m = _MIN_M
+    if min_n is None:
+        min_n = _MIN_N
     (lc, rc), (lb, rb) = dimension_numbers
     dense_shaped = (
         tuple(lc) == (lhs.ndim - 1,) and tuple(rc) == (0,)
