@@ -238,6 +238,29 @@ class _FFNParams(nn.Module):
         return w1, b1, w2, b2
 
 
+class _SANMLayerParams(nn.Module):
+    """Scan body that only declares one encoder layer's parameters (tree
+    identical to ``EncoderLayerSANM``) and emits them as stacked scan
+    outputs.  Lets the encoder pre-quantize the whole weight stack OUTSIDE
+    the layer scan, so XLA hoists the (loop-invariant) quantization out of
+    serving loops instead of re-running it per layer per call."""
+
+    size: int
+    linear_units: int
+    kernel_size: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        ln1 = _LNParams(self.size, self.param_dtype, name="norm1")()
+        attn = _SANMAttnParams(self.size, self.kernel_size,
+                               self.param_dtype, name="self_attn")()
+        ln2 = _LNParams(self.size, self.param_dtype, name="norm2")()
+        ffn = _FFNParams(self.size, self.linear_units, self.size,
+                         self.param_dtype, name="feed_forward")()
+        return carry, (*ln1, *attn, *ln2, *ffn)
+
+
 class PositionwiseFeedForward(nn.Module):
     """w_2(dropout(relu(w_1(x)))) — transformer/positionwise_feed_forward.py."""
 
@@ -436,6 +459,60 @@ class SANMEncoder(nn.Module):
         )(x, mask, deterministic)
 
         n_rest = self.num_blocks - 1
+        from funasr_tpu.ops import quant
+        from funasr_tpu.ops import sanm_layer_pallas as SL
+
+        if (n_rest > 0 and quant.enabled() and SL.enabled()
+                and attn_mask is None
+                and (deterministic or (self.dropout_rate == 0.0
+                                       and self.attention_dropout_rate == 0.0))
+                and SL.supported(T, self.output_size, self.linear_units,
+                                 self.attention_heads)):
+            # fused int8 stack: params declared by a scanned holder (tree
+            # identical to the module path), weights pre-quantized as one
+            # stacked op outside the layer loop, layers run as a lax.scan
+            # over the fused kernel (ops/sanm_layer_pallas.py).
+            ParamStack = nn.scan(
+                _SANMLayerParams,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=n_rest,
+                in_axes=(nn.broadcast,),
+            )
+            _, stacked = ParamStack(
+                self.output_size, self.linear_units, self.kernel_size,
+                self.param_dtype, name="encoders",
+            )(0.0, None)
+            (ln1s, ln1b, wqkv, bqkv, fsmn, wout, bout,
+             ln2s, ln2b, w1, b1, w2, b2) = stacked
+            D = self.output_size
+            wqkv8, sqkv = quant.quantize_rows(wqkv, axis=1)
+            wout8, sout = quant.quantize_rows(wout, axis=1)
+            w18, s1 = quant.quantize_rows(w1, axis=1)
+            w28, s2 = quant.quantize_rows(w2, axis=1)
+            r2 = lambda v: v[:, None, :].astype(jnp.float32)  # (L,N)->(L,1,N)
+            lw = (r2(ln1s), r2(ln1b), wqkv8, sqkv, r2(bqkv),
+                  fsmn.reshape(n_rest, self.kernel_size, D)
+                  .astype(jnp.float32),
+                  wout8, sout, r2(bout), r2(ln2s), r2(ln2b),
+                  w18, s1, r2(b1), w28, s2, r2(b2))
+            left = (self.kernel_size - 1) // 2 + max(self.sanm_shift, 0)
+            lens32 = lengths.astype(jnp.int32)
+            dtype = self.dtype
+            n_head = self.attention_heads
+            kright = self.kernel_size - 1 - left
+
+            def body(h, layer_w):
+                h = SL._call(h.astype(dtype), lens32, *layer_w,
+                             n_head=n_head, left=left, right=kright)
+                return h, None
+
+            x, _ = jax.lax.scan(body, x, lw)
+            if self.normalize_before:
+                x = LayerNormF32(self.dtype, self.param_dtype,
+                                 name="after_norm")(x)
+            return x, lengths
+
         if n_rest > 0:
             layer_cls = EncoderLayerSANM
             if self.remat:

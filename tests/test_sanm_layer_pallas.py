@@ -107,3 +107,39 @@ def test_module_param_tree_identical_under_fusion(monkeypatch):
             jax.tree_util.tree_leaves_with_path(params_fused)):
         assert a.shape == b.shape, kp
         assert a.dtype == b.dtype, kp
+
+
+def test_encoder_fused_stack_matches_module(monkeypatch):
+    """SANMEncoder's pre-quantized fused-stack path (interpret mode): same
+    param tree (incl. values) as the module path, and matching outputs."""
+    from jax.experimental.pallas import tpu as pltpu
+    from funasr_tpu.models.sanm import SANMEncoder
+    from funasr_tpu.ops import sanm_layer_pallas as SL
+
+    B, T, D, H, NH = 2, 64, 256, 1024, 2
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, T, 560), jnp.float32)
+    lengths = jnp.array([T, T - 13], jnp.int32)
+    enc = SANMEncoder(input_size=560, output_size=D, attention_heads=NH,
+                      linear_units=H, num_blocks=4, dropout_rate=0.0,
+                      dtype=jnp.bfloat16, param_dtype=jnp.float32)
+    p_off = enc.init(rng, x, lengths, True)
+    ref, _ = enc.apply(p_off, x, lengths, True)
+
+    monkeypatch.setattr(SL, "enabled", lambda: True)
+    with quant.quantized(True):
+        with pltpu.force_tpu_interpret_mode():
+            p_on = enc.init(rng, x, lengths, True)
+            out, _ = enc.apply(p_on, x, lengths, True)
+
+    assert (jax.tree_util.tree_structure(p_off)
+            == jax.tree_util.tree_structure(p_on))
+    for (kp, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(p_off),
+                               jax.tree_util.tree_leaves_with_path(p_on)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(kp))
+    ref = np.asarray(ref, np.float32)
+    out = np.asarray(out, np.float32)
+    vm = (np.arange(T)[None, :, None] < np.asarray(lengths)[:, None, None])
+    rel = (np.abs(ref - out) * vm).max() / (np.abs(ref * vm).max() + 1e-9)
+    assert rel < 0.08, rel
