@@ -63,28 +63,68 @@ def _fused_dft(preemph: float = 0.97):
     A_re = M.T @ cos_m  # (400, 257)
     A_im = M.T @ sin_m
     tail_pad = FRAME_SHIFT - (n - 2 * FRAME_SHIFT)  # 160 - 80
-    blocks_re = [A_re[0:160], A_re[160:320],
-                 np.pad(A_re[320:n], ((0, tail_pad), (0, 0)))]
-    blocks_im = [A_im[0:160], A_im[160:320],
-                 np.pad(A_im[320:n], ((0, tail_pad), (0, 0)))]
-    return (np.stack(blocks_re).astype(np.float32),
-            np.stack(blocks_im).astype(np.float32))
+    # drop the Nyquist bin (index 256): its mel weight is exactly 0 (the
+    # top filter's right edge sits on it), and 256 bins keep the matmul
+    # lane-aligned (257 would pad to 384 lanes, +50% MXU work).  re and im
+    # are concatenated into one (160, 512) operand so each hop is a single
+    # aligned matmul.
+    nb = PADDED // 2  # 256
+    blocks = []
+    for a_re_b, a_im_b in (
+        (A_re[0:160], A_im[0:160]),
+        (A_re[160:320], A_im[160:320]),
+        (np.pad(A_re[320:n], ((0, tail_pad), (0, 0))),
+         np.pad(A_im[320:n], ((0, tail_pad), (0, 0)))),
+    ):
+        blocks.append(np.concatenate(
+            [a_re_b[:, :nb], a_im_b[:, :nb]], axis=1))
+    return np.stack(blocks).astype(np.float32)
 
 
-def _fbank_kernel(h0, h1, h2, a_re, a_im, mel_ref, out_ref):
-    # full-f32 MXU passes: log-mel amplifies relative error of the power
-    # spectrum, so the DFT needs more than the default bf16x3 precision
-    def dot(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+def _dft_precision() -> str:
+    """DFT matmul precision mode: "high" (default, manual bf16x3 — ~1e-6
+    relative power-spectrum error, far below the int8 serving noise floor,
+    at half the MXU passes of "highest"), "highest" (f32, 6 bf16 passes),
+    or "default" (1 bf16 pass, ~0.4% power error).
+    FUNASR_TPU_FBANK_PRECISION overrides.  Tests compare in interpret mode
+    on CPU, where every mode is exact f32."""
+    import os
 
-    re = dot(h0[0], a_re[0]) + dot(h1[0], a_re[1]) + dot(h2[0], a_re[2])
-    im = dot(h0[0], a_im[0]) + dot(h1[0], a_im[1]) + dot(h2[0], a_im[2])
-    power = re * re + im * im
-    mel = dot(power, mel_ref[:, :])
+    return os.environ.get("FUNASR_TPU_FBANK_PRECISION", "high").lower()
+
+
+def _dot_f32(a, b, mode: str):
+    dims = (((1,), (0,)), ((), ()))
+    if mode == "highest":
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    if mode == "default":
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+    # bf16x3: x = hi + lo in bf16; x@y ~ hi@yhi + hi@ylo + lo@yhi (the
+    # lo@ylo term is below f32 roundoff).  Mosaic lacks Precision.HIGH, so
+    # the split is spelled out.
+    ahi = a.astype(jnp.bfloat16)
+    alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bhi = b.astype(jnp.bfloat16)
+    blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, dims, preferred_element_type=jnp.float32)
+    return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
+
+
+def _fbank_kernel(h0, h1, h2, a_ri, mel_ref, out_ref, *, precision):
+    # one (tile, 160) x (160, 512) matmul per hop; columns are [re | im]
+    ri = (_dot_f32(h0[0], a_ri[0], precision)
+          + _dot_f32(h1[0], a_ri[1], precision)
+          + _dot_f32(h2[0], a_ri[2], precision))
+    nb = ri.shape[1] // 2
+    power = ri[:, :nb] * ri[:, :nb] + ri[:, nb:] * ri[:, nb:]
+    # mel is a positive triangle average: 1-pass bf16 (~0.4% rel) is below
+    # the log-feature noise floor
+    mel = _dot_f32(power, mel_ref[:, :], "default")
     out_ref[0, :, :] = jnp.log(jnp.maximum(mel, _LOG_EPS))
 
 
@@ -112,22 +152,20 @@ def fbank_pallas(
     hops1 = wav[:, FRAME_SHIFT:(H + 1) * FRAME_SHIFT].reshape(B, H, FRAME_SHIFT)
     hops2 = wav[:, 2 * FRAME_SHIFT:].reshape(B, -1, FRAME_SHIFT)[:, :H]
 
-    a_re, a_im = _fused_dft(preemph)
-    mel = kaldi_mel_banks(num_mel_bins, PADDED, 16000.0)
-    n_bins = PADDED // 2 + 1
+    a_ri = _fused_dft(preemph)
+    nb = PADDED // 2  # Nyquist bin dropped (mel weight 0, see _fused_dft)
+    mel = kaldi_mel_banks(num_mel_bins, PADDED, 16000.0)[:nb]
 
     hop_spec = pl.BlockSpec((1, tile_t, FRAME_SHIFT), lambda b, t: (b, t, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _fbank_kernel,
+        functools.partial(_fbank_kernel, precision=_dft_precision()),
         grid=(B, n_tiles),
         in_specs=[
             hop_spec, hop_spec, hop_spec,
-            pl.BlockSpec((3, FRAME_SHIFT, n_bins), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((3, FRAME_SHIFT, 2 * nb), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, FRAME_SHIFT, n_bins), lambda b, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bins, num_mel_bins), lambda b, t: (0, 0),
+            pl.BlockSpec((nb, num_mel_bins), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_t, num_mel_bins),
@@ -137,7 +175,7 @@ def fbank_pallas(
                                        jnp.float32),
     )(
         hops0, hops1, hops2,
-        jnp.asarray(a_re), jnp.asarray(a_im), jnp.asarray(mel, jnp.float32),
+        jnp.asarray(a_ri), jnp.asarray(mel, jnp.float32),
     )
     feat_lengths = num_fbank_frames(
         lengths.astype(jnp.int32), FRAME_LEN, FRAME_SHIFT
