@@ -52,6 +52,85 @@ class FeedForwardDecoderSANM(nn.Module):
                         dtype=self.dtype, param_dtype=self.param_dtype)(h)
 
 
+class _FFNDecParams(nn.Module):
+    """Parameter holder mirroring ``FeedForwardDecoderSANM``'s tree."""
+
+    in_features: int
+    hidden_units: int
+    out_units: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        from funasr_tpu.models.sanm import _DenseParams, _LNParams
+
+        w1, b1 = _DenseParams(self.in_features, self.hidden_units,
+                              self.param_dtype, name="w_1")()
+        fln = _LNParams(self.hidden_units, self.param_dtype, name="norm")()
+        w2, _ = _DenseParams(self.hidden_units, self.out_units,
+                             self.param_dtype, use_bias=False, name="w_2")()
+        return w1, b1, fln, w2
+
+
+class _FsmnParams(nn.Module):
+    """Parameter holder mirroring ``FsmnSelfAttention``'s tree."""
+
+    n_feat: int
+    kernel_size: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param("fsmn_block", nn.initializers.lecun_normal(),
+                          (self.kernel_size, 1, self.n_feat),
+                          self.param_dtype)
+
+
+class _CrossAttnParams(nn.Module):
+    """Parameter holder mirroring ``CrossAttention``'s tree."""
+
+    n_feat: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        from funasr_tpu.models.sanm import _DenseParams
+
+        wq, bq = _DenseParams(self.n_feat, self.n_feat, self.param_dtype,
+                              name="linear_q")()
+        wkv, bkv = _DenseParams(self.n_feat, 2 * self.n_feat,
+                                self.param_dtype, name="linear_k_v")()
+        wout, bout = _DenseParams(self.n_feat, self.n_feat, self.param_dtype,
+                                  name="linear_out")()
+        return wq, bq, wkv, bkv, wout, bout
+
+
+def _fused_decoder_layer(tgt, memory, lens_t, lens_m, ln1, ffn, ln2, fsmn,
+                         ln3, cross, *, n_head, left, right,
+                         interpret=False):
+    """Quantize the layer's weights and invoke the fused kernel."""
+    from funasr_tpu.ops import decoder_layer_pallas as DL
+    from funasr_tpu.ops.quant import quantize_rows
+
+    w1, b1, fln, w2 = ffn
+    wq, bq, wkv, bkv, wout, bout = cross
+    w18, s1 = quantize_rows(w1, axis=0)
+    w28, s2 = quantize_rows(w2, axis=0)
+    wq8, sq = quantize_rows(wq, axis=0)
+    wkv8, skv = quantize_rows(wkv, axis=0)
+    wout8, so = quantize_rows(wout, axis=0)
+    r = lambda v: v.reshape(1, -1).astype(jnp.float32)
+    D = tgt.shape[-1]
+    return DL._call(
+        tgt, memory, lens_t.astype(jnp.int32), lens_m.astype(jnp.int32),
+        r(ln1[0]), r(ln1[1]), w18, s1, r(b1), r(fln[0]), r(fln[1]), w28, s2,
+        r(ln2[0]), r(ln2[1]),
+        fsmn.reshape(fsmn.shape[0], D).astype(jnp.float32),
+        r(ln3[0]), r(ln3[1]),
+        wq8, sq, r(bq), wkv8, skv, r(bkv), wout8, so, r(bout),
+        n_head=n_head, left=left, right=right, interpret=interpret)
+
+
 class FsmnSelfAttention(nn.Module):
     """Decoder 'self-attention': pure FSMN depthwise memory
     (attention.py:471 ``MultiHeadedAttentionSANMDecoder``)."""
@@ -156,6 +235,41 @@ class DecoderLayerSANM(nn.Module):
         Returns ``(x, None)`` for nn.scan compatibility.
         """
         tgt_mask, memory, memory_mask = carry_inputs
+
+        from funasr_tpu.ops import decoder_layer_pallas as DL
+        from funasr_tpu.ops import quant
+        from funasr_tpu.models.sanm import _LNParams
+
+        if (self.has_self_attn and self.has_src_attn
+                and (deterministic or (self.dropout_rate == 0.0
+                                       and self.self_attention_dropout_rate == 0.0
+                                       and self.src_attention_dropout_rate == 0.0))
+                and quant.enabled() and DL.enabled()
+                and tgt_mask is not None and memory_mask is not None
+                and memory_mask.shape[1] == 1
+                and DL.supported(tgt.shape[1], memory.shape[1], self.size,
+                                 self.linear_units, self.n_head)):
+            # fully fused int8 decoder layer (ops/decoder_layer_pallas.py);
+            # parameter tree identical to the module path below.
+            ln1 = _LNParams(self.size, self.param_dtype, name="norm1")()
+            ffn = _FFNDecParams(self.size, self.linear_units, self.size,
+                                self.param_dtype, name="feed_forward")()
+            ln2 = _LNParams(self.size, self.param_dtype, name="norm2")()
+            fsmn = _FsmnParams(self.size, self.kernel_size,
+                               self.param_dtype, name="self_attn")()
+            ln3 = _LNParams(self.size, self.param_dtype, name="norm3")()
+            cross = _CrossAttnParams(self.size, self.param_dtype,
+                                     name="src_attn")()
+            left = (self.kernel_size - 1) // 2 + max(self.sanm_shift, 0)
+            lens_t = jnp.sum((tgt_mask[:, :, 0] > 0).astype(jnp.int32), -1)
+            lens_m = jnp.sum((memory_mask[:, 0, :] > 0).astype(jnp.int32), -1)
+            out = _fused_decoder_layer(
+                tgt.astype(self.dtype), memory.astype(self.dtype),
+                lens_t, lens_m, ln1, ffn, ln2, fsmn, ln3, cross,
+                n_head=self.n_head, left=left,
+                right=self.kernel_size - 1 - left)
+            return out, None
+
         residual = tgt
         h = LayerNormF32(self.dtype, self.param_dtype, name="norm1")(tgt)
         h = FeedForwardDecoderSANM(

@@ -237,6 +237,12 @@ class Paraformer(nn.Module):
         Returns (log_probs (B, U, V), token_lengths (B,), predictor outputs).
         Greedy decode = argmax over log_probs within token_lengths.
         """
+        logits, token_lengths, pred = self._infer_raw_logits(
+            speech, speech_lengths, max_tokens)
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return log_probs, token_lengths, pred
+
+    def _infer_raw_logits(self, speech, speech_lengths, max_tokens=128):
         enc, enc_lens = self.encode(speech, speech_lengths, True)
         pred = self.predictor(enc, enc_lens, max_tokens=max_tokens,
                               deterministic=True)
@@ -245,19 +251,24 @@ class Paraformer(nn.Module):
         )
         logits = self.decoder(enc, enc_lens, pred.acoustic_embeds,
                               token_lengths, True)
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return log_probs, token_lengths, pred
+        return logits, token_lengths, pred
 
     def greedy_decode(self, speech, speech_lengths, max_tokens: int = 128):
         """argmax decode (the reference's default decode path,
-        model.py:539-546) -> (tokens (B, U), token_lengths, scores)."""
-        log_probs, token_lengths, _ = self.inference_logits(
+        model.py:539-546) -> (tokens (B, U), token_lengths, scores).
+
+        Works on raw logits: argmax(log_softmax) == argmax(logits), and the
+        per-token greedy log-prob is max(logits) - logsumexp(logits) — both
+        fuse into reductions over the vocab axis, so the (B, U, V) float32
+        log-prob tensor is never materialized in HBM.
+        """
+        logits, token_lengths, _ = self._infer_raw_logits(
             speech, speech_lengths, max_tokens
         )
-        tokens = jnp.argmax(log_probs, axis=-1)
+        tokens = jnp.argmax(logits, axis=-1)
+        lf = logits.astype(jnp.float32)
+        tok_logp = jnp.max(lf, axis=-1) - jax.nn.logsumexp(lf, axis=-1)
         valid = sequence_mask(token_lengths, tokens.shape[1], dtype=jnp.bool_)
         tokens = jnp.where(valid, tokens, self.blank_id)
-        scores = jnp.sum(
-            jnp.max(log_probs, axis=-1) * valid.astype(jnp.float32), axis=-1
-        )
+        scores = jnp.sum(tok_logp * valid.astype(jnp.float32), axis=-1)
         return tokens, token_lengths, scores

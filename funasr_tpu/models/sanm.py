@@ -175,12 +175,15 @@ class _DenseParams(nn.Module):
     in_features: int
     features: int
     param_dtype: Dtype = jnp.float32
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (self.in_features, self.features),
                             self.param_dtype)
+        if not self.use_bias:
+            return kernel, None
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype)
         return kernel, bias
