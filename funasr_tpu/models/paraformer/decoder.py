@@ -247,8 +247,8 @@ class DecoderLayerSANM(nn.Module):
                 and quant.enabled() and DL.enabled()
                 and tgt_mask is not None and memory_mask is not None
                 and memory_mask.shape[1] == 1
-                and DL.supported(tgt.shape[1], memory.shape[1], self.size,
-                                 self.linear_units, self.n_head)):
+                and DL.supported(tgt.shape[0], tgt.shape[1], memory.shape[1],
+                                 self.size, self.linear_units, self.n_head)):
             # fully fused int8 decoder layer (ops/decoder_layer_pallas.py);
             # parameter tree identical to the module path below.
             ln1 = _LNParams(self.size, self.param_dtype, name="norm1")()

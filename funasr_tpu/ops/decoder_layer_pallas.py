@@ -10,10 +10,16 @@ sanm/attention.py:471 decoder FSMN, :568 cross-attention):
     q   = LN3(x) @ Wq ; k,v = memory @ Wkv
     x   = x + softmax(q k^T / sqrt(d) + memmask) v @ Wout
 
-per (batch) grid cell, with the decoder hidden states and the attention
-scores never leaving VMEM.  All contractions run on the int8 MXU with
-dynamic per-row activation scales and per-channel weight scales —
-identical numerics to ops/quant.py (the serving ``quantize=True`` path).
+per grid cell, with the decoder hidden states and the attention scores
+never leaving VMEM.  All contractions run on the int8 MXU with dynamic
+per-row activation scales and per-channel weight scales — identical
+numerics to ops/quant.py (the serving ``quantize=True`` path).
+
+Each grid cell processes ``g`` batch items (default 2): the decoder's
+token grid is short (U ~ 128 rows), so a one-item cell is latency-bound —
+batching items per cell amortizes the fixed per-cell cost and doubles the
+M dimension of the row-wise matmuls.  The FSMN shifts, the attention, and
+the per-item K/V projection still run per item (they must not mix items).
 
 The encoder memory (B, T, D) is re-read per layer (its per-layer K/V
 projections differ); that is the same HBM traffic the XLA path pays.
@@ -50,63 +56,73 @@ def _dec_layer_kernel(tlen_ref, mlen_ref, x_ref, mem_ref,
                       ln2s, ln2b, fsmn, ln3s, ln3b,
                       wq, sq, bq, wkv, skv, bkv, wout, so, bo, o_ref,
                       *, n_head: int, left: int, right: int):
-    U, D = x_ref.shape[1], x_ref.shape[2]
+    G, U, D = x_ref.shape
     T = mem_ref.shape[1]
     K = fsmn.shape[0]
     d = D // n_head
     pid = pl.program_id(0)
-    Lt = tlen_ref[pid]
-    Lm = mlen_ref[pid]
 
-    x = x_ref[0].astype(jnp.float32)                     # (U, D)
+    x = jnp.concatenate([x_ref[j].astype(jnp.float32) for j in range(G)],
+                        axis=0)                          # (G*U, D)
 
     # ---- FeedForwardDecoderSANM: w_1 -> relu -> LN -> w_2 (no bias)
     h = _ln(x, ln1s, ln1b)
-    hid = jnp.maximum(_i8dot(h, w1, s1) + b1[:], 0.0)    # (U, H)
+    hid = jnp.maximum(_i8dot(h, w1, s1) + b1[:], 0.0)    # (G*U, H)
     hid = _ln(hid, flns, flnb)
-    h = _i8dot(hid, w2, s2)                              # (U, D)
+    h = _i8dot(hid, w2, s2)                              # (G*U, D)
 
     # ---- FSMN self-memory on LN2(h), residual from the layer input
+    #      (per item: the depthwise taps must not leak across items)
     h2 = _ln(h, ln2s, ln2b)
-    valid = (jax.lax.broadcasted_iota(jnp.int32, (U, D), 0)
-             < Lt).astype(jnp.float32)
-    vm = h2 * valid
-    mem = vm
-    for j in range(K):
-        tap = fsmn[j:j + 1, :].astype(jnp.float32)
-        mem = mem + tap * _shift_rows(vm, j - left, U)
-    x = x + mem * valid
+    mems = []
+    for j in range(G):
+        Lt = tlen_ref[pid * G + j]
+        valid = (jax.lax.broadcasted_iota(jnp.int32, (U, D), 0)
+                 < Lt).astype(jnp.float32)
+        vm = h2[j * U:(j + 1) * U] * valid
+        mem = vm
+        for t in range(K):
+            tap = fsmn[t:t + 1, :].astype(jnp.float32)
+            mem = mem + tap * _shift_rows(vm, t - left, U)
+        mems.append(mem * valid)
+    x = x + jnp.concatenate(mems, axis=0)
 
     # ---- cross-attention over the encoder memory
     h3 = _ln(x, ln3s, ln3b)
-    q = _i8dot(h3, wq, sq) + bq[:]                       # (U, D)
-    kv = _i8dot(mem_ref[0].astype(jnp.float32), wkv, skv) + bkv[:]  # (T, 2D)
-    colmask = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (U, T), 1) < Lm, 0.0, -1e30)
+    q = _i8dot(h3, wq, sq) + bq[:]                       # (G*U, D)
     scale = d ** -0.5
     ctx = []
-    for hd in range(n_head):
-        sl = slice(hd * d, (hd + 1) * d)
-        qh = (q[:, sl] * scale).astype(jnp.bfloat16)
-        kh = kv[:, hd * d:(hd + 1) * d].astype(jnp.bfloat16)
-        vh = kv[:, D + hd * d:D + (hd + 1) * d].astype(jnp.bfloat16)
-        sc = jax.lax.dot_general(qh, kh, _DIMS_T,
-                                 preferred_element_type=jnp.float32)
-        sc = sc + colmask
-        m = jnp.max(sc, axis=1, keepdims=True)
-        p = jnp.exp(sc - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        ctx.append(jax.lax.dot_general(p.astype(jnp.bfloat16), vh, _DIMS,
-                                       preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(ctx, axis=1)
+    for j in range(G):
+        Lm = mlen_ref[pid * G + j]
+        kv = _i8dot(mem_ref[j].astype(jnp.float32), wkv, skv) + bkv[:]
+        colmask = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (U, T), 1) < Lm, 0.0, -1e30)
+        heads = []
+        for hd in range(n_head):
+            sl = slice(hd * d, (hd + 1) * d)
+            qh = (q[j * U:(j + 1) * U, sl] * scale).astype(jnp.bfloat16)
+            kh = kv[:, hd * d:(hd + 1) * d].astype(jnp.bfloat16)
+            vh = kv[:, D + hd * d:D + (hd + 1) * d].astype(jnp.bfloat16)
+            sc = jax.lax.dot_general(qh, kh, _DIMS_T,
+                                     preferred_element_type=jnp.float32)
+            sc = sc + colmask
+            m = jnp.max(sc, axis=1, keepdims=True)
+            p = jnp.exp(sc - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            heads.append(jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vh, _DIMS,
+                preferred_element_type=jnp.float32))
+        ctx.append(jnp.concatenate(heads, axis=1))
+    ctx = jnp.concatenate(ctx, axis=0)                   # (G*U, D)
     x = x + _i8dot(ctx, wout, so) + bo[:]
-    o_ref[0] = x.astype(o_ref.dtype)
+    for j in range(G):
+        o_ref[j] = x[j * U:(j + 1) * U].astype(o_ref.dtype)
 
 
-def _vmem_bytes(U: int, T: int, D: int, H: int) -> int:
+def _vmem_bytes(U: int, T: int, D: int, H: int, g: int) -> int:
     wgt = D * H + H * D + D * D + D * 2 * D + D * D
-    act = (U * D * 4 * 6 + U * H * 4 + T * D * 2 * 2 + T * 2 * D * 4
-           + 2 * U * T * 4 + 2 * U * D * 2 * 2)
+    act = g * (U * D * 4 * 6 + U * H * 4 + T * D * 2 * 2 + T * 2 * D * 4
+               + 2 * U * T * 4 + 2 * U * D * 2 * 2)
     return wgt + act
 
 
@@ -116,12 +132,19 @@ def enabled() -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
-def supported(U: int, T: int, D: int, H: int, n_head: int) -> bool:
+def _pick_g(B: int, U: int, T: int, D: int, H: int) -> int:
+    for g in (4, 2, 1):
+        if B % g == 0 and _vmem_bytes(U, T, D, H, g) <= 13 * 1024 * 1024:
+            return g
+    return 0
+
+
+def supported(B: int, U: int, T: int, D: int, H: int, n_head: int) -> bool:
     if D % n_head or (D // n_head) % 128:
         return False
     if U % 8 or T % 8 or D % 128 or H % 128:
         return False
-    return _vmem_bytes(U, T, D, H) <= 13 * 1024 * 1024
+    return _pick_g(B, U, T, D, H) > 0
 
 
 @functools.partial(jax.jit,
@@ -134,6 +157,7 @@ def _call(x, memory, tgt_lens, mem_lens,
     B, U, D = x.shape
     T = memory.shape[1]
     H = w18.shape[1]
+    G = _pick_g(B, U, T, D, H)
     row = lambda b: (0, 0)
     vec = lambda n: pl.BlockSpec((1, n), row, memory_space=pltpu.VMEM)
     mat = lambda m, n: pl.BlockSpec((m, n), row, memory_space=pltpu.VMEM)
@@ -141,12 +165,12 @@ def _call(x, memory, tgt_lens, mem_lens,
     return pl.pallas_call(
         functools.partial(_dec_layer_kernel, n_head=n_head, left=left,
                           right=right),
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
             smem, smem,
-            pl.BlockSpec((1, U, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, U, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, T, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(D), vec(D),                         # ln1
             mat(D, H), vec(H), vec(H),              # ffn w_1
@@ -159,7 +183,7 @@ def _call(x, memory, tgt_lens, mem_lens,
             mat(D, 2 * D), vec(2 * D), vec(2 * D),  # linear_k_v
             mat(D, D), vec(D), vec(D),              # linear_out
         ],
-        out_specs=pl.BlockSpec((1, U, D), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((G, U, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, U, D), x.dtype),
         cost_estimate=pl.CostEstimate(

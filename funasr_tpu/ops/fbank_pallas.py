@@ -93,50 +93,68 @@ def _dft_precision() -> str:
     return os.environ.get("FUNASR_TPU_FBANK_PRECISION", "high").lower()
 
 
-def _dot_f32(a, b, mode: str):
-    dims = (((1,), (0,)), ((), ()))
-    if mode == "highest":
-        return jax.lax.dot_general(a, b, dims,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-    if mode == "default":
-        return jax.lax.dot_general(a, b, dims,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.DEFAULT)
-    # bf16x3: x = hi + lo in bf16; x@y ~ hi@yhi + hi@ylo + lo@yhi (the
-    # lo@ylo term is below f32 roundoff).  Mosaic lacks Precision.HIGH, so
-    # the split is spelled out.
-    ahi = a.astype(jnp.bfloat16)
-    alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
-    bhi = b.astype(jnp.bfloat16)
-    blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
-    d = lambda x, y: jax.lax.dot_general(
-        x, y, dims, preferred_element_type=jnp.float32)
-    return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
-def _fbank_kernel(h0, h1, h2, a_ri, mel_ref, out_ref, *, precision):
-    # one (tile, 160) x (160, 512) matmul per hop; columns are [re | im]
-    ri = (_dot_f32(h0[0], a_ri[0], precision)
-          + _dot_f32(h1[0], a_ri[1], precision)
-          + _dot_f32(h2[0], a_ri[2], precision))
+def _fbank_kernel(h0, h1, h2, a_hi, a_lo, mel_ref, out_ref, *, precision):
+    # bf16x3 DFT: waveform w = whi + wlo (bf16 split, cheap — tile only),
+    # basis A = a_hi + a_lo (pre-split OUTSIDE the kernel: per-cell basis
+    # splitting was measured as the kernel's VPU bottleneck).
+    # w@A ~ whi@a_hi + whi@a_lo + wlo@a_hi; the wlo@a_lo term is below f32
+    # roundoff.  One (tile, 160) x (160, 512) matmul triple per hop;
+    # columns are [re | im].  "highest" keeps full-f32 MXU dots (a_hi is
+    # the unsplit f32 basis there); "default" is the 1-pass bf16 DFT.
+    ri = None
+    for j, h in enumerate((h0, h1, h2)):
+        w = h[0]
+        if precision == "highest":
+            acc = jax.lax.dot_general(
+                w, a_hi[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            whi = w.astype(jnp.bfloat16)
+            acc = _dot(whi, a_hi[j])
+            if precision != "default":
+                wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc = acc + _dot(whi, a_lo[j]) + _dot(wlo, a_hi[j])
+        ri = acc if ri is None else ri + acc
     nb = ri.shape[1] // 2
     power = ri[:, :nb] * ri[:, :nb] + ri[:, nb:] * ri[:, nb:]
-    # mel is a positive triangle average: 1-pass bf16 (~0.4% rel) is below
-    # the log-feature noise floor
-    mel = _dot_f32(power, mel_ref[:, :], "default")
+    if precision == "highest":
+        mel = jax.lax.dot_general(
+            power, mel_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        # mel is a positive triangle average: 1-pass bf16 (~0.4% rel) is
+        # below the log-feature noise floor
+        mel = _dot(power.astype(jnp.bfloat16), mel_ref[:, :])
     out_ref[0, :, :] = jnp.log(jnp.maximum(mel, _LOG_EPS))
 
 
-@functools.partial(jax.jit, static_argnames=("num_mel_bins", "tile_t", "preemph"))
 def fbank_pallas(
     waveform: jnp.ndarray,  # (B, N) float in [-1, 1]
     lengths: jnp.ndarray,  # (B,)
     num_mel_bins: int = 80,
     tile_t: int = 128,
     preemph: float = 0.97,
+    precision: str = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused kaldi fbank (hamming, dither=0, 25ms/10ms, snip_edges)."""
+    """Fused kaldi fbank (hamming, dither=0, 25ms/10ms, snip_edges).
+
+    ``precision``: see :func:`_dft_precision` (resolved here, OUTSIDE jit,
+    so the env override is honored per call, not per trace)."""
+    return _fbank_pallas(waveform, lengths, num_mel_bins, tile_t, preemph,
+                         precision or _dft_precision())
+
+
+@functools.partial(jax.jit, static_argnames=("num_mel_bins", "tile_t",
+                                             "preemph", "precision"))
+def _fbank_pallas(waveform, lengths, num_mel_bins, tile_t, preemph,
+                  precision):
     B, N = waveform.shape
     T = num_fbank_frames(N, FRAME_LEN, FRAME_SHIFT)
     if T == 0:
@@ -155,16 +173,27 @@ def fbank_pallas(
     a_ri = _fused_dft(preemph)
     nb = PADDED // 2  # Nyquist bin dropped (mel weight 0, see _fused_dft)
     mel = kaldi_mel_banks(num_mel_bins, PADDED, 16000.0)[:nb]
+    if precision == "highest":
+        a_hi = jnp.asarray(a_ri, jnp.float32)
+        a_lo = jnp.zeros_like(a_hi, jnp.bfloat16)
+        basis_dt = jnp.float32
+    else:
+        hi = a_ri.astype(np.float32).astype(jnp.bfloat16)
+        a_hi = jnp.asarray(hi)
+        a_lo = jnp.asarray((a_ri - np.asarray(hi, np.float32))
+                           .astype(np.float32)).astype(jnp.bfloat16)
+        basis_dt = jnp.bfloat16
 
     hop_spec = pl.BlockSpec((1, tile_t, FRAME_SHIFT), lambda b, t: (b, t, 0),
                             memory_space=pltpu.VMEM)
+    basis_spec = pl.BlockSpec((3, FRAME_SHIFT, 2 * nb), lambda b, t: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fbank_kernel, precision=_dft_precision()),
+        functools.partial(_fbank_kernel, precision=precision),
         grid=(B, n_tiles),
         in_specs=[
             hop_spec, hop_spec, hop_spec,
-            pl.BlockSpec((3, FRAME_SHIFT, 2 * nb), lambda b, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            basis_spec, basis_spec,
             pl.BlockSpec((nb, num_mel_bins), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -175,7 +204,9 @@ def fbank_pallas(
                                        jnp.float32),
     )(
         hops0, hops1, hops2,
-        jnp.asarray(a_ri), jnp.asarray(mel, jnp.float32),
+        a_hi.astype(basis_dt), a_lo,
+        jnp.asarray(mel, jnp.float32).astype(
+            jnp.float32 if precision == "highest" else jnp.bfloat16),
     )
     feat_lengths = num_fbank_frames(
         lengths.astype(jnp.int32), FRAME_LEN, FRAME_SHIFT

@@ -8,7 +8,11 @@ import pytest
 from funasr_tpu.ops import fbank as F
 
 
-def test_fbank_pallas_matches_xla(rng, monkeypatch):
+@pytest.mark.parametrize("precision,atol", [
+    ("highest", 1e-3),   # full-f32 DFT: exact parity with the XLA path
+    ("high", 0.02),      # bf16x3 DFT + bf16 mel: log-feature err < 0.02
+])
+def test_fbank_pallas_matches_xla(rng, precision, atol):
     from jax.experimental.pallas import tpu as pltpu
 
     from funasr_tpu.ops.fbank_pallas import fbank_pallas
@@ -17,8 +21,9 @@ def test_fbank_pallas_matches_xla(rng, monkeypatch):
     lens = jnp.array([16000, 9000])
     ref, ref_lens = F.fbank(jnp.asarray(wav), lens, dither=0.0)
     with pltpu.force_tpu_interpret_mode():
-        got, got_lens = fbank_pallas(jnp.asarray(wav), lens, tile_t=32)
+        got, got_lens = fbank_pallas(jnp.asarray(wav), lens, tile_t=32,
+                                     precision=precision)
     np.testing.assert_array_equal(np.asarray(ref_lens), np.asarray(got_lens))
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-3
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=atol
     )
