@@ -389,14 +389,48 @@ class AutoModel:
 
     def _prepare_inputs(self, input, fs, key):
         items = input if isinstance(input, (list, tuple)) else [input]
-        wavs = [load_audio(x, fs=fs) for x in items]
-        if key is None:
-            key = [
+        # expand list files / URLs (reference load_utils.py:48
+        # load_audio_text_image_video: wav/pcm/bytes/url/scp/jsonl)
+        expanded, keys = [], []
+        for i, x in enumerate(items):
+            if isinstance(x, str) and x.endswith(".scp"):
+                with open(x, encoding="utf-8") as f:
+                    for line in f:
+                        parts = line.strip().split(maxsplit=1)
+                        if len(parts) == 2:
+                            keys.append(parts[0])
+                            expanded.append(parts[1])
+                continue
+            if isinstance(x, str) and x.endswith(".jsonl"):
+                import json as _json
+
+                with open(x, encoding="utf-8") as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        rec = _json.loads(line)
+                        keys.append(rec.get("key", f"utt_{len(keys)}"))
+                        expanded.append(rec.get("source") or rec.get("wav"))
+                continue
+            if isinstance(x, str) and x.startswith(("http://", "https://")):
+                import tempfile
+                import urllib.request
+
+                suffix = os.path.splitext(x.split("?")[0])[1] or ".wav"
+                tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+                with urllib.request.urlopen(x) as r:
+                    tmp.write(r.read())
+                tmp.close()
+                keys.append(os.path.splitext(os.path.basename(
+                    x.split("?")[0]))[0])
+                expanded.append(tmp.name)
+                continue
+            keys.append(
                 os.path.splitext(os.path.basename(x))[0]
-                if isinstance(x, str) else f"rand_key_{i}"
-                for i, x in enumerate(items)
-            ]
-        return wavs, key
+                if isinstance(x, str) else f"rand_key_{i}")
+            expanded.append(x)
+        wavs = [load_audio(x, fs=fs) for x in expanded]
+        return wavs, (key if key is not None else keys)
 
     # ----------------------------------------------- long audio pipeline
     def _inference_with_vad(

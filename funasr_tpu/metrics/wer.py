@@ -54,3 +54,50 @@ def cer_from_text(ref_text: str, hyp_text: str) -> float:
     hyp = [c for c in hyp_text if not c.isspace()]
     d = edit_distance(ref, hyp)
     return (d["sub"] + d["ins"] + d["del"]) / max(d["ref_len"], 1)
+
+
+def main(argv=None):
+    """CLI: ``python -m funasr_tpu.metrics.wer --ref ref --hyp hyp [--cer]``.
+
+    ``ref``/``hyp`` are kaldi-style "key text" files or jsonl with
+    {key, target|text} records (reference utils/compute_wer.py usage in
+    examples/*/run.sh stage 5)."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(prog="funasr-tpu-wer")
+    ap.add_argument("--ref", required=True)
+    ap.add_argument("--hyp", required=True)
+    ap.add_argument("--cer", action="store_true",
+                    help="score characters (CJK) instead of words")
+    args = ap.parse_args(argv)
+
+    def read(path):
+        out = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if path.endswith(".jsonl"):
+                    rec = json.loads(line)
+                    k = rec.get("key")
+                    t = rec.get("target") or rec.get("text") or ""
+                else:
+                    parts = line.split(maxsplit=1)
+                    k, t = parts[0], parts[1] if len(parts) == 2 else ""
+                toks = ([c for c in t if not c.isspace()] if args.cer
+                        else t.split())
+                out[k] = toks
+        return out
+
+    stats = compute_wer(read(args.ref), read(args.hyp))
+    name = "CER" if args.cer else "WER"
+    print(f"{name}: {stats['wer'] * 100:.2f}%  "
+          f"(N={stats['ref_len']} S={stats['sub']} D={stats['del']} "
+          f"I={stats['ins']} utts={stats['n_utt']})")
+    return stats
+
+
+if __name__ == "__main__":
+    main()
