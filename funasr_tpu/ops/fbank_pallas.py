@@ -7,16 +7,15 @@ window (diagonal W).  So the windowed-frame DFT is one fixed matrix::
 
     spectrum = frames_raw @ (P^T L^T W C)
 
-precomputed on the host in float64.  A frame is three consecutive 160-sample
-hops, so the 400-sample contraction splits into three (TILE,160)x(160,257)
-MXU matmuls (the third matrix zero-padded past sample 80) — the kernel needs
-NO frame gather and NO elementwise preprocessing.
-
-The three hop-aligned views (offset 0/1/2 hops) are passed as three inputs
-so plain BlockSpec pipelining covers the overlapping windows (the sandbox's
-mosaic backend rejects manual HBM DMA).  Per grid step: six matmuls (re/im),
-power, mel matmul, log — ~3x the waveform bytes read vs. 150x for the XLA
-path's materialized (B, T, 400) frame tensor.
+precomputed on the host in float64.  The caller builds a 512-padded frame
+tensor with one XLA concat of three hop-aligned views (HBM-bound, ~3x the
+waveform bytes), and the kernel is a single deep (TILE, 512) x (512, 512)
+MXU matmul per bf16x3 pass — NO in-kernel frame gather, NO elementwise
+preprocessing, and a full MXU pipeline (three shallow K=160 hop matmuls
+measured ~35% slower end to end).  Plain BlockSpec pipelining only (the
+sandbox's mosaic backend rejects manual HBM DMA).  Re and im DFT columns
+are concatenated into one operand; the Nyquist bin is dropped (mel weight
+exactly 0) so the 256 bins stay lane-aligned.
 
 Equivalence with ops.fbank.fbank (dither=0) is tested in
 tests/test_fbank_pallas.py.
@@ -69,16 +68,13 @@ def _fused_dft(preemph: float = 0.97):
     # are concatenated into one (160, 512) operand so each hop is a single
     # aligned matmul.
     nb = PADDED // 2  # 256
-    blocks = []
-    for a_re_b, a_im_b in (
-        (A_re[0:160], A_im[0:160]),
-        (A_re[160:320], A_im[160:320]),
-        (np.pad(A_re[320:n], ((0, tail_pad), (0, 0))),
-         np.pad(A_im[320:n], ((0, tail_pad), (0, 0)))),
-    ):
-        blocks.append(np.concatenate(
-            [a_re_b[:, :nb], a_im_b[:, :nb]], axis=1))
-    return np.stack(blocks).astype(np.float32)
+    del tail_pad
+    # one deep (512, 512) operator: rows are the 400 frame samples padded
+    # to 512 (the caller builds the matching padded frame tensor); a single
+    # K=512 matmul keeps the MXU pipeline full, unlike three shallow K=160
+    # hop matmuls (~3x faster measured).
+    A = np.concatenate([A_re[:, :nb], A_im[:, :nb]], axis=1)  # (400, 512)
+    return np.pad(A, ((0, PADDED - n), (0, 0))).astype(np.float32)
 
 
 def _dft_precision() -> str:
@@ -98,29 +94,26 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _fbank_kernel(h0, h1, h2, a_hi, a_lo, mel_ref, out_ref, *, precision):
-    # bf16x3 DFT: waveform w = whi + wlo (bf16 split, cheap — tile only),
+def _fbank_kernel(fr, a_hi, a_lo, mel_ref, out_ref, *, precision):
+    # bf16x3 DFT: frames w = whi + wlo (bf16 split, cheap — tile only),
     # basis A = a_hi + a_lo (pre-split OUTSIDE the kernel: per-cell basis
     # splitting was measured as the kernel's VPU bottleneck).
     # w@A ~ whi@a_hi + whi@a_lo + wlo@a_hi; the wlo@a_lo term is below f32
-    # roundoff.  One (tile, 160) x (160, 512) matmul triple per hop;
-    # columns are [re | im].  "highest" keeps full-f32 MXU dots (a_hi is
-    # the unsplit f32 basis there); "default" is the 1-pass bf16 DFT.
-    ri = None
-    for j, h in enumerate((h0, h1, h2)):
-        w = h[0]
-        if precision == "highest":
-            acc = jax.lax.dot_general(
-                w, a_hi[j], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        else:
-            whi = w.astype(jnp.bfloat16)
-            acc = _dot(whi, a_hi[j])
-            if precision != "default":
-                wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
-                acc = acc + _dot(whi, a_lo[j]) + _dot(wlo, a_hi[j])
-        ri = acc if ri is None else ri + acc
+    # roundoff.  One deep (tile, 512) x (512, 512) matmul (columns
+    # [re | im]) per bf16 pass.  "highest" keeps full-f32 MXU dots (a_hi
+    # is the unsplit f32 basis there); "default" is the 1-pass bf16 DFT.
+    w = fr[0]
+    if precision == "highest":
+        ri = jax.lax.dot_general(
+            w, a_hi[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        whi = w.astype(jnp.bfloat16)
+        ri = _dot(whi, a_hi[:, :])
+        if precision != "default":
+            wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ri = ri + _dot(whi, a_lo[:, :]) + _dot(wlo, a_hi[:, :])
     nb = ri.shape[1] // 2
     power = ri[:, :nb] * ri[:, :nb] + ri[:, nb:] * ri[:, nb:]
     if precision == "highest":
@@ -139,7 +132,7 @@ def fbank_pallas(
     waveform: jnp.ndarray,  # (B, N) float in [-1, 1]
     lengths: jnp.ndarray,  # (B,)
     num_mel_bins: int = 80,
-    tile_t: int = 128,
+    tile_t: int = 256,
     preemph: float = 0.97,
     precision: str = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -162,13 +155,19 @@ def _fbank_pallas(waveform, lengths, num_mel_bins, tile_t, preemph,
                 jnp.zeros((B,), jnp.int32))
     n_tiles = (T + tile_t - 1) // tile_t
     H = n_tiles * tile_t + 2  # hops needed incl. 2-hop lookahead
-    need = (H + 1) * FRAME_SHIFT
+    need = (H + 2) * FRAME_SHIFT
     wav = jnp.pad(waveform.astype(jnp.float32),
                   ((0, 0), (0, max(0, need - N)))) * float(1 << 15)
-    # three hop-aligned views: view k starts at hop k
+    # padded frame tensor (B, H, 512): frame t = samples [160t, 160t+400)
+    # zero-padded to 512 — one XLA concat (HBM-bound, ~0.3 ms at B=64x15s)
+    # buys a single deep K=512 MXU matmul in the kernel instead of three
+    # shallow K=160 hop matmuls
     hops0 = wav[:, : H * FRAME_SHIFT].reshape(B, H, FRAME_SHIFT)
     hops1 = wav[:, FRAME_SHIFT:(H + 1) * FRAME_SHIFT].reshape(B, H, FRAME_SHIFT)
     hops2 = wav[:, 2 * FRAME_SHIFT:].reshape(B, -1, FRAME_SHIFT)[:, :H]
+    frames = jnp.concatenate(
+        [hops0, hops1, hops2[:, :, :FRAME_LEN - 2 * FRAME_SHIFT],
+         jnp.zeros((B, H, PADDED - FRAME_LEN), jnp.float32)], axis=2)
 
     a_ri = _fused_dft(preemph)
     nb = PADDED // 2  # Nyquist bin dropped (mel weight 0, see _fused_dft)
@@ -184,15 +183,15 @@ def _fbank_pallas(waveform, lengths, num_mel_bins, tile_t, preemph,
                            .astype(np.float32)).astype(jnp.bfloat16)
         basis_dt = jnp.bfloat16
 
-    hop_spec = pl.BlockSpec((1, tile_t, FRAME_SHIFT), lambda b, t: (b, t, 0),
-                            memory_space=pltpu.VMEM)
-    basis_spec = pl.BlockSpec((3, FRAME_SHIFT, 2 * nb), lambda b, t: (0, 0, 0),
+    frame_spec = pl.BlockSpec((1, tile_t, PADDED), lambda b, t: (b, t, 0),
+                              memory_space=pltpu.VMEM)
+    basis_spec = pl.BlockSpec((PADDED, 2 * nb), lambda b, t: (0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fbank_kernel, precision=precision),
         grid=(B, n_tiles),
         in_specs=[
-            hop_spec, hop_spec, hop_spec,
+            frame_spec,
             basis_spec, basis_spec,
             pl.BlockSpec((nb, num_mel_bins), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -203,7 +202,7 @@ def _fbank_pallas(waveform, lengths, num_mel_bins, tile_t, preemph,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_t, num_mel_bins),
                                        jnp.float32),
     )(
-        hops0, hops1, hops2,
+        frames,
         a_hi.astype(basis_dt), a_lo,
         jnp.asarray(mel, jnp.float32).astype(
             jnp.float32 if precision == "highest" else jnp.bfloat16),
