@@ -23,6 +23,7 @@ mechanically (see funasr_tpu/convert.py).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -505,9 +506,12 @@ class SANMEncoder(nn.Module):
             n_head = self.attention_heads
             kright = self.kernel_size - 1 - left
 
+            i8attn = os.environ.get("FUNASR_TPU_INT8_ATTN", "0") == "1"
+
             def body(h, layer_w):
                 h = SL._call(h.astype(dtype), lens32, *layer_w,
-                             n_head=n_head, left=left, right=kright)
+                             n_head=n_head, left=left, right=kright,
+                             int8_attn=i8attn)
                 return h, None
 
             x, _ = jax.lax.scan(body, x, lw)

@@ -76,7 +76,8 @@ def _sanm_layer_kernel(len_ref, x_ref,
                        ln1s, ln1b, wqkv, sqkv, bqkv, fsmn,
                        wout, sout, bout, ln2s, ln2b,
                        w1, s1, b1, w2, s2, b2, o_ref,
-                       *, n_head: int, left: int, right: int):
+                       *, n_head: int, left: int, right: int,
+                       int8_attn: bool = False):
     T, D = x_ref.shape[1], x_ref.shape[2]
     K = fsmn.shape[0]
     d = D // n_head
@@ -103,18 +104,27 @@ def _sanm_layer_kernel(len_ref, x_ref,
         mem = mem + tap * _shift_rows(vm, s, T)
     mem = mem * valid
 
-    # ---- attention (bf16 MXU, f32 softmax), per 128-wide head slice
+    # ---- attention (f32 softmax), per 128-wide head slice.  Scores on
+    # the int8 MXU when int8_attn: per-row scales for q and k factor out
+    # of the dot as an outer product (s_ij = int_dot * qs_i * ks_j).
     colmask = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (T, T), 1) < L, 0.0, -1e30)
     scale = d ** -0.5
     ctx = []
     for hd in range(n_head):
         sl = slice(hd * d, (hd + 1) * d)
-        qh = (qkv[:, sl] * scale).astype(jnp.bfloat16)
-        kh = qkv[:, D + hd * d:D + (hd + 1) * d].astype(jnp.bfloat16)
+        if int8_attn:
+            q8, qs = _rowquant(qkv[:, sl] * scale)
+            k8, ks = _rowquant(qkv[:, D + hd * d:D + (hd + 1) * d])
+            sc = jax.lax.dot_general(q8, k8, _DIMS_T,
+                                     preferred_element_type=jnp.int32)
+            sc = sc.astype(jnp.float32) * qs * jnp.transpose(ks)
+        else:
+            qh = (qkv[:, sl] * scale).astype(jnp.bfloat16)
+            kh = qkv[:, D + hd * d:D + (hd + 1) * d].astype(jnp.bfloat16)
+            sc = jax.lax.dot_general(qh, kh, _DIMS_T,
+                                     preferred_element_type=jnp.float32)
         vh = vmb[:, sl]
-        sc = jax.lax.dot_general(qh, kh, _DIMS_T,
-                                 preferred_element_type=jnp.float32)
         sc = sc + colmask
         m = jnp.max(sc, axis=1, keepdims=True)
         p = jnp.exp(sc - m)
@@ -169,10 +179,12 @@ def supported(T: int, D: int, H: int, n_head: int) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_head", "left", "right", "interpret"))
+                   static_argnames=("n_head", "left", "right", "interpret",
+                                    "int8_attn"))
 def _call(x, lengths, ln1s, ln1b, wqkv8, sqkv, bqkv, fsmn, wout8, sout, bout,
           ln2s, ln2b, w18, s1, b1, w28, s2, b2,
-          *, n_head: int, left: int, right: int, interpret: bool = False):
+          *, n_head: int, left: int, right: int, interpret: bool = False,
+          int8_attn: bool = False):
     B, T, D = x.shape
     H = w18.shape[1]
     row = lambda b: (0, 0)
@@ -180,7 +192,7 @@ def _call(x, lengths, ln1s, ln1b, wqkv8, sqkv, bqkv, fsmn, wout8, sout, bout,
     mat = lambda m, n: pl.BlockSpec((m, n), row, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_sanm_layer_kernel, n_head=n_head, left=left,
-                          right=right),
+                          right=right, int8_attn=int8_attn),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
@@ -209,7 +221,7 @@ def _call(x, lengths, ln1s, ln1b, wqkv8, sqkv, bqkv, fsmn, wout8, sout, bout,
 def fused_sanm_layer(x, lengths, ln1, qkv_kernel, qkv_bias, fsmn_kernel,
                      out_kernel, out_bias, ln2, w1, b1, w2, b2,
                      *, n_head: int, left: int, right: int,
-                     interpret: bool = False):
+                     interpret: bool = False, int8_attn: bool = None):
     """Full SANM encoder layer, int8 MXU, one HBM round-trip.
 
     x: (B, T, D) bf16/f32; lengths: (B,) int32 valid frame counts.
@@ -223,6 +235,8 @@ def fused_sanm_layer(x, lengths, ln1, qkv_kernel, qkv_bias, fsmn_kernel,
     wout8, sout = quantize_rows(out_kernel, axis=0)
     w18, s1 = quantize_rows(w1, axis=0)
     w28, s2 = quantize_rows(w2, axis=0)
+    if int8_attn is None:
+        int8_attn = os.environ.get("FUNASR_TPU_INT8_ATTN", "0") == "1"
     r = lambda v: v.reshape(1, -1).astype(jnp.float32)
     return _call(
         x, lengths.astype(jnp.int32),
@@ -230,4 +244,5 @@ def fused_sanm_layer(x, lengths, ln1, qkv_kernel, qkv_bias, fsmn_kernel,
         fsmn_kernel.reshape(fsmn_kernel.shape[0], D).astype(jnp.float32),
         wout8, sout, r(out_bias), r(ln2[0]), r(ln2[1]),
         w18, s1, r(b1), w28, s2, r(b2),
-        n_head=n_head, left=left, right=right, interpret=interpret)
+        n_head=n_head, left=left, right=right, interpret=interpret,
+        int8_attn=int8_attn)

@@ -143,3 +143,30 @@ def test_encoder_fused_stack_matches_module(monkeypatch):
     vm = (np.arange(T)[None, :, None] < np.asarray(lengths)[:, None, None])
     rel = (np.abs(ref - out) * vm).max() / (np.abs(ref * vm).max() + 1e-9)
     assert rel < 0.08, rel
+
+
+def test_fused_layer_int8_attn_numerics():
+    """int8 attention scores (optional, off by default: VPU quant overhead
+    outweighs the MXU saving at flagship shapes) must stay within int8
+    tolerance of the bf16-attention kernel."""
+    from funasr_tpu.ops import sanm_layer_pallas as SL
+
+    layer, params, x, lengths, _ = _layer_and_params()
+    p = params["params"]
+    args = ((p["norm1"]["scale"], p["norm1"]["bias"]),
+            p["self_attn"]["linear_q_k_v"]["kernel"],
+            p["self_attn"]["linear_q_k_v"]["bias"],
+            p["self_attn"]["fsmn_block"],
+            p["self_attn"]["linear_out"]["kernel"],
+            p["self_attn"]["linear_out"]["bias"],
+            (p["norm2"]["scale"], p["norm2"]["bias"]),
+            p["feed_forward"]["w_1"]["kernel"], p["feed_forward"]["w_1"]["bias"],
+            p["feed_forward"]["w_2"]["kernel"], p["feed_forward"]["w_2"]["bias"])
+    kw = dict(n_head=2, left=5, right=5, interpret=True)
+    a = np.asarray(SL.fused_sanm_layer(x, lengths, *args, int8_attn=False,
+                                       **kw), np.float32)
+    b = np.asarray(SL.fused_sanm_layer(x, lengths, *args, int8_attn=True,
+                                       **kw), np.float32)
+    vm = np.asarray(key_mask(lengths, x.shape[1]))[:, 0, :, None]
+    rel = (np.abs(a - b) * vm).max() / (np.abs(a * vm).max() + 1e-9)
+    assert rel < 0.05, rel
