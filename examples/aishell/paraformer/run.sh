@@ -32,7 +32,7 @@ test_sets="dev test"
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
   echo "stage 0: data preparation (wav.scp + text -> jsonl)"
-  for split in ${train_set} ${valid_set} ${test_sets}; do
+  for split in $(printf "%s\n" ${train_set} ${valid_set} ${test_sets} | sort -u); do
     d="${feats_dir}/${split}"
     [ -f "${d}/wav.scp" ] || { echo "expect ${d}/wav.scp + ${d}/text" \
       "(kaldi-style lists over ${raw_data})"; exit 1; }

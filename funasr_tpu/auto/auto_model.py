@@ -126,14 +126,14 @@ class AutoModel:
     ):
         self.kwargs = kwargs
         self.rng = jax.random.PRNGKey(seed)
-        if quantize:
-            # int8 dynamic quantization on the MXU (reference funasr_onnx
-            # `quantize=True` loads the onnxruntime dynamic-quant int8 model,
-            # runtime/docs/benchmark_onnx_cpp.md:69-81). Trace-time switch —
-            # set before the engines jit (ops/quant.py).
-            from funasr_tpu.ops import quant
-
-            quant.enable(True)
+        # int8 dynamic quantization on the MXU (reference funasr_onnx
+        # `quantize=True` loads the onnxruntime dynamic-quant int8 model,
+        # runtime/docs/benchmark_onnx_cpp.md:69-81).  Per-model: generate()
+        # scopes the trace-time switch (ops/quant.py) so two AutoModels
+        # with different `quantize` in one process don't leak into each
+        # other's engine traces.  quantize=False follows the process
+        # default (quant.enable), it does not force-disable it.
+        self._quantize = bool(quantize)
         self.engine = None
         self.vad_engine = None
         self.punc_engine = None
@@ -323,6 +323,14 @@ class AutoModel:
     def generate(self, input, fs: int = 16000, key: Optional[List[str]] = None,
                  batch_size: int = 16, output_dir: Optional[str] = None,
                  **kwargs):
+        if self._quantize:
+            from funasr_tpu.ops import quant
+
+            if not quant.enabled():
+                with quant.quantized(True):
+                    return self.generate(input, fs=fs, key=key,
+                                         batch_size=batch_size,
+                                         output_dir=output_dir, **kwargs)
         wavs, keys = self._prepare_inputs(input, fs, key)
         if self.vad_engine is not None and self.engine is not None:
             results = [
@@ -391,7 +399,7 @@ class AutoModel:
         items = input if isinstance(input, (list, tuple)) else [input]
         # expand list files / URLs (reference load_utils.py:48
         # load_audio_text_image_video: wav/pcm/bytes/url/scp/jsonl)
-        expanded, keys = [], []
+        expanded, keys, tmp_files = [], [], []
         for i, x in enumerate(items):
             if isinstance(x, str) and x.endswith(".scp"):
                 with open(x, encoding="utf-8") as f:
@@ -409,8 +417,13 @@ class AutoModel:
                         if not line.strip():
                             continue
                         rec = _json.loads(line)
+                        src = rec.get("source") or rec.get("wav")
+                        if src is None:
+                            raise ValueError(
+                                f"jsonl record without 'source'/'wav': "
+                                f"{line.strip()[:120]}")
                         keys.append(rec.get("key", f"utt_{len(keys)}"))
-                        expanded.append(rec.get("source") or rec.get("wav"))
+                        expanded.append(src)
                 continue
             if isinstance(x, str) and x.startswith(("http://", "https://")):
                 import tempfile
@@ -424,13 +437,27 @@ class AutoModel:
                 keys.append(os.path.splitext(os.path.basename(
                     x.split("?")[0]))[0])
                 expanded.append(tmp.name)
+                tmp_files.append(tmp.name)
                 continue
             keys.append(
                 os.path.splitext(os.path.basename(x))[0]
                 if isinstance(x, str) else f"rand_key_{i}")
             expanded.append(x)
-        wavs = [load_audio(x, fs=fs) for x in expanded]
-        return wavs, (key if key is not None else keys)
+        try:
+            wavs = [load_audio(x, fs=fs) for x in expanded]
+        finally:
+            for t in tmp_files:   # downloaded URLs: no temp-file leak
+                try:
+                    os.unlink(t)
+                except OSError:
+                    pass
+        if key is not None:
+            if len(key) != len(expanded):
+                raise ValueError(
+                    f"got {len(key)} keys for {len(expanded)} inputs "
+                    f"(scp/jsonl inputs expand; omit `key` to use theirs)")
+            return wavs, key
+        return wavs, keys
 
     # ----------------------------------------------- long audio pipeline
     def _inference_with_vad(

@@ -295,8 +295,9 @@ class PositionwiseFeedForward(nn.Module):
                                   self.param_dtype, name="w_1")()
             k2, b2 = _DenseParams(self.hidden_units, self.out_units,
                                   self.param_dtype, name="w_2")()
+            # int8=True literally: this branch requires quant.enabled()
             return FP.fused_ffn(x.astype(self.dtype), k1, b1, k2, b2,
-                                int8=quant.enabled())
+                                int8=True)
         h = QDense(self.hidden_units, name="w_1",
                      dtype=self.dtype, param_dtype=self.param_dtype)(x)
         h = nn.relu(h)

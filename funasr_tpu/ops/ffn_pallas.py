@@ -45,11 +45,7 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[:] = (o + b2_ref[:]).astype(o_ref.dtype)
 
 
-def _rowquant(xf):
-    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+from funasr_tpu.ops.quant import rowquant_kernel as _rowquant  # noqa: E402
 
 
 def _ffn_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
@@ -65,14 +61,15 @@ def _ffn_kernel_int8(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                 + b2_ref[:]).astype(o_ref.dtype)
 
 
-def _pick_tm(M: int, K: int, H: int, N: int, itemsize: int) -> int:
+def _pick_tm(M: int, K: int, H: int, N: int, wgt_itemsize: int,
+             act_itemsize: int = 2) -> int:
     budget = 13 * 1024 * 1024
-    wgt = K * H * itemsize + H * N * itemsize + (H + N) * 4
+    wgt = K * H * wgt_itemsize + H * N * wgt_itemsize + (H + N) * 4
     for tm in (1024, 512, 256, 128):
         if M % tm:
             continue
-        stream = 2 * tm * (K + N) * 2   # double-buffered x/out (bf16/f32<=4)
-        hidden = tm * H * 4             # f32 hidden tile
+        stream = 2 * tm * (K + N) * act_itemsize  # double-buffered x/out
+        hidden = tm * H * 4                       # f32 hidden tile
         if wgt + stream + hidden <= budget:
             return tm
     return 0
@@ -83,7 +80,8 @@ def _ffn_call(x2, w1, b1, w2, b2, *, interpret: bool = False):
     M, K = x2.shape
     H = w1.shape[1]
     N = w2.shape[1]
-    TM = _pick_tm(M, K, H, N, 2)
+    TM = _pick_tm(M, K, H, N, x2.dtype.itemsize,
+                  x2.dtype.itemsize)
     row = lambda m: (0, 0)
     return pl.pallas_call(
         _ffn_kernel,
@@ -110,7 +108,7 @@ def _ffn_call_int8(x2, w1q, s1, b1, w2q, s2, b2, *, interpret: bool = False):
     M, K = x2.shape
     H = w1q.shape[1]
     N = w2q.shape[1]
-    TM = _pick_tm(M, K, H, N, 1)
+    TM = _pick_tm(M, K, H, N, 1, x2.dtype.itemsize)
     row = lambda m: (0, 0)
     return pl.pallas_call(
         _ffn_kernel_int8,
@@ -143,11 +141,12 @@ def enabled() -> bool:
 
 
 def supported(m: int, k: int, h: int, n: int, dtype) -> bool:
+    itemsize = jnp.dtype(dtype).itemsize
     if dtype not in (jnp.bfloat16, jnp.float32):
         return False
     if k % 128 or h % 128 or n % 128 or m % 128 or m < 128:
         return False
-    return _pick_tm(m, k, h, n, 2) > 0
+    return _pick_tm(m, k, h, n, itemsize, itemsize) > 0
 
 
 def fused_ffn(x, w1, b1, w2, b2, *, int8: bool = False,

@@ -99,6 +99,16 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     for d in lhs.shape[:-1]:
         m *= d
     n = rhs.shape[1]
+    # XLA dynamic quant pays for its activation passes only when the MXU
+    # saving is large enough: saving ~ flops/2 = m*k*n/350e12 vs overhead
+    # ~ 5 bytes * m*k / 8e11 -> requires n >~ 1000 (and enough rows that
+    # the matmul is compute-bound at all).  The gate applies to the Pallas
+    # variant below too: both are the same int8 recipe and must quantize
+    # the same set of layers.
+    if n < min_n or m < min_m:
+        return lax.dot_general(lhs, rhs, dimension_numbers,
+                               precision=precision,
+                               preferred_element_type=preferred_element_type)
     if preferred_element_type is None or preferred_element_type == lhs.dtype:
         # fused Pallas path (opt-in): activation tiles quantized in VMEM,
         # int8 MXU dots, rescale at the output write (ops/quant_pallas.py).
@@ -107,16 +117,9 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
         # costs more than the MXU saves in full encoder stacks (measured).
         from funasr_tpu.ops import quant_pallas as QP
 
-        if QP.enabled() and QP.supported(m, lhs.shape[-1], n):
+        if QP.enabled() and QP.supported(m, lhs.shape[-1], n,
+                                         lhs.dtype.itemsize):
             return QP.quant_matmul(lhs, rhs)
-    # XLA dynamic quant pays for its activation passes only when the MXU
-    # saving is large enough: saving ~ flops/2 = m*k*n/350e12 vs overhead
-    # ~ 5 bytes * m*k / 8e11 -> requires n >~ 1000 (and enough rows that
-    # the matmul is compute-bound at all)
-    if n < min_n or m < min_m:
-        return lax.dot_general(lhs, rhs, dimension_numbers,
-                               precision=precision,
-                               preferred_element_type=preferred_element_type)
     q_x, s_x = quantize_rows(lhs, axis=-1)        # (..., K), (..., 1)
     q_w, s_w = quantize_rows(rhs, axis=0)         # (K, N),  (1, N)
     acc = lax.dot_general(q_x, q_w, dimension_numbers,
@@ -142,3 +145,13 @@ def QDense(*args, **kwargs):
 
     kwargs.setdefault("dot_general", maybe_int8_dot_general)
     return nn.Dense(*args, **kwargs)
+
+
+def rowquant_kernel(xf):
+    """Per-row symmetric int8 quantization of a 2D float32 tile — the
+    kernel-side (Pallas-safe) specialization of :func:`quantize_rows` used
+    by every fused kernel (single definition so the recipe cannot drift)."""
+    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale

@@ -41,10 +41,10 @@ def _qmm_kernel(x_ref, w_ref, sw_ref, o_ref, q_scr, s_scr):
 
     @pl.when(pl.program_id(1) == 0)
     def _quantize_rows():
-        xf = x_ref[:].astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)  # (TM, 1)
-        scale = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
-        q_scr[:] = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+        from funasr_tpu.ops.quant import rowquant_kernel
+
+        q, scale = rowquant_kernel(x_ref[:].astype(jnp.float32))
+        q_scr[:] = q
         s_scr[:] = jnp.broadcast_to(scale, s_scr.shape)
 
     acc = jax.lax.dot_general(
@@ -55,17 +55,18 @@ def _qmm_kernel(x_ref, w_ref, sw_ref, o_ref, q_scr, s_scr):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _pick_tiles(M: int, K: int, N: int):
+def _pick_tiles(M: int, K: int, N: int, itemsize: int = 2):
     """Largest tiles that fit the VMEM budget: per-grid-step overhead
     dominates below ~2k tiles (measured sweep: (2048, 2048) 0.138 ms vs
-    (256, 512) 0.257 ms on (16k, 512, 2048)), so go as big as fits."""
+    (256, 512) 0.257 ms on (16k, 512, 2048)), so go as big as fits.
+    ``itemsize`` is the activation/output element size (4 for float32)."""
     TN = N if N <= 2048 else 1024  # N <= 2048: a single n-step per row tile
     budget = 14 * 1024 * 1024
     for TM in (2048, 1024, 512, 256, 128):
         if M % TM:
             continue
         # pipelined blocks are double-buffered; scratch is single
-        stream = TM * K * 2 + K * TN + TN * 4 + TM * TN * 2
+        stream = TM * K * itemsize + K * TN + TN * 4 + TM * TN * itemsize
         scratch = TM * K + TM * 512
         if 2 * stream + scratch <= budget:
             return TM, TN
@@ -78,7 +79,7 @@ def _qmm(x2, w8, s_w, *, interpret: bool = False):
     M % TM == 0, K % 128 == 0, N % TN == 0 guaranteed by the caller."""
     M, K = x2.shape
     N = w8.shape[1]
-    TM, TN = _pick_tiles(M, K, N)
+    TM, TN = _pick_tiles(M, K, N, x2.dtype.itemsize)
     grid = (M // TM, N // TN)
     return pl.pallas_call(
         _qmm_kernel,
@@ -119,7 +120,7 @@ def enabled() -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
-def supported(m: int, k: int, n: int) -> bool:
+def supported(m: int, k: int, n: int, itemsize: int = 2) -> bool:
     """Shape gate: row tiles and the full-K stripe must tile VMEM cleanly.
     K capped so (TM, K) bf16 + int8 scratch stay well under VMEM with
     double buffering; misfits fall back to the XLA dynamic path."""
@@ -128,7 +129,7 @@ def supported(m: int, k: int, n: int) -> bool:
         return False
     TN = n if n <= 2048 else 1024
     np_ = -(-n // TN) * TN if n > 2048 else -(-n // 128) * 128
-    return _pick_tiles(m, k, np_) is not None
+    return _pick_tiles(m, k, np_, itemsize) is not None
 
 
 def quant_matmul(x, w, *, interpret: bool = False):

@@ -48,11 +48,7 @@ _DIMS = (((1,), (0,)), ((), ()))       # (M,K) @ (K,N)
 _DIMS_T = (((1,), (1,)), ((), ()))     # (M,K) @ (N,K)^T
 
 
-def _rowquant(xf):
-    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+from funasr_tpu.ops.quant import rowquant_kernel as _rowquant  # noqa: E402
 
 
 def _ln(xf, scale_ref, bias_ref, eps=1e-12):

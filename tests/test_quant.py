@@ -121,12 +121,32 @@ def test_paraformer_greedy_decode_stable_under_int8():
     assert agree >= 0.9 * n, f"only {agree}/{n} tokens agree under int8"
 
 
-def test_auto_model_quantize_flag():
+def test_auto_model_quantize_flag_is_scoped():
+    """quantize=True must apply during that model's generate() only — not
+    flip the process-global flag at init (which would leak int8 into a
+    later non-quantized AutoModel's engine traces)."""
+    from funasr_tpu.auto.auto_model import AutoModel
+
     prev = quant.enabled()
     try:
-        from funasr_tpu.auto.auto_model import AutoModel
+        am = AutoModel(quantize=True)  # no model: just the flag plumbing
+        assert not quant.enabled()     # init does NOT flip the global
 
-        AutoModel(quantize=True)  # no model: just the flag plumbing
-        assert quant.enabled()
+        seen = {}
+
+        class FakeEngine:
+            def transcribe(self, chunk, **kw):
+                seen["quant_on"] = quant.enabled()
+                return [{"text": ""} for _ in chunk]
+
+        am.engine = FakeEngine()
+        am.generate(np.zeros(1600, np.float32))
+        assert seen["quant_on"] is True
+        assert not quant.enabled()     # restored after generate
+
+        am2 = AutoModel()              # default follows the global
+        am2.engine = FakeEngine()
+        am2.generate(np.zeros(1600, np.float32))
+        assert seen["quant_on"] is False
     finally:
         quant.enable(prev)
