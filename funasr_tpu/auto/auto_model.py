@@ -122,6 +122,8 @@ class AutoModel:
         spk_conf: Optional[Dict] = None,
         seed: int = 0,
         quantize: bool = False,
+        data_parallel: bool = False,
+        device_mesh=None,
         **kwargs,
     ):
         self.kwargs = kwargs
@@ -134,6 +136,14 @@ class AutoModel:
         # other's engine traces.  quantize=False follows the process
         # default (quant.enable), it does not force-disable it.
         self._quantize = bool(quantize)
+        # data-parallel serving (SURVEY §7.13): shard the decode batch over
+        # every visible device (or a caller-provided mesh with a "data"
+        # axis).  Single-device meshes are a no-op.
+        self.mesh = device_mesh
+        if data_parallel and self.mesh is None and len(jax.devices()) > 1:
+            from funasr_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(model=1)
         self.engine = None
         self.vad_engine = None
         self.punc_engine = None
@@ -180,7 +190,8 @@ class AutoModel:
                     max_tokens=8, method=module.greedy_decode,
                 )
             return ParaformerEngine(module, params, frontend, tokenizer,
-                                    blank_id=module.blank_id)
+                                    blank_id=module.blank_id,
+                                    mesh=self.mesh)
         if name == "SenseVoiceSmall":
             module = cls(**common, **(cfg.get("model_conf") or {}))
             params = _load_params(cfg)
@@ -192,7 +203,8 @@ class AutoModel:
                     jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
                     method=module.greedy_decode,
                 )
-            return SenseVoiceEngine(module, params, frontend, tokenizer)
+            return SenseVoiceEngine(module, params, frontend, tokenizer,
+                                    mesh=self.mesh)
         if name in ("Conformer", "Transformer", "SANM", "Branchformer",
                     "EBranchformer"):
             from funasr_tpu.auto.engines import HybridEngine

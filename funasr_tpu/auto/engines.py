@@ -63,31 +63,54 @@ class FrontendConfig:
 
 
 class BatchedAsrEngine:
-    """Shared batching scaffold for offline ASR engines."""
+    """Shared batching scaffold for offline ASR engines.
 
-    def __init__(self, frontend: FrontendConfig, tokenizer):
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis — the
+    jitted decode runs data-parallel over it (each device takes a batch
+    shard; XLA inserts no collectives on this path).  The batch is padded
+    to a multiple of the data-axis size with 1-frame silence rows; callers
+    slice results back to the true count.
+    """
+
+    def __init__(self, frontend: FrontendConfig, tokenizer, mesh=None):
         self.frontend = frontend
         self.tokenizer = tokenizer
+        self.mesh = mesh
+
+    def _jit(self, fn, n_batch_args, static_argnames=()):
+        """jit ``fn(params, *batch_args)`` — data-parallel if mesh given."""
+        if self.mesh is not None:
+            from funasr_tpu.parallel.mesh import dp_jit
+
+            return dp_jit(fn, self.mesh, n_batch_args,
+                          static_argnames=static_argnames)
+        return jax.jit(fn, static_argnames=static_argnames)
 
     def _pack(self, wavs: Sequence[np.ndarray]):
         lens = np.array([len(w) for w in wavs], np.int64)
+        n = len(wavs)
+        if self.mesh is not None:
+            ndev = self.mesh.shape.get("data", 1)
+            n = -(-n // ndev) * ndev
         pad = quantize(int(lens.max(initial=1)))
-        batch = np.zeros((len(wavs), pad), np.float32)
+        batch = np.zeros((n, pad), np.float32)
         for i, w in enumerate(wavs):
             batch[i, : len(w)] = w
+        lens = np.concatenate(
+            [lens, np.full((n - len(wavs),), 400, np.int64)])
         return jnp.asarray(batch), jnp.asarray(lens, jnp.int32)
 
 
 class ParaformerEngine(BatchedAsrEngine):
     def __init__(self, module, params, frontend: FrontendConfig, tokenizer,
-                 blank_id: int = 0, max_tokens_per_15s: int = 128):
-        super().__init__(frontend, tokenizer)
+                 blank_id: int = 0, max_tokens_per_15s: int = 128,
+                 mesh=None):
+        super().__init__(frontend, tokenizer, mesh=mesh)
         self.module = module
         self.params = params
         self.blank_id = blank_id
         self.max_tokens_per_15s = max_tokens_per_15s
 
-        @functools.partial(jax.jit, static_argnames=("max_tokens",))
         def _run(params, wav, lens, max_tokens):
             feats, flens = self.frontend.device_features(wav, lens)
             log_probs, tok_lens, pred = self.module.apply(
@@ -97,7 +120,7 @@ class ParaformerEngine(BatchedAsrEngine):
             tokens = jnp.argmax(log_probs, axis=-1)
             return tokens, tok_lens, pred.peaks, pred.alphas
 
-        self._run = _run
+        self._run = self._jit(_run, 2, static_argnames=("max_tokens",))
 
     def decode_fn(self, params, wav, lens):
         """Export surface: (params, wav, lens) -> (tokens, token_lengths)
@@ -149,19 +172,19 @@ class ParaformerEngine(BatchedAsrEngine):
 class SenseVoiceEngine(BatchedAsrEngine):
     handles_itn = True  # text norm via the model's textnorm prompt token
 
-    def __init__(self, module, params, frontend: FrontendConfig, tokenizer):
-        super().__init__(frontend, tokenizer)
+    def __init__(self, module, params, frontend: FrontendConfig, tokenizer,
+                 mesh=None):
+        super().__init__(frontend, tokenizer, mesh=mesh)
         self.module = module
         self.params = params
 
-        @jax.jit
         def _run(params, wav, lens, lid, tn):
             feats, flens = self.frontend.device_features(wav, lens)
             return self.module.apply(
                 params, feats, flens, lid, tn, method=self.module.greedy_decode
             )
 
-        self._run = _run
+        self._run = self._jit(_run, 4)
 
     def decode_fn(self, params, wav, lens):
         """Export surface (lid=auto, textnorm off)."""
@@ -180,8 +203,9 @@ class SenseVoiceEngine(BatchedAsrEngine):
             return []
         wav_d, lens_d = self._pack(wavs)
         B = len(wavs)
-        lid = jnp.full((B,), lid_id(language), jnp.int32)
-        tn = jnp.full((B,), textnorm_id(use_itn), jnp.int32)
+        Bp = wav_d.shape[0]  # mesh-padded batch (== B without a mesh)
+        lid = jnp.full((Bp,), lid_id(language), jnp.int32)
+        tn = jnp.full((Bp,), textnorm_id(use_itn), jnp.int32)
         tokens, tok_lens = self._run(self.params, wav_d, lens_d, lid, tn)
         tokens = np.asarray(tokens)
         tok_lens = np.asarray(tok_lens)

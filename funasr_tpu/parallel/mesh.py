@@ -143,3 +143,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def dp_jit(fn, mesh: Mesh, n_batch_args: int, static_argnames=()):
+    """Data-parallel inference jit (SURVEY §7.13: serving scales over the
+    mesh the same way the reference scales GPU pipelines by process count).
+
+    ``fn(params, *batch_args, ...)`` is jitted with the params pytree
+    replicated and the next ``n_batch_args`` array arguments sharded on
+    their leading (batch) axis over the ``data`` mesh axis; outputs shard
+    the same way.  Callers pad the batch to a multiple of the data-axis
+    size (see ``BatchedAsrEngine._pack``).
+    """
+    in_shardings = (replicated(mesh),) + (batch_sharding(mesh),) * n_batch_args
+    return jax.jit(fn, static_argnames=static_argnames,
+                   in_shardings=in_shardings)

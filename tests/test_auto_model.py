@@ -191,3 +191,16 @@ def test_hub_id_resolution(tmp_path, monkeypatch):
     monkeypatch.setattr(D, "download_model", lambda m, **kw: str(snap))
     am = AutoModel(model="paraformer-zh")
     assert am.engine is not None
+
+
+def test_generate_data_parallel_matches_single(rng):
+    """AutoModel(data_parallel=True) shards the decode batch over the
+    8-device CPU mesh (engines pad the batch to the mesh size with silence
+    rows) and must return the same transcripts as the single-device path."""
+    wavs = [_wav(rng), _wav(rng, 1.3), _wav(rng, 1.7)]  # 3 -> pads to 8
+    ref = AutoModel(model=ASR_CFG).generate(wavs, key=["a", "b", "c"])
+    am = AutoModel(model=ASR_CFG, data_parallel=True)
+    assert am.mesh is not None and am.mesh.shape["data"] == 8
+    got = am.generate(wavs, key=["a", "b", "c"])
+    assert [r["key"] for r in got] == ["a", "b", "c"]
+    assert [r["text"] for r in got] == [r["text"] for r in ref]
