@@ -4,9 +4,12 @@ The reference ships a ~39k-LoC pynini grammar package
 (fun_text_processing/inverse_text_normalization) compiled to FSTs consumed
 by the C++ runtime's itn-processor.  This module provides the serving-path
 capability (the websocket `itn` flag / AutoModel `use_itn`) as readable
-rules for the high-frequency classes: cardinal numbers, decimals, percents,
-and negative numbers for Chinese and English.  Grammar coverage expands per
-language over time; unknown patterns pass through unchanged.
+rules per semiotic class (mirroring the reference's tagger set,
+fun_text_processing/inverse_text_normalization/*/taggers/): cardinal,
+decimal, percent/permille, fraction, ordinal, date, time, and money for
+Chinese; cardinal, decimal, percent, ordinal, and money for English;
+cardinals + percents for the other ten languages.  Unknown patterns pass
+through unchanged.
 """
 
 from __future__ import annotations
@@ -65,20 +68,58 @@ def _zh_number_repl(m: re.Match) -> str:
 
 def _itn_zh(text: str) -> str:
     num = f"[{_ZH_NUM_CHARS}]+"
-    # percent: 百分之X -> X%
-    def pct(m):
-        val = _zh_number_repl(re.match(num, m.group(1)))
-        return f"{_fmt_zh_value(m.group(1))}%"
-    text = re.sub(f"百分之({num}(?:点[{''.join(_ZH_DIGITS)}]+)?)",
-                  lambda m: f"{_fmt_zh_value(m.group(1))}%", text)
+    digits = "".join(_ZH_DIGITS)
+    # permille / percent: 千分之X -> X‰, 百分之X -> X% (sign folds in:
+    # 负百分之五 -> -5%), fraction X分之Y -> Y/X — ordered so the
+    # percent/permille heads are consumed before the generic fraction
+    text = re.sub(f"(负?)千分之({num}(?:点[{digits}]+)?)",
+                  lambda m: f"{'-' if m.group(1) else ''}"
+                            f"{_fmt_zh_value(m.group(2))}‰", text)
+    text = re.sub(f"(负?)百分之({num}(?:点[{digits}]+)?)",
+                  lambda m: f"{'-' if m.group(1) else ''}"
+                            f"{_fmt_zh_value(m.group(2))}%", text)
+    text = re.sub(f"({num})分之(负?)({num}(?:点[{digits}]+)?)",
+                  lambda m: f"{'-' if m.group(2) else ''}"
+                            f"{_fmt_zh_value(m.group(3))}/"
+                            f"{_zh_to_int(m.group(1))}", text)
+    # dates: digit-read years (一九九八年 -> 1998年), 月/日 pairs
+    text = re.sub(f"([{digits}]{{2,4}})年",
+                  lambda m: f"{_zh_digits_seq(m.group(1))}年", text)
+    text = re.sub(
+        f"([{_ZH_NUM_CHARS}]{{1,3}})月([{_ZH_NUM_CHARS}]{{1,3}})([日号])",
+        lambda m: f"{_zh_to_int(m.group(1))}月{_zh_to_int(m.group(2))}"
+                  f"{m.group(3)}", text)
+    # times: only with an explicit 半/钟/分/秒 tail so decimals (三点一四)
+    # stay decimals
+    text = re.sub(f"([{_ZH_NUM_CHARS}]{{1,3}})点半",
+                  lambda m: f"{_zh_to_int(m.group(1))}:30", text)
+    text = re.sub(f"([{_ZH_NUM_CHARS}]{{1,3}})点钟",
+                  lambda m: f"{_zh_to_int(m.group(1))}:00", text)
+    text = re.sub(
+        f"([{_ZH_NUM_CHARS}]{{1,3}})点([{_ZH_NUM_CHARS}]{{1,3}})分"
+        f"(?:([{_ZH_NUM_CHARS}]{{1,3}})秒)?",
+        lambda m: f"{_zh_to_int(m.group(1))}:{_zh_to_int(m.group(2)):02d}"
+                  + (f":{_zh_to_int(m.group(3)):02d}" if m.group(3) else ""),
+        text)
+    # money: X块五 / X元五 -> X.5元 (sub-unit digit without 角/分 tail)
+    text = re.sub(f"({num})[块元]([{digits}])(?![{_ZH_NUM_CHARS}角毛分])",
+                  lambda m: f"{_zh_to_int(m.group(1))}."
+                            f"{_ZH_DIGITS[m.group(2)]}元", text)
+    text = re.sub(f"({num})[块元]({num})[角毛]",
+                  lambda m: f"{_zh_to_int(m.group(1))}."
+                            f"{_zh_to_int(m.group(2))}元", text)
+    # ordinal: 第X -> 第N (converts single digits too: 第三 -> 第3)
+    text = re.sub(f"第({num})",
+                  lambda m: f"第{_zh_to_int(m.group(1))}", text)
     # decimal: X点YZ
     text = re.sub(
-        f"({num})点([{''.join(_ZH_DIGITS)}]+)",
+        f"({num})点([{digits}]+)",
         lambda m: f"{_zh_to_int(m.group(1))}.{_zh_digits_seq(m.group(2))}",
         text,
     )
-    # negative
+    # negative (incl. decimals already converted above: 负3.5 -> -3.5)
     text = re.sub(f"负({num})", lambda m: f"-{_zh_to_int(m.group(1))}", text)
+    text = re.sub(r"负(\d)", r"-\1", text)
     # plain cardinals (3+ chars or containing units, to leave 一个/二人 alone)
     def card(m):
         s = m.group(0)
@@ -106,6 +147,30 @@ _EN_SCALE = {"hundred": 100, "thousand": 1000, "million": 10**6,
              "billion": 10**9}
 _EN_WORDS = set(_EN_ONES) | set(_EN_TENS) | set(_EN_SCALE) | {"and"}
 
+# ordinal words close a cardinal span: "twenty first" -> 21st
+_EN_ORD_ONES = {"first": 1, "second": 2, "third": 3, "fourth": 4,
+                "fifth": 5, "sixth": 6, "seventh": 7, "eighth": 8,
+                "ninth": 9, "tenth": 10, "eleventh": 11, "twelfth": 12,
+                "thirteenth": 13, "fourteenth": 14, "fifteenth": 15,
+                "sixteenth": 16, "seventeenth": 17, "eighteenth": 18,
+                "nineteenth": 19}
+_EN_ORD_TENS = {"twentieth": 20, "thirtieth": 30, "fortieth": 40,
+                "fiftieth": 50, "sixtieth": 60, "seventieth": 70,
+                "eightieth": 80, "ninetieth": 90}
+_EN_ORD_SCALE = {"hundredth": 100, "thousandth": 1000,
+                 "millionth": 10**6, "billionth": 10**9}
+_EN_ORDS = {**_EN_ORD_ONES, **_EN_ORD_TENS, **_EN_ORD_SCALE}
+
+_EN_CURRENCY = {"dollar": "$", "dollars": "$", "euro": "€", "euros": "€",
+                "pound": "£", "pounds": "£", "yuan": "¥"}
+_EN_CENTS = {"cent", "cents", "penny", "pence"}
+
+
+def _en_ordinal_suffix(n: int) -> str:
+    if 10 <= n % 100 <= 13:
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+
 
 def _en_words_to_int(words: List[str]) -> int:
     total, cur = 0, 0
@@ -125,6 +190,15 @@ def _en_words_to_int(words: List[str]) -> int:
 
 
 def _itn_en(text: str) -> str:
+    # hyphenated compounds ("twenty-one") split into their word parts
+    text = re.sub(
+        r"\b([a-zA-Z]+)-([a-zA-Z]+)\b",
+        lambda m: (f"{m.group(1)} {m.group(2)}"
+                   if m.group(1).lower() in _EN_WORDS
+                   and (m.group(2).lower() in _EN_WORDS
+                        or m.group(2).lower() in _EN_ORDS)
+                   else m.group(0)),
+        text)
     tokens = text.split(" ")
     out: List[str] = []
     i = 0
@@ -140,14 +214,84 @@ def _itn_en(text: str) -> str:
         while span and span[-1] == "and":
             span.pop(); j -= 1
         meaningful = [w for w in span if w != "and"]
+
+        # ordinal tail closes the span: "twenty first" -> 21st,
+        # "hundredth" -> 100th (lone small ordinals like "first" stay
+        # spoken, matching the conservative lone-cardinal policy)
+        ord_word = (tokens[j].lower()
+                    if j < len(tokens) and tokens[j].lower() in _EN_ORDS
+                    else None)
+        if ord_word and (meaningful
+                         or _EN_ORDS[ord_word] >= 20):
+            val = _en_words_to_int(span) if span else 0
+            o = _EN_ORDS[ord_word]
+            if o >= 100 and val:
+                val *= o
+            else:
+                val += o
+            out.append(f"{val}{_en_ordinal_suffix(val)}")
+            i = j + 1
+            continue
+
+        # a strong tail cue (percent / currency / "point <digit>")
+        # licenses converting even a lone small cardinal: "five percent"
+        # -> 5%, "three point one four" -> 3.14
+        cue = False
+        if len(meaningful) == 1 and j < len(tokens):
+            nxt = tokens[j].lower()
+            cue = (nxt == "percent" or nxt in _EN_CURRENCY
+                   or (nxt == "point" and j + 1 < len(tokens)
+                       and tokens[j + 1].lower() in _EN_ONES
+                       and _EN_ONES[tokens[j + 1].lower()] <= 9))
         if len(meaningful) >= 2 or (len(meaningful) == 1
-                                    and meaningful[0] in _EN_TENS):
+                                    and (meaningful[0] in _EN_TENS or cue)):
             val = _en_words_to_int(span)
-            suffix = ""
-            if j < len(tokens) and tokens[j].lower() == "percent":
-                suffix = "%"
+            sign = ""
+            if out and out[-1].lower() in ("minus", "negative"):
+                out.pop()
+                sign = "-"
+            rendered = f"{sign}{val}"
+
+            # decimal tail: "three point one four" -> 3.14
+            if (j < len(tokens) and tokens[j].lower() == "point"
+                    and j + 1 < len(tokens)
+                    and tokens[j + 1].lower() in _EN_ONES
+                    and _EN_ONES[tokens[j + 1].lower()] <= 9):
+                frac = []
                 j += 1
-            out.append(str(val) + suffix)
+                while (j < len(tokens) and tokens[j].lower() in _EN_ONES
+                       and _EN_ONES[tokens[j].lower()] <= 9):
+                    frac.append(str(_EN_ONES[tokens[j].lower()]))
+                    j += 1
+                rendered = f"{rendered}.{''.join(frac)}"
+
+            if j < len(tokens) and tokens[j].lower() == "percent":
+                out.append(rendered + "%")
+                i = j + 1
+                continue
+
+            # money: "<N> dollars [and <M> cents]" -> $N[.MM]
+            if j < len(tokens) and tokens[j].lower() in _EN_CURRENCY:
+                cur = _EN_CURRENCY[tokens[j].lower()]
+                j += 1
+                k = j
+                if k < len(tokens) and tokens[k].lower() == "and":
+                    k += 1
+                cs: List[str] = []
+                while k < len(tokens) and tokens[k].lower() in _EN_WORDS:
+                    cs.append(tokens[k].lower())
+                    k += 1
+                if (cs and k < len(tokens)
+                        and tokens[k].lower() in _EN_CENTS):
+                    cents = _en_words_to_int(cs)
+                    out.append(f"{sign}{cur}{val}.{cents:02d}")
+                    i = k + 1
+                else:
+                    out.append(f"{sign}{cur}{rendered.lstrip('-')}")
+                    i = j
+                continue
+
+            out.append(rendered)
             i = j
         else:
             out.append(tokens[i])

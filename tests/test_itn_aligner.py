@@ -18,17 +18,49 @@ from funasr_tpu.models.monotonic_aligner.model import MonotonicAligner
     ("负十五", "-15"),
     ("十五个人", "15个人"),
     ("一个人", "一个人"),  # single digits stay spoken
+    # semiotic classes beyond cardinals (reference
+    # inverse_text_normalization/zh/taggers/)
+    ("千分之五", "5‰"),
+    ("负百分之三点五", "-3.5%"),
+    ("三分之二", "2/3"),
+    ("五分之负一", "-1/5"),
+    ("一九九八年", "1998年"),
+    ("二零二四年三月五号", "2024年3月5号"),
+    ("十二月二十五日", "12月25日"),
+    ("三点半", "3:30"),
+    ("八点钟", "8:00"),
+    ("十二点二十五分", "12:25"),
+    ("九点零五分三十秒", "9:05:30"),
+    ("三点一四", "3.14"),  # decimal survives the time rules
+    ("三块五", "3.5元"),
+    ("十块三毛", "10.3元"),
+    ("第三十五", "第35"),
+    ("第三", "第3"),
+    ("负三点五", "-3.5"),
 ])
 def test_itn_zh(spoken, written):
     assert inverse_normalize(spoken, "zh") == written
 
 
 @pytest.mark.parametrize("spoken,written", [
-    ("twenty one dollars", "21 dollars"),
+    ("twenty one dollars", "$21"),
     ("three hundred and five", "305"),
     ("one thousand two hundred", "1200"),
     ("fifty percent done", "50% done"),
     ("one of them", "one of them"),  # lone small number stays
+    # semiotic classes beyond cardinals (reference
+    # inverse_text_normalization/en/taggers/)
+    ("three point one four", "3.14"),
+    ("minus three point five percent", "-3.5%"),
+    ("five percent", "5%"),
+    ("twenty-five dollars", "$25"),
+    ("five dollars and twenty cents", "$5.20"),
+    ("two hundred euros", "€200"),
+    ("the twenty first of may", "the 21st of may"),
+    ("one hundredth", "100th"),
+    ("twentieth century", "20th century"),
+    ("first of all", "first of all"),  # lone small ordinal stays
+    ("negative forty", "-40"),
 ])
 def test_itn_en(spoken, written):
     assert inverse_normalize(spoken, "en") == written
