@@ -79,6 +79,20 @@ def normalize_zh(text: str) -> str:
         return f"百分之{num_to_zh(int(body))}"
 
     text = re.sub(r"(\d+(?:\.\d+)?)%", pct, text)
+    # times: 12:25 -> 十二点二十五分, 9:05:30 adds 秒
+    def tm(m):
+        h, mi, se = m.group(1), m.group(2), m.group(3)
+        s = f"{num_to_zh(int(h))}点"
+        s += "零" + num_to_zh(int(mi)) + "分" if mi[0] == "0" and int(mi) \
+            else (num_to_zh(int(mi)) + "分" if int(mi) else "")
+        if not int(mi) and not se:
+            s += "钟"
+        if se:
+            s += f"{num_to_zh(int(se))}秒"
+        return s
+
+    # \b fails between CJK (word chars) and digits: use digit lookarounds
+    text = re.sub(r"(?<!\d)(\d{1,2}):(\d{2})(?::(\d{2}))?(?!\d)", tm, text)
     # decimals
     text = re.sub(
         r"(\d+)\.(\d+)",
@@ -130,6 +144,33 @@ def normalize_en(text: str) -> str:
         return f"{num_to_en(int(body))} percent"
 
     text = re.sub(r"(\d+(?:\.\d+)?)%", pct, text)
+    # money: $25 -> twenty five dollars, $5.20 -> five dollars and
+    # twenty cents
+    def money(m):
+        whole = num_to_en(int(m.group(1)))
+        if m.group(2):
+            cents = num_to_en(int(m.group(2)))
+            return f"{whole} dollars and {cents} cents"
+        return f"{whole} dollars"
+
+    text = re.sub(r"\$(\d+)(?:\.(\d{2}))?", money, text)
+    # ordinals: 21st -> twenty first (ordinalize the last cardinal word)
+    _ORD_IRREG = {"one": "first", "two": "second", "three": "third",
+                  "five": "fifth", "eight": "eighth", "nine": "ninth",
+                  "twelve": "twelfth"}
+
+    def ordinal(m):
+        words = num_to_en(int(m.group(1))).split(" ")
+        last = words[-1]
+        if last in _ORD_IRREG:
+            words[-1] = _ORD_IRREG[last]
+        elif last.endswith("y"):
+            words[-1] = last[:-1] + "ieth"
+        else:
+            words[-1] = last + "th"
+        return " ".join(words)
+
+    text = re.sub(r"\b(\d+)(?:st|nd|rd|th)\b", ordinal, text)
     text = re.sub(
         r"(\d+)\.(\d+)",
         lambda m: f"{num_to_en(int(m.group(1)))} point "

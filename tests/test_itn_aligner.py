@@ -186,6 +186,24 @@ def test_tn_en_cardinals():
     assert _tn("3.14", "en") == "three point one four"
 
 
+@pytest.mark.parametrize("written,lang,spoken,roundtrip", [
+    ("在12:25开会", "zh", "在十二点二十五分开会", True),
+    ("8:00", "zh", "八点钟", True),
+    ("9:05:30", "zh", "九点零五分三十秒", True),
+    ("the 21st time", "en", "the twenty first time", True),
+    # lone small ordinals stay spoken on the ITN side by policy
+    ("the 12th", "en", "the twelfth", False),
+    ("the 30th", "en", "the thirtieth", True),
+    ("$25", "en", "twenty five dollars", True),
+    ("$5.20", "en", "five dollars and twenty cents", True),
+])
+def test_tn_classes(written, lang, spoken, roundtrip):
+    from funasr_tpu.text.tn import normalize as _tn2
+    assert _tn2(written, lang) == spoken
+    if roundtrip:  # the ITN direction recovers the written form exactly
+        assert _itn_rt(spoken, lang) == written
+
+
 def test_tn_itn_roundtrip():
     # single chars stay spoken by design (一个/八点 would break)
     for n in ("42", "305", "3521", "40005"):
