@@ -18,6 +18,34 @@ Public API mirrors the reference's user surface:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _honor_jax_platforms_env() -> None:
+    """Re-apply the ``JAX_PLATFORMS`` env var through jax.config.
+
+    Environments that preload jax via sitecustomize (e.g. a PJRT plugin
+    registering itself with ``jax.config.update("jax_platforms", ...)``)
+    clobber the standard env-var selection, so ``JAX_PLATFORMS=cpu
+    funasr-tpu-train ...`` would silently run on the accelerator.  If the
+    env var's primary platform disagrees with the current config, restore
+    the env var's choice — a no-op in plain environments (config unset ->
+    jax already follows the env)."""
+    want = _os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    import jax
+
+    have = jax.config.jax_platforms
+    if have and have.split(",")[0] != want.split(",")[0]:
+        try:
+            jax.config.update("jax_platforms", want)
+        except RuntimeError:
+            pass  # backend already initialized; too late to switch
+
+
+_honor_jax_platforms_env()
+
 from funasr_tpu.registry import tables  # noqa: F401
 
 
