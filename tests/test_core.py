@@ -65,3 +65,19 @@ def test_sinusoidal_encoding_funasr_semantics():
 def test_transformer_encoding_interleave():
     enc = np.asarray(transformer_encoding(3, 4))
     np.testing.assert_allclose(enc[0], [0, 1, 0, 1], atol=1e-6)
+
+
+def test_jax_platforms_env_honored_in_subprocess():
+    """Importing funasr_tpu re-applies JAX_PLATFORMS even when a preloaded
+    PJRT plugin (sitecustomize) clobbered the env selection."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import funasr_tpu, jax; print(jax.devices()[0].platform)"],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().splitlines()[-1] == "cpu"
