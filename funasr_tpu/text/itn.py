@@ -101,22 +101,25 @@ def _itn_zh(text: str) -> str:
         lambda m: f"{_zh_to_int(m.group(1))}:{_zh_to_int(m.group(2)):02d}"
                   + (f":{_zh_to_int(m.group(3)):02d}" if m.group(3) else ""),
         text)
-    # money: X块五 / X元五 -> X.5元 (sub-unit digit without 角/分 tail)
+    # money: X块五 / X元五 -> X.5元 (sub-unit digit without 角/分 tail);
+    # 三块五毛[二[分]] -> 3.5元 / 3.52元 (optional 分-digit consumed too)
     text = re.sub(f"({num})[块元]([{digits}])(?![{_ZH_NUM_CHARS}角毛分])",
                   lambda m: f"{_zh_to_int(m.group(1))}."
                             f"{_ZH_DIGITS[m.group(2)]}元", text)
-    text = re.sub(f"({num})[块元]({num})[角毛]",
+    text = re.sub(f"({num})[块元]({num})[角毛](?:([{digits}])分?)?",
                   lambda m: f"{_zh_to_int(m.group(1))}."
-                            f"{_zh_to_int(m.group(2))}元", text)
-    # ordinal: 第X -> 第N (converts single digits too: 第三 -> 第3)
-    text = re.sub(f"第({num})",
-                  lambda m: f"第{_zh_to_int(m.group(1))}", text)
-    # decimal: X点YZ
+                            f"{_zh_to_int(m.group(2))}"
+                            f"{_ZH_DIGITS[m.group(3)] if m.group(3) else ''}"
+                            f"元", text)
+    # decimal: X点YZ (before the 第-ordinal rule so 第三点五名 -> 第3.5名)
     text = re.sub(
         f"({num})点([{digits}]+)",
         lambda m: f"{_zh_to_int(m.group(1))}.{_zh_digits_seq(m.group(2))}",
         text,
     )
+    # ordinal: 第X -> 第N (converts single digits too: 第三 -> 第3)
+    text = re.sub(f"第({num})",
+                  lambda m: f"第{_zh_to_int(m.group(1))}", text)
     # negative (incl. decimals already converted above: 负3.5 -> -3.5)
     text = re.sub(f"负({num})", lambda m: f"-{_zh_to_int(m.group(1))}", text)
     text = re.sub(r"负(\d)", r"-\1", text)
@@ -190,15 +193,19 @@ def _en_words_to_int(words: List[str]) -> int:
 
 
 def _itn_en(text: str) -> str:
-    # hyphenated compounds ("twenty-one") split into their word parts
-    text = re.sub(
-        r"\b([a-zA-Z]+)-([a-zA-Z]+)\b",
-        lambda m: (f"{m.group(1)} {m.group(2)}"
-                   if m.group(1).lower() in _EN_WORDS
-                   and (m.group(2).lower() in _EN_WORDS
-                        or m.group(2).lower() in _EN_ORDS)
-                   else m.group(0)),
-        text)
+    # hyphenated tens-ones compounds ("twenty-one", "forty-second") split
+    # into their word parts; anything else ("fifty-fifty", "one-two") is
+    # an idiom, not a numeral, and stays joined
+    def _split_hyphen(m):
+        a, b = m.group(1).lower(), m.group(2).lower()
+        tens_ones = (a in _EN_TENS
+                     and ((b in _EN_ONES and 1 <= _EN_ONES[b] <= 9)
+                          or (b in _EN_ORD_ONES and _EN_ORD_ONES[b] <= 9)))
+        scale_pair = a in _EN_ONES and (b in _EN_SCALE or b in _EN_ORD_SCALE)
+        return f"{m.group(1)} {m.group(2)}" if tens_ones or scale_pair \
+            else m.group(0)
+
+    text = re.sub(r"\b([a-zA-Z]+)-([a-zA-Z]+)\b", _split_hyphen, text)
     tokens = text.split(" ")
     out: List[str] = []
     i = 0
@@ -208,18 +215,27 @@ def _itn_en(text: str) -> str:
         while j < len(tokens) and tokens[j].lower() in _EN_WORDS:
             span.append(tokens[j].lower())
             j += 1
-        # trim leading/trailing 'and'
+        # trim leading/trailing 'and' (leading ones are emitted, not
+        # swallowed: "rock and roll" keeps its "and")
         while span and span[0] == "and":
-            span.pop(0); i += 1
+            span.pop(0)
+            out.append(tokens[i])
+            i += 1
         while span and span[-1] == "and":
             span.pop(); j -= 1
         meaningful = [w for w in span if w != "and"]
 
         # ordinal tail closes the span: "twenty first" -> 21st,
         # "hundredth" -> 100th (lone small ordinals like "first" stay
-        # spoken, matching the conservative lone-cardinal policy)
-        ord_word = (tokens[j].lower()
-                    if j < len(tokens) and tokens[j].lower() in _EN_ORDS
+        # spoken, matching the conservative lone-cardinal policy).  A
+        # single bridging "and" is allowed: "two thousand and tenth".
+        jo = j
+        if (meaningful and jo < len(tokens) and tokens[jo].lower() == "and"
+                and jo + 1 < len(tokens)
+                and tokens[jo + 1].lower() in _EN_ORDS):
+            jo += 1
+        ord_word = (tokens[jo].lower()
+                    if jo < len(tokens) and tokens[jo].lower() in _EN_ORDS
                     else None)
         if ord_word and (meaningful
                          or _EN_ORDS[ord_word] >= 20):
@@ -230,7 +246,7 @@ def _itn_en(text: str) -> str:
             else:
                 val += o
             out.append(f"{val}{_en_ordinal_suffix(val)}")
-            i = j + 1
+            i = jo + 1
             continue
 
         # a strong tail cue (percent / currency / "point <digit>")
@@ -281,8 +297,11 @@ def _itn_en(text: str) -> str:
                 while k < len(tokens) and tokens[k].lower() in _EN_WORDS:
                     cs.append(tokens[k].lower())
                     k += 1
-                if (cs and k < len(tokens)
+                if (cs and "." not in rendered and k < len(tokens)
                         and tokens[k].lower() in _EN_CENTS):
+                    # cents merge only for whole-dollar heads; a decimal
+                    # head ("two point five dollars") keeps its fraction
+                    # and leaves the cents phrase as text
                     cents = _en_words_to_int(cs)
                     out.append(f"{sign}{cur}{val}.{cents:02d}")
                     i = k + 1
@@ -425,8 +444,11 @@ def _make_western_itn(vocab, scale, pct_words, connectors=()):
             while j < len(tokens) and tokens[j].lower() in keys:
                 span.append(tokens[j].lower())
                 j += 1
+            # leading connectors are emitted, not swallowed ("perros y
+            # gatos" keeps its "y")
             while span and span[0] in connectors:
                 span.pop(0)
+                out.append(tokens[i])
                 i += 1
             while span and span[-1] in connectors:
                 span.pop()
@@ -583,8 +605,10 @@ def _make_positional_itn(digits, units, bigs, pct_phrases, connectors=(),
             while j < len(tokens) and tokens[j].lower() in keys:
                 span.append(tokens[j].lower())
                 j += 1
+            # leading connectors are emitted, not swallowed
             while span and span[0] in connectors:
                 span.pop(0)
+                out.append(tokens[i])
                 i += 1
             while span and span[-1] in connectors:
                 span.pop()

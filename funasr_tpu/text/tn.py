@@ -79,13 +79,19 @@ def normalize_zh(text: str) -> str:
         return f"百分之{num_to_zh(int(body))}"
 
     text = re.sub(r"(\d+(?:\.\d+)?)%", pct, text)
-    # times: 12:25 -> 十二点二十五分, 9:05:30 adds 秒
+    # times: 12:25 -> 十二点二十五分, 9:05:30 adds 秒.  Out-of-range
+    # fields (1:50 odds, 3:99 scores, 25:00) are not clock times and pass
+    # through untouched.
     def tm(m):
         h, mi, se = m.group(1), m.group(2), m.group(3)
+        if int(h) > 23 or int(mi) > 59 or (se and int(se) > 59):
+            return m.group(0)
         s = f"{num_to_zh(int(h))}点"
-        s += "零" + num_to_zh(int(mi)) + "分" if mi[0] == "0" and int(mi) \
-            else (num_to_zh(int(mi)) + "分" if int(mi) else "")
-        if not int(mi) and not se:
+        if int(mi):
+            s += ("零" if mi[0] == "0" else "") + num_to_zh(int(mi)) + "分"
+        elif se:
+            s += "零分"  # 9:00:30 must keep the minute slot unambiguous
+        else:
             s += "钟"
         if se:
             s += f"{num_to_zh(int(se))}秒"
@@ -145,15 +151,23 @@ def normalize_en(text: str) -> str:
 
     text = re.sub(r"(\d+(?:\.\d+)?)%", pct, text)
     # money: $25 -> twenty five dollars, $5.20 -> five dollars and
-    # twenty cents
+    # twenty cents; singular for 1 ("one dollar", "one cent"); fractions
+    # that aren't exactly two digits read as decimals ("$5.2" -> five
+    # point two dollars)
     def money(m):
         whole = num_to_en(int(m.group(1)))
-        if m.group(2):
-            cents = num_to_en(int(m.group(2)))
-            return f"{whole} dollars and {cents} cents"
-        return f"{whole} dollars"
+        unit = "dollar" if int(m.group(1)) == 1 else "dollars"
+        frac = m.group(2)
+        if frac and len(frac) == 2:
+            cents = num_to_en(int(frac))
+            cunit = "cent" if int(frac) == 1 else "cents"
+            return f"{whole} {unit} and {cents} {cunit}"
+        if frac:
+            digits = " ".join(_EN_ONES[int(c)] for c in frac)
+            return f"{whole} point {digits} dollars"
+        return f"{whole} {unit}"
 
-    text = re.sub(r"\$(\d+)(?:\.(\d{2}))?", money, text)
+    text = re.sub(r"\$(\d+)(?:\.(\d+))?", money, text)
     # ordinals: 21st -> twenty first (ordinalize the last cardinal word)
     _ORD_IRREG = {"one": "first", "two": "second", "three": "third",
                   "five": "fifth", "eight": "eighth", "nine": "ninth",

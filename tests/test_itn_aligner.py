@@ -34,8 +34,10 @@ from funasr_tpu.models.monotonic_aligner.model import MonotonicAligner
     ("三点一四", "3.14"),  # decimal survives the time rules
     ("三块五", "3.5元"),
     ("十块三毛", "10.3元"),
+    ("三块五毛二", "3.52元"),
     ("第三十五", "第35"),
     ("第三", "第3"),
+    ("第三点五名", "第3.5名"),
     ("负三点五", "-3.5"),
 ])
 def test_itn_zh(spoken, written):
@@ -61,9 +63,23 @@ def test_itn_zh(spoken, written):
     ("twentieth century", "20th century"),
     ("first of all", "first of all"),  # lone small ordinal stays
     ("negative forty", "-40"),
+    # review regressions: connectors preserved, idiom hyphens kept,
+    # ordinal after a bridging 'and', decimal-head money
+    ("rock and roll", "rock and roll"),
+    ("a fifty-fifty chance", "a fifty-fifty chance"),
+    ("one-two punch", "one-two punch"),
+    ("forty-second street", "42nd street"),
+    ("two thousand and tenth", "2010th"),
+    ("three hundred and twentieth", "320th"),
+    ("two point five dollars and ten cents", "$2.5 and ten cents"),
 ])
 def test_itn_en(spoken, written):
     assert inverse_normalize(spoken, "en") == written
+
+
+def test_itn_connectors_preserved_other_langs():
+    assert inverse_normalize("perros y gatos", "es") == "perros y gatos"
+    assert inverse_normalize("pain et beurre", "fr") == "pain et beurre"
 
 
 def test_monotonic_aligner(rng):
@@ -190,6 +206,9 @@ def test_tn_en_cardinals():
     ("在12:25开会", "zh", "在十二点二十五分开会", True),
     ("8:00", "zh", "八点钟", True),
     ("9:05:30", "zh", "九点零五分三十秒", True),
+    ("9:00:30", "zh", "九点零分三十秒", True),
+    ("$1.01", "en", "one dollar and one cent", True),
+    ("$5.20", "en", "five dollars and twenty cents", True),
     ("the 21st time", "en", "the twenty first time", True),
     # lone small ordinals stay spoken on the ITN side by policy
     ("the 12th", "en", "the twelfth", False),
