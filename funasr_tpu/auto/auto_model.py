@@ -284,6 +284,10 @@ class AutoModel:
                 tok = _build_tokenizer(cfg)
             return WhisperEngine(module, tok,
                                  max_tokens=cfg.get("max_tokens", 64))
+        if name == "FsmnVADStreaming":
+            # standalone VAD as the main model (reference supports
+            # AutoModel(model="fsmn-vad").generate -> segment lists)
+            return self._build_vad(cfg)
         raise KeyError(f"no engine for model class {name!r}")
 
     def _build_vad(self, cfg: Dict):
@@ -344,9 +348,18 @@ class AutoModel:
                                          batch_size=batch_size,
                                          output_dir=output_dir, **kwargs)
         wavs, keys = self._prepare_inputs(input, fs, key)
+        if self.engine is None and self.vad_engine is not None:
+            # vad_model given without a main model: behave like standalone
+            # VAD (segment lists), instead of crashing on engine=None
+            results = self.vad_engine.transcribe(wavs)
+            for r, k in zip(results, keys):
+                r["key"] = k
+            if output_dir:
+                self._write_results(results, output_dir)
+            return results
         if self.vad_engine is not None and self.engine is not None:
             results = [
-                self._inference_with_vad(w, k, **kwargs)
+                self._inference_with_vad(w, k, fs=fs, **kwargs)
                 for w, k in zip(wavs, keys)
             ]
         else:

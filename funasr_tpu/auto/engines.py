@@ -36,6 +36,11 @@ class FrontendConfig:
         self.lfr_m = lfr_m
         self.lfr_n = lfr_n
         self.window = window
+        # dither is train-path state (bin/train.py featurize applies it
+        # with a step-seeded key, reference wav_frontend.py:131);
+        # device_features below is the SERVING extractor and stays
+        # deterministic (dither=0), matching the reference C++ runtime's
+        # kaldi-native-fbank inference configs.
         self.dither = dither
         # fused Pallas fbank kernel (TPU): same semantics, ~1.4x faster and
         # no materialized frame tensor; requires 16k/hamming/25ms/10ms
@@ -196,7 +201,13 @@ class SenseVoiceEngine(BatchedAsrEngine):
         return self._run(params, wav, lens, lid, tn)
 
     def transcribe(self, wavs, language="auto", use_itn=False,
-                   rich_text: bool = True) -> List[Dict[str, Any]]:
+                   rich_text: bool = True, with_timestamp: bool = False,
+                   vad_offsets=None, **kw) -> List[Dict[str, Any]]:
+        # with_timestamp/vad_offsets accepted for the long-audio (VAD)
+        # pipeline contract; SenseVoice emits no CIF timestamps, so they
+        # are no-ops here (the reference's optional CTC forced-align
+        # timestamps live in MonotonicAligner territory).
+        del with_timestamp, vad_offsets, kw
         from funasr_tpu.models.sense_voice.model import lid_id, textnorm_id
 
         if not len(wavs):
@@ -356,6 +367,15 @@ class VadEngine:
             jnp.asarray(wav[None, :]), lens
         )
         return self.model.segments_offline(feats, wav)
+
+    def transcribe(self, wavs: Sequence[np.ndarray], **kw
+                   ) -> List[Dict[str, Any]]:
+        """Standalone-VAD generate contract (reference
+        fsmn_vad_streaming/model.py:648 inference): ``value`` holds the
+        [[start_ms, end_ms], ...] segment list; ``text`` stays empty."""
+        del kw
+        return [{"text": "", "value": self.segments(np.asarray(w))}
+                for w in wavs]
 
 
 class SpkEngine:

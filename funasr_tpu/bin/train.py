@@ -80,10 +80,23 @@ def main(argv=None):
     mesh = make_mesh(model=args.model_parallel)
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
 
-    def featurize(batch):
+    # train-path dither (reference wav_frontend.py:131 applies
+    # frontend_conf.dither when extracting training features); eval path
+    # passes train=False for deterministic features
+    dither = float(getattr(frontend, "dither", 0.0) or 0.0)
+    _dither_step = [0]
+
+    def featurize(batch, train=True):
+        drng = None
+        if dither and train:
+            drng = jax.random.fold_in(jax.random.PRNGKey(
+                cfg.get("seed", 0) + 1), _dither_step[0])
+            _dither_step[0] += 1
         feats, flens = F.fbank(jnp.asarray(batch["speech"]),
                                jnp.asarray(batch["speech_lengths"]),
-                               num_mel_bins=frontend.n_mels, dither=0.0)
+                               num_mel_bins=frontend.n_mels,
+                               dither=dither if drng is not None else 0.0,
+                               rng=drng)
         if frontend.lfr_m != 1 or frontend.lfr_n != 1:
             feats, flens = F.apply_lfr(feats, flens, frontend.lfr_m, frontend.lfr_n)
         feats = F.apply_cmvn(feats, frontend.cmvn)
@@ -93,7 +106,8 @@ def main(argv=None):
 
     first = next(iter(sampler))
     b0 = featurize(ds.collate([ds[i] for i in first.indices],
-                              first.pad_source_len, first.pad_target_len))
+                              first.pad_source_len, first.pad_target_len),
+                   train=False)
     params = model.init({"params": rng, "dropout": rng, "sampler": rng},
                         b0["speech"], b0["speech_lengths"],
                         b0["text"], b0["text_lengths"])
@@ -158,7 +172,7 @@ def main(argv=None):
             for b in vsampler:
                 yield featurize(vds.collate(
                     [vds[i] for i in b.indices],
-                    b.pad_source_len, b.pad_target_len))
+                    b.pad_source_len, b.pad_target_len), train=False)
 
     state = trainer.run(state, build_iter, valid_iter)
     if ckpt.latest_step() is not None:

@@ -185,8 +185,6 @@ class VadStateMachine:
         s = self.state
         for t in range(s.latest_confirmed_speech + 1, end_frame):
             self._seg_append_frame(t)
-        if s.confirmed_start == -1 or fake:
-            pass
         if not fake and s.segments:
             self._seg_append_frame(end_frame)
             s.segments[-1].has_end = True
@@ -307,6 +305,12 @@ class VadStateMachine:
             t = first_new + j
             frame_state = self._frame_state(t)
             last = is_final and (j == n_new - 1)
+            # reference quirk kept for segment-boundary parity: on
+            # sub-decibel-threshold frames GetFrameState (model.py:500)
+            # runs DetectOneFrame itself and the caller runs it again, so
+            # such frames advance the sliding window twice
+            if s.decibels[t] < self.opts.decibel_thres:
+                self._detect_one_frame(frame_state, t, False)
             self._detect_one_frame(frame_state, t, last)
 
     def pop_segments(self, streaming: bool = True) -> List[List[int]]:

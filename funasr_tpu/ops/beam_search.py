@@ -177,6 +177,13 @@ def beam_search(
             sigma, r_new = ctc_prefix_step(
                 ctc_logp, r_state, last, cand, pe, blank_id
             )
+            # eos is "prefix complete", not a CTC symbol: its score is the
+            # full-utterance CTC probability of the prefix itself
+            # (reference scorers/ctc_prefix_score.py:169
+            # ``log_psi[:, eos] = r_sum[-1]``)
+            prefix_complete = _logaddexp(r_state[..., -1, 0],
+                                         r_state[..., -1, 1])  # (B, K)
+            sigma = jnp.where(cand == eos, prefix_complete[:, :, None], sigma)
             combined = (cand_fused
                         + ctc_weight * (sigma - sigma_g[:, :, None])
                         + length_bonus)
@@ -239,7 +246,25 @@ def beam_search(
 
     carry = (ys, scores, finished, lengths, r_state, sigma_g, hw_state)
     carry, _ = lax.scan(step_fn, carry, jnp.arange(maxlen))
-    ys, scores, finished, lengths, _, _, _ = carry
+    ys, scores, finished, lengths, r_state, sigma_g, _ = carry
+
+    # forced-eos finalization: hypotheses still running at maxlen must pay
+    # the eos term before ranking against finished ones (the reference
+    # appends eos to every running hyp in the final loop), otherwise an
+    # unfinished hyp that banked maxlen token logps outranks a correctly
+    # terminated one.
+    final_logp = decode_fn(ys.reshape(B * K, -1), jnp.asarray(maxlen))
+    final_eos = final_logp.reshape(B, K, V)[..., eos].astype(jnp.float32)
+    att_w_final = 1.0 - ctc_weight if use_ctc else 1.0
+    eos_term = att_w_final * final_eos + length_bonus
+    if lm_fn is not None and lm_weight != 0.0:
+        lm_eos = lm_fn(ys.reshape(B * K, -1), jnp.asarray(maxlen))
+        eos_term = eos_term + lm_weight * (
+            lm_eos.reshape(B, K, V)[..., eos].astype(jnp.float32))
+    if use_ctc:
+        prefix_complete = _logaddexp(r_state[..., -1, 0], r_state[..., -1, 1])
+        eos_term = eos_term + ctc_weight * (prefix_complete - sigma_g)
+    scores = jnp.where(finished, scores, scores + eos_term)
 
     order = jnp.argsort(-scores, axis=1)
     ys = jnp.take_along_axis(ys, order[:, :, None], axis=1)

@@ -104,6 +104,10 @@ class Vad {
     for (int j = 0; j < n; ++j) {
       int t = frm_cnt_++;
       int fs = frame_state(sil_probs[j], decibels[j]);
+      // reference quirk (GetFrameState, model.py:500): sub-threshold
+      // frames advance the window twice; mirrored by the Python machine
+      if (decibels[j] < o_.decibel_thres)
+        detect_one_frame(fs, t, false);
       detect_one_frame(fs, t, is_final && j == n - 1);
     }
   }

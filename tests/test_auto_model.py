@@ -204,3 +204,49 @@ def test_generate_data_parallel_matches_single(rng):
     got = am.generate(wavs, key=["a", "b", "c"])
     assert [r["key"] for r in got] == ["a", "b", "c"]
     assert [r["text"] for r in got] == [r["text"] for r in ref]
+
+
+def test_sensevoice_with_vad_pipeline(rng):
+    """SenseVoice + VAD long-audio pipeline must run (the engine accepts
+    the pipeline's with_timestamp/vad_offsets kwargs)."""
+    sv_cfg = dict(
+        model="SenseVoiceSmall",
+        vocab_size=len(VOCAB),
+        tokenizer_conf={"token_list": VOCAB},
+        frontend_conf=dict(n_mels=20, lfr_m=3, lfr_n=2),
+        input_size=60,
+        encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                          num_blocks=2, tp_blocks=1, kernel_size=5,
+                          dropout_rate=0.0),
+    )
+    am = AutoModel(model=sv_cfg, vad_model=VAD_CFG)
+    wav = np.concatenate([
+        np.zeros(8000, np.float32), _wav(rng, 2.0),
+        np.zeros(12000, np.float32),
+    ])
+    res = am.generate(wav, key=["sv_long"])
+    assert len(res) == 1 and res[0]["key"] == "sv_long"
+    assert "text" in res[0]
+
+
+def test_vad_as_main_model(rng):
+    """Standalone VAD: AutoModel(model=<vad cfg>) returns segment lists
+    (reference fsmn_vad_streaming inference contract)."""
+    am = AutoModel(model=VAD_CFG)
+    wav = np.concatenate([
+        np.zeros(8000, np.float32), _wav(rng, 2.0),
+        np.zeros(8000, np.float32),
+    ])
+    res = am.generate(wav, key=["v"])
+    assert res[0]["key"] == "v"
+    segs = res[0]["value"]
+    assert segs and all(len(s) == 2 for s in segs)
+
+
+def test_vad_model_without_main(rng):
+    """vad_model without a main model degrades to standalone VAD instead
+    of crashing on engine=None."""
+    am = AutoModel(vad_model=VAD_CFG)
+    wav = np.concatenate([np.zeros(8000, np.float32), _wav(rng, 1.5)])
+    res = am.generate(wav)
+    assert "value" in res[0]

@@ -76,27 +76,84 @@ def test_ctc_prefix_step_matches_oracle(rng):
 def test_attention_beam_matches_bruteforce(rng):
     """Prefix-independent decoder -> brute-force enumeration oracle."""
     V, maxlen, K, sos, eos = 5, 3, 4, 1, 2
+    # maxlen+1 rows: the final row scores the forced eos of hyps still
+    # running at maxlen (reference appends eos to running hyps at the end)
     table = np.asarray(jax.nn.log_softmax(
-        jnp.asarray(rng.standard_normal((maxlen, V)) * 1.5), -1))
+        jnp.asarray(rng.standard_normal((maxlen + 1, V)) * 1.5), -1))
 
     def decode_fn(ys, step):
         return jnp.broadcast_to(jnp.asarray(table)[step][None], (ys.shape[0], V))
 
     res = beam_search(decode_fn, 1, K, V, sos, eos, maxlen)
 
-    # brute force over all sequences with eos termination
+    # brute force over all sequences with eos termination; non-terminated
+    # sequences pay the forced final eos
     def score_seq(seq):
         s = 0.0
         for i, t in enumerate(seq):
             s += table[i, t]
             if t == eos:
                 return s
-        return s
+        return s + table[maxlen, eos]
 
     best = max(
         (score_seq(seq) for seq in itertools.product(range(V), repeat=maxlen)),
     )
     np.testing.assert_allclose(float(res.scores[0, 0]), best, atol=1e-4)
+
+
+def test_beam_forced_eos_ranks_finished_hyps_fairly(rng):
+    """An endless high-logp continuation must not outrank a correctly
+    terminated hypothesis just by skipping the eos cost."""
+    V, maxlen, K, sos, eos = 4, 3, 2, 1, 2
+    # log P(token 3) = -0.4 each step, log P(eos) = -0.5: terminating
+    # immediately (-0.5) beats running to maxlen (3*-0.4 + -0.5 = -1.7);
+    # without forced-eos the runner scores -1.2 and... still loses here,
+    # so sharpen: token 3 at -0.1 -> runner unfinished = -0.3 would win,
+    # but with the forced eos it totals -0.8 and loses to -0.5.
+    # raw values used as log-probs directly (decode_fn need not be
+    # normalized for the ranking semantics under test)
+    table = np.full((V,), -20.0)
+    table[3] = -0.1
+    table[eos] = -0.5
+
+    def decode_fn(ys, step):
+        return jnp.broadcast_to(jnp.asarray(table)[None], (ys.shape[0], V))
+
+    res = beam_search(decode_fn, 1, K, V, sos, eos, maxlen)
+    assert int(res.lengths[0, 0]) == 0  # the terminated hyp wins
+    np.testing.assert_allclose(float(res.scores[0, 0]), -0.5, atol=1e-5)
+
+
+def test_beam_ctc_eos_is_prefix_complete(rng):
+    """CTC term for eos must be the prefix-complete probability
+    (ctc_prefix_score.py:169), not the CTC emission score of the eos
+    symbol — otherwise hypotheses never terminate under CTC fusion."""
+    from funasr_tpu.ops.beam_search import mask_ctc_frames
+
+    V, T, maxlen, K, sos, eos, blank = 5, 6, 4, 2, 1, 2, 0
+    tok = 3
+    # CTC strongly emits token 3 once, then blanks: the true transcript
+    # is [3], so after emitting 3 the best move is eos.
+    ctc = np.full((1, T, V), -12.0)
+    ctc[0, :, blank] = -0.05
+    ctc[0, 1, :] = -12.0
+    ctc[0, 1, tok] = -0.05
+    ctc_logp = mask_ctc_frames(jnp.asarray(jax.nn.log_softmax(
+        jnp.asarray(ctc), -1)), jnp.asarray([T]))
+
+    # attention mildly prefers continuing with token 3 forever
+    att = np.full((V,), -8.0)
+    att[tok] = -0.6
+    att[eos] = -0.9
+
+    def decode_fn(ys, step):
+        return jnp.broadcast_to(jnp.asarray(att)[None], (ys.shape[0], V))
+
+    res = beam_search(decode_fn, 1, K, V, sos, eos, maxlen,
+                      ctc_logp=ctc_logp, ctc_weight=0.5)
+    assert int(res.lengths[0, 0]) == 1
+    assert int(res.tokens[0, 0, 0]) == tok
 
 
 def test_beam_finished_hyps_freeze(rng):

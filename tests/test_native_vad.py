@@ -66,3 +66,23 @@ def test_native_single_utterance_mode():
     py.feed(sil, db, is_final=True)
     cc.feed(sil, db, is_final=True)
     assert cc.pop_segments(False) == py.pop_segments(False)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_native_matches_python_raised_decibel_thres(seed):
+    """Sub-decibel-threshold frames advance the sliding window twice
+    (reference GetFrameState quirk, model.py:500) — native and Python must
+    agree when decibel_thres actually bites."""
+    rng = np.random.default_rng(seed)
+    n = 2000
+    sil, db = _signals(rng, n)
+    opts = VADXOptions(decibel_thres=-40.0)  # quiet frames fall below
+
+    py = VadStateMachine(opts)
+    cc = native_vad.NativeVadStateMachine(opts)
+    py.feed(sil, db, is_final=True)
+    cc.feed(sil, db, is_final=True)
+    got_py = py.pop_segments(streaming=False)
+    got_cc = cc.pop_segments(streaming=False)
+    assert got_cc == got_py
+    assert got_py  # bursts at -20 dB still detected
