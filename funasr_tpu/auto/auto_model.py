@@ -347,7 +347,18 @@ class AutoModel:
                     return self.generate(input, fs=fs, key=key,
                                          batch_size=batch_size,
                                          output_dir=output_dir, **kwargs)
-        wavs, keys = self._prepare_inputs(input, fs, key)
+        # fs describes RAW inputs (ndarray / pcm bytes), reference
+        # load_utils.py:48 audio_fs semantics; every waveform is resampled
+        # to the frontend's rate, which is what all downstream frame math
+        # (25ms/10ms windows, VAD ms timeline) assumes.
+        target_fs = 16000
+        for eng in (self.engine, self.vad_engine):
+            fe = getattr(eng, "frontend", None)
+            if fe is not None:
+                target_fs = fe.fs
+                break
+        wavs, keys = self._prepare_inputs(input, target_fs, key, audio_fs=fs)
+        fs = target_fs
         if self.engine is None and self.vad_engine is not None:
             # vad_model given without a main model: behave like standalone
             # VAD (segment lists), instead of crashing on engine=None
@@ -420,7 +431,7 @@ class AutoModel:
                 ibest["timestamp"][k] = str(r["timestamp"])
         writer.close()
 
-    def _prepare_inputs(self, input, fs, key):
+    def _prepare_inputs(self, input, fs, key, audio_fs=None):
         items = input if isinstance(input, (list, tuple)) else [input]
         # expand list files / URLs (reference load_utils.py:48
         # load_audio_text_image_video: wav/pcm/bytes/url/scp/jsonl)
@@ -469,7 +480,8 @@ class AutoModel:
                 if isinstance(x, str) else f"rand_key_{i}")
             expanded.append(x)
         try:
-            wavs = [load_audio(x, fs=fs) for x in expanded]
+            wavs = [load_audio(x, fs=fs, audio_fs=audio_fs)
+                    for x in expanded]
         finally:
             for t in tmp_files:   # downloaded URLs: no temp-file leak
                 try:

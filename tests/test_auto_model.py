@@ -250,3 +250,18 @@ def test_vad_model_without_main(rng):
     wav = np.concatenate([np.zeros(8000, np.float32), _wav(rng, 1.5)])
     res = am.generate(wav)
     assert "value" in res[0]
+
+
+def test_generate_fs_is_input_rate(rng):
+    """generate(fs=8000) treats raw arrays as 8 kHz input and resamples to
+    the frontend's 16 kHz (reference load_utils audio_fs semantics) — NOT
+    the other way around."""
+    t16 = np.arange(32000) / 16000.0
+    wav16 = (0.3 * np.sin(2 * np.pi * 220 * t16)).astype(np.float32)
+    wav8 = wav16[::2]  # the same 2 s signal sampled at 8 kHz
+    am = AutoModel(model=ASR_CFG, seed=0)
+    n16 = len(am.generate([wav16], key=["a"])[0]["text"])
+    n8 = len(am.generate([wav8], fs=8000, key=["a"])[0]["text"])
+    n8_untagged = len(am.generate([wav8], key=["a"])[0]["text"])
+    assert abs(n8 - n16) <= 2        # resampled: same duration, same tokens
+    assert n8_untagged <= 0.7 * n16  # untagged 8 k reads as 1 s of 16 k
