@@ -48,7 +48,8 @@ def main():
         def body(i, carry):
             st, acc = carry
             w = window + i.astype(jnp.float32) * 1e-8
-            toks, n, st = sm._step(p, w, st, jnp.zeros(()))
+            toks, n, st = sm._step(p, w, st, jnp.zeros(()),
+                       jnp.asarray(sm.window, jnp.int32))
             return st, acc + jnp.sum(toks) + jnp.sum(n)
         _, acc = jax.lax.fori_loop(0, k, body, (state, jnp.zeros((), jnp.int32)))
         return acc

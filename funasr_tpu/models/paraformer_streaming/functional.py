@@ -14,9 +14,12 @@ online CIF, sanm/attention.py:499 decoder FSMN cache):
 - attention attends over [KV cache (look_back*c frames), window], the
   window's trailing ``r`` frames stay out of the cache (they recur next
   chunk),
-- CIF fires only inside the window's first l+c frames; the trailing r
-  frames are next chunk's lookahead; integrate/frame state carries over,
-- decoder FSMN memory carries a (kernel-1)-frame tail across chunks.
+- CIF fires inside window frames [l, l+c): the lookback is masked, the
+  trailing r frames are next chunk's lookahead (kept on the final chunk,
+  plus a zero-hidden tail pseudo-frame); integrate/frame state carries,
+- decoder FSMN memory carries the token stream's (kernel-1)-entry tail
+  across chunks with the reference's exact symmetric-first/causal-later
+  alignment (see fsmn_stream).
 
 Everything here is shape-static and jit-compiled once per (chunk_size,
 batch) configuration.
@@ -29,10 +32,8 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
-from funasr_tpu.ops.posenc import sinusoidal_encoding
 
 
 # ------------------------------------------------------------ param helpers
@@ -66,12 +67,16 @@ class EncChunkState(NamedTuple):
     kv_valid: jnp.ndarray  # () int32 valid cache frames (same all layers)
 
 
-def _enc_layer_chunk(lp, x, kv_cache, kv_valid, *, n_head, kernel_size,
-                     first: bool, keep: int):
+def _enc_layer_chunk(lp, x, kv_cache, kv_valid, win_valid, *, n_head,
+                     kernel_size, first: bool, keep: int):
     """One SANM layer on a window with attention KV cache.
 
     lp: this layer's param subtree; x: (B, W, D_in); kv_cache: (B, C, 2D).
-    keep: number of leading window frames to push into the cache.
+    keep: number of leading window frames to push into the cache
+    (reference attention.py:330 caches window[:-r] = l+c frames).
+    win_valid: () int32 — window frames beyond this are final-chunk padding
+    (the reference's final window is dynamically shorter; here the pad
+    frames are masked out of attention instead).
     Returns (y (B,W,D), new_kv_cache).
     """
     B, W, _ = x.shape
@@ -83,11 +88,16 @@ def _enc_layer_chunk(lp, x, kv_cache, kv_valid, *, n_head, kernel_size,
     q, k, v = jnp.split(qkv, 3, axis=-1)
     d_k = D // n_head
 
-    # FSMN memory over the window only (reference passes mask=None)
+    # FSMN memory over the window only (reference passes mask=None); pad
+    # frames beyond win_valid are zeroed so they cannot leak into the conv
+    # tails of real frames
+    wpos = lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    wvalid = (wpos < win_valid).astype(v.dtype)
+    v = v * wvalid
     left = (kernel_size - 1) // 2
     mem = depthwise_conv(v, ap["fsmn_block"], left, kernel_size - 1 - left) + v
 
-    kv_new = jnp.concatenate([k, v], axis=-1)  # (B, W, 2D)
+    kv_new = jnp.concatenate([k * wvalid, v], axis=-1)  # (B, W, 2D)
     full_kv = jnp.concatenate([kv_cache, kv_new], axis=1)  # (B, C+W, 2D)
     kf, vf = jnp.split(full_kv, 2, axis=-1)
 
@@ -96,7 +106,8 @@ def _enc_layer_chunk(lp, x, kv_cache, kv_valid, *, n_head, kernel_size,
     v_h = vf.reshape(B, C + W, n_head, d_k)
     scores = jnp.einsum("bwhd,bshd->bhws", q_h, k_h).astype(jnp.float32)
     pos = lax.broadcasted_iota(jnp.int32, (1, 1, 1, C + W), 3)
-    valid = pos >= (C - kv_valid)  # first C-valid cache slots are empty
+    valid = ((pos >= (C - kv_valid))  # first C-valid cache slots are empty
+             & (pos < C + win_valid))  # final-chunk pad frames
     scores = jnp.where(valid, scores, jnp.finfo(jnp.float32).min)
     attn = jax.nn.softmax(scores, axis=-1).astype(v_h.dtype)
     ctx = jnp.einsum("bhws,bshd->bwhd", attn, v_h).reshape(B, W, D)
@@ -113,19 +124,36 @@ def _enc_layer_chunk(lp, x, kv_cache, kv_valid, *, n_head, kernel_size,
     return y, new_cache
 
 
+def _streaming_pe(positions, depth):
+    """Reference SinusoidalPositionEncoderOnline.encode (embedding.py:423):
+    PE(p) = [sin(p * inv_ts), cos(p * inv_ts)], computed analytically so
+    long-running streams never clip/freeze.  positions: (W,) float."""
+    log_inc = jnp.log(10000.0) / (depth / 2 - 1)
+    inv_ts = jnp.exp(jnp.arange(depth // 2, dtype=jnp.float32) * -log_inc)
+    scaled = positions[:, None] * inv_ts[None, :]
+    return jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=-1)
+
+
 def encoder_chunk(enc_params, window, state: EncChunkState, start_idx,
-                  *, n_head: int, kernel_size: int, d_model: int, keep: int):
-    """window: (B, W, D_in) feature window -> (enc_out (B,W,d_model), state')."""
+                  win_valid, *, n_head: int, kernel_size: int, d_model: int,
+                  keep: int, overlap: int):
+    """window: (B, W, D_in) = [overlap cached frames | c new frames] ->
+    (enc_out (B,W,d_model), state').
+
+    Positional encoding follows the reference exactly (scama/encoder.py:468
+    + embedding.py:438): each frame keeps the PE of its ABSOLUTE position —
+    new frames get positions start_idx+1.., cached frames keep the PE they
+    received when they were new, and the initial zero-fill frames (absolute
+    position < 0) get none, matching the reference's un-embedded zero
+    ``feats`` cache."""
     B, W, D_in = window.shape
     x = window.astype(jnp.float32) * (d_model ** 0.5)
-    # streaming position encoding: absolute positions from start_idx + 1
-    max_pos = 4096
-    pe = sinusoidal_encoding(max_pos, D_in)
-    pos = start_idx + jnp.arange(W)
-    x = x + pe[jnp.clip(pos, 0, max_pos - 1)]
+    abs_idx = start_idx - overlap + jnp.arange(W)  # absolute frame index
+    pe = _streaming_pe((abs_idx + 1).astype(jnp.float32), D_in)
+    x = x + pe[None] * (abs_idx >= 0)[None, :, None]
 
     x, c0 = _enc_layer_chunk(
-        enc_params["encoders0"], x, state.kv[0], state.kv_valid,
+        enc_params["encoders0"], x, state.kv[0], state.kv_valid, win_valid,
         n_head=n_head, kernel_size=kernel_size, first=True, keep=keep,
     )
 
@@ -133,7 +161,7 @@ def encoder_chunk(enc_params, window, state: EncChunkState, start_idx,
         xx = carry
         lp, cache = layer
         y, nc = _enc_layer_chunk(
-            lp, xx, cache, state.kv_valid,
+            lp, xx, cache, state.kv_valid, win_valid,
             n_head=n_head, kernel_size=kernel_size, first=False, keep=keep,
         )
         return y, nc
@@ -214,12 +242,66 @@ def init_cif_state(batch: int, d_model: int):
 class DecChunkState(NamedTuple):
     fsmn: jnp.ndarray  # (L, B, kernel-1, D) conv-input tails
     fsmn3: jnp.ndarray  # (B, kernel-1, D) placeholder (decoders3 has no fsmn)
-    started: jnp.ndarray  # () bool: first chunk pads left like offline
+    started: jnp.ndarray  # (B,) bool: this row's FSMN stream has begun
+
+
+def fsmn_stream(h2, n_tokens, fsmn_kernel, fsmn_cache, started, *,
+                kernel_size: int):
+    """Streaming decoder FSMN memory over a padded token grid.
+
+    h2: (B, U, D) pre-masked token hiddens (rows >= n_tokens zero);
+    fsmn_cache: (B, K-1, D) stream tail; started: (B,) bool.
+    Returns (mem (B,U,D) = conv + h2, new_cache).
+
+    Matches the reference exactly (sanm/attention.py:499-537): the first
+    fired chunk is convolved with symmetric padding (like offline) and its
+    right zero-pad enters the stream; later chunks are causal over
+    [cache, tokens]; the cache only advances on chunks that fired.
+    """
+    B, U, D = h2.shape
+    K = kernel_size
+    left = (K - 1) // 2
+    right = K - 1 - left
+    ctx = jnp.concatenate(
+        [fsmn_cache.astype(h2.dtype), h2,
+         jnp.zeros((B, right, D), h2.dtype)], axis=1
+    )  # (B, K-1+U+right, D)
+    out = depthwise_conv(ctx, fsmn_kernel, 0, 0)
+    # out[j] covers ctx[j : j+K]; token t sits at ctx index K-1+t:
+    # causal -> window ends at the token (j = t); symmetric first
+    # chunk -> token centered (j = t + right)
+    st = started[:, None, None]
+    mem = jnp.where(st, out[:, :U], out[:, right:right + U]) + h2
+    # stream cache: last K-1 entries ending at the last valid token,
+    # plus the one-time right-pad gap after the first fired chunk
+    gap = jnp.where(started, 0, right)  # (B,)
+    idx = (n_tokens + gap)[:, None] + jnp.arange(K - 1)[None, :]
+    cand = jnp.take_along_axis(ctx, idx[:, :, None], axis=1)
+    fired = (n_tokens > 0)[:, None, None]
+    new_cache = jnp.where(fired, cand, fsmn_cache.astype(h2.dtype))
+    return mem, new_cache
 
 
 def _dec_layer_chunk(lp, x, tgt_mask, memory, memory_mask, fsmn_cache,
-                     started, *, n_head, kernel_size, has_self=True,
-                     has_src=True):
+                     started, n_tokens, *, n_head, kernel_size,
+                     has_self=True, has_src=True):
+    """Reference decoder-FSMN streaming semantics
+    (sanm/attention.py:499-537 MultiHeadedAttentionSANMDecoder.forward):
+
+    - FIRST call (cache=None): symmetric padding ((k-1)//2, k-1-left) —
+      identical to the offline decoder — and the cache keeps the padded
+      sequence, so the one-time right zero-pad enters the token stream
+      between the first and second chunk.
+    - LATER calls: causal conv over [cache tail, new tokens].
+    - The cache only advances on chunks that fired tokens (the reference
+      skips the decoder entirely when pre_token_length < 1,
+      paraformer_streaming/model.py:499).
+
+    Static-shape port: token grids are padded to U with n_tokens valid
+    (pad rows zeroed by tgt_mask); both alignments come from one unpadded
+    conv over [cache (k-1), grid (U), zeros (right)], and the new cache is
+    gathered at the last valid token (+right gap on the first chunk).
+    """
     res = x
     h = layer_norm(lp["norm1"], x)
     ffp = lp["feed_forward"]
@@ -232,15 +314,12 @@ def _dec_layer_chunk(lp, x, tgt_mask, memory, memory_mask, fsmn_cache,
     if has_self:
         h2 = layer_norm(lp["norm2"], h)
         if tgt_mask is not None:
-            h2 = h2 * tgt_mask
-        # conv over [cached tail, h2] with kernel-1 history; first chunk's
-        # cache is zeros == reference left zero-padding
-        ctx = jnp.concatenate([fsmn_cache, h2], axis=1)
-        mem = depthwise_conv(ctx, lp["self_attn"]["fsmn_block"], 0, 0)
-        mem = mem + h2
+            h2 = h2 * tgt_mask  # pad rows must stay zero (stream gathers)
+        mem, new_cache = fsmn_stream(
+            h2, n_tokens, lp["self_attn"]["fsmn_block"], fsmn_cache, started,
+            kernel_size=kernel_size)
         if tgt_mask is not None:
             mem = mem * tgt_mask
-        new_cache = ctx[:, -fsmn_cache.shape[1]:]
         y = res + mem
     if has_src:
         res = y
@@ -265,20 +344,25 @@ def _dec_layer_chunk(lp, x, tgt_mask, memory, memory_mask, fsmn_cache,
 
 
 def decoder_chunk(dec_params, embeds, n_tokens, memory, state: DecChunkState,
-                  *, n_head: int, kernel_size: int):
+                  *, n_head: int, kernel_size: int, memory_valid=None):
     """embeds: (B, U, D) CIF tokens (padded); memory: (B, W, D) chunk encoder
-    out.  Returns (log_probs (B,U,V), state')."""
+    out; memory_valid: () int32 — memory frames beyond it are final-chunk
+    padding, masked out of cross-attention.  Returns (log_probs, state')."""
     B, U, D = embeds.shape
     tgt_mask = (lax.broadcasted_iota(jnp.int32, (1, U), 1)
                 < n_tokens[:, None]).astype(embeds.dtype)[:, :, None]
+    memory_mask = None
+    if memory_valid is not None:
+        memory_mask = (lax.broadcasted_iota(jnp.int32, (1, memory.shape[1]), 1)
+                       < memory_valid).astype(jnp.int32)
     x = embeds
 
     def body(carry, layer):
         xx = carry
         lp, cache = layer
         y, nc = _dec_layer_chunk(
-            lp, xx, tgt_mask, memory, None, cache, state.started,
-            n_head=n_head, kernel_size=kernel_size,
+            lp, xx, tgt_mask, memory, memory_mask, cache, state.started,
+            n_tokens, n_head=n_head, kernel_size=kernel_size,
         )
         return y, nc
 
@@ -292,13 +376,15 @@ def decoder_chunk(dec_params, embeds, n_tokens, memory, state: DecChunkState,
     x = layer_norm(dec_params["after_norm"], x)
     logits = dense(dec_params["output_layer"], x)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-    return log_probs, DecChunkState(new_fsmn, state.fsmn3,
-                                    jnp.ones((), jnp.bool_))
+    # the stream starts once a chunk fires (reference keeps cache=None —
+    # offline-style symmetric pad — until the first decoded chunk)
+    new_started = state.started | (n_tokens > 0)
+    return log_probs, DecChunkState(new_fsmn, state.fsmn3, new_started)
 
 
 def init_dec_state(n_layers: int, batch: int, kernel_size: int, d_model: int):
     return DecChunkState(
         fsmn=jnp.zeros((n_layers, batch, kernel_size - 1, d_model), jnp.float32),
         fsmn3=jnp.zeros((batch, kernel_size - 1, d_model), jnp.float32),
-        started=jnp.zeros((), jnp.bool_),
+        started=jnp.zeros((batch,), jnp.bool_),
     )

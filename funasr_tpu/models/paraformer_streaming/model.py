@@ -81,30 +81,44 @@ class ParaformerStreaming:
 
         l, c, r = self.chunk_size
         self.window = l + r + c
-        self.fire_region = l + c
-        self.max_tokens = c + 2  # carry + <=c fires + tail
+        # window layout = [l+r cached | c new]: the reference
+        # (cif_predictor.py:277) zeroes the lookback [0, l) always and the
+        # lookahead [l+c, W) on non-final chunks -> fire region [l, l+c)
+        self.max_tokens = c + r + 3  # carry + <=c+r final fires + tail
         self.kv_cache_len = max(self.look_back, 1) * c
 
         @jax.jit
-        def _step(params, window, state: StreamDeviceState, final_alpha):
+        def _step(params, window, state: StreamDeviceState, final_alpha,
+                  win_valid):
             enc_out, enc_state = SF.encoder_chunk(
                 params["encoder"], window, state.enc, state.start_idx,
-                n_head=self.n_head, kernel_size=self.enc_kernel,
-                d_model=self.d_model, keep=c,
+                win_valid, n_head=self.n_head, kernel_size=self.enc_kernel,
+                d_model=self.d_model, keep=l + c, overlap=l + r,
             )
             alphas = SF.predictor_alphas(params["predictor"], enc_out)
-            # fire only in the first l+c window frames; on the final chunk the
-            # tail threshold fires the trailing partial token
+            is_final = final_alpha > 0
             pos = jnp.arange(self.window)[None, :]
-            alphas = jnp.where(pos < self.fire_region, alphas, 0.0)
-            alphas = alphas + final_alpha * (pos == self.fire_region)
+            # lookback always masked; lookahead masked unless final
+            # (reference keeps the trailing alphas on the last chunk);
+            # final-chunk pad frames never fire
+            fire_ok = ((pos >= l) & (pos < win_valid)
+                       & (is_final | (pos < l + c)))
+            alphas = jnp.where(fire_ok, alphas, 0.0)
+            # final tail pseudo-frame: ZERO hidden, alpha = tail_threshold
+            # (reference cif_predictor.py:285-289)
+            B = enc_out.shape[0]
+            hidden_ext = jnp.concatenate(
+                [enc_out, jnp.zeros_like(enc_out[:, :1])], axis=1)
+            alphas_ext = jnp.concatenate(
+                [alphas, jnp.broadcast_to(final_alpha, (B, 1))], axis=1)
             embeds, n_tok, cif_state = SF.cif_chunk(
-                enc_out, alphas, state.cif, self.max_tokens
+                hidden_ext, alphas_ext, state.cif, self.max_tokens
             )
             log_probs, dec_state = SF.decoder_chunk(
                 params["decoder"], embeds.astype(enc_out.dtype), n_tok,
                 enc_out, state.dec,
                 n_head=self.n_head, kernel_size=self.dec_kernel,
+                memory_valid=win_valid,
             )
             tokens = jnp.argmax(log_probs, axis=-1)
             new_state = StreamDeviceState(
@@ -148,26 +162,34 @@ class ParaformerStreaming:
             chunk, cache.pending = cache.pending[:c], cache.pending[c:]
             new_tokens += self._run_window(cache, chunk, final=False)
         if is_final and len(cache.pending) > 0:
-            # pad the tail chunk with zeros to the fixed width
-            pad = np.zeros((c - len(cache.pending), self.input_size), np.float32)
+            # pad the tail chunk with zeros to the fixed width; the pad
+            # frames are masked out via win_valid (the reference's final
+            # window is dynamically shorter instead)
+            n_real = len(cache.pending)
+            pad = np.zeros((c - n_real, self.input_size), np.float32)
             chunk = np.concatenate([cache.pending, pad], axis=0)
             cache.pending = cache.pending[:0]
-            new_tokens += self._run_window(cache, chunk, final=True)
+            new_tokens += self._run_window(cache, chunk, final=True,
+                                           n_real=n_real)
         elif is_final:
             # still flush the lookahead region with an empty final chunk
+            # (reference tail_chunk: the window is just the cached overlap)
             chunk = np.zeros((c, self.input_size), np.float32)
-            new_tokens += self._run_window(cache, chunk, final=True)
+            new_tokens += self._run_window(cache, chunk, final=True,
+                                           n_real=0)
         cache.tokens += new_tokens
         return new_tokens
 
-    def _run_window(self, cache: StreamCache, chunk: np.ndarray, final: bool
-                    ) -> List[int]:
+    def _run_window(self, cache: StreamCache, chunk: np.ndarray, final: bool,
+                    n_real: Optional[int] = None) -> List[int]:
         l, c, r = self.chunk_size
         window = np.concatenate([cache.feats_cache, chunk], axis=0)
         cache.feats_cache = window[-(l + r):] if (l + r) else window[:0]
+        win_valid = l + r + (c if n_real is None else n_real)
         tokens, n_tok, cache.device = self._step(
             self.params, jnp.asarray(window[None]), cache.device,
             jnp.asarray(self.tail_threshold if final else 0.0, jnp.float32),
+            jnp.asarray(win_valid, jnp.int32),
         )
         n = int(n_tok[0])
         return [t for t in np.asarray(tokens[0, :n]).tolist()

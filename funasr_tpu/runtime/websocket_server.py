@@ -47,8 +47,16 @@ class WsSession:
         self.wav_name = msg.get("wav_name", self.wav_name)
         self.audio_fs = int(msg.get("audio_fs", self.audio_fs))
         self.itn = bool(msg.get("itn", self.itn))
-        if self.mode in ("online", "2pass") and self.server.streaming_model:
-            self.stream_cache = self.server.streaming_model.init_cache()
+        if self.mode in ("online", "2pass"):
+            if self.server.streaming_model:
+                self.stream_cache = self.server.streaming_model.init_cache()
+            else:
+                # no streaming model loaded: degrade to offline-at-end so
+                # protocol-conformant clients still get a final result
+                log.warning("mode %r requested but no streaming model is "
+                            "loaded; falling back to offline decoding at "
+                            "utterance end", self.mode)
+                self.mode = "offline"
 
 
 class AsrWebSocketServer:
@@ -104,7 +112,10 @@ class AsrWebSocketServer:
     # ------------------------------------------- transport-agnostic protocol
     def on_binary(self, sess: WsSession, payload: bytes) -> list:
         """One binary PCM frame -> JSON response strings to send."""
-        sess.buffer.extend(payload)
+        if sess.mode != "online":
+            # the PCM buffer feeds the offline pass only; pure online
+            # streams would otherwise grow it without bound (~115 MB/h)
+            sess.buffer.extend(payload)
         out = []
         if sess.mode in ("online", "2pass") and sess.stream_cache is not None:
             text = self._decode_online_chunk(sess, bytes(payload), False)
@@ -128,7 +139,9 @@ class AsrWebSocketServer:
             # utterance end: flush online, run offline pass
             if sess.mode in ("online", "2pass") and sess.stream_cache is not None:
                 text = self._decode_online_chunk(sess, b"", True)
-                if text:
+                # pure online: the is_final message must go out even with
+                # empty text, else protocol clients wait forever
+                if text or sess.mode == "online":
                     out.append(json.dumps({
                         "mode": "2pass-online" if sess.mode == "2pass"
                                 else "online",
@@ -183,6 +196,42 @@ class AsrWebSocketServer:
         asyncio.run(self.serve())
 
 
+def build_streaming_model(cfg: Dict[str, Any]):
+    """ParaformerStreaming from a reference-shaped config.yaml (model:
+    ParaformerStreaming + encoder/decoder confs + init_param weights)."""
+    from funasr_tpu.auto.auto_model import _load_params
+    from funasr_tpu.frontends.streaming import StreamingFrontend
+    from funasr_tpu.models.paraformer_streaming.model import (
+        ParaformerStreaming,
+    )
+    from funasr_tpu.ops.fbank import load_cmvn_file
+
+    enc = cfg.get("encoder_conf") or {}
+    dec = cfg.get("decoder_conf") or {}
+    params = _load_params(cfg)
+    if params is None:
+        raise ValueError(
+            "streaming model config needs init_param (converted weights)")
+    fe_conf = dict(cfg.get("frontend_conf") or {})
+    cmvn_file = fe_conf.pop("cmvn_file", None) or cfg.get("cmvn_file")
+    cmvn = load_cmvn_file(cmvn_file) if cmvn_file else None
+    fe = StreamingFrontend(cmvn=cmvn, **fe_conf)
+    return ParaformerStreaming(
+        params,
+        input_size=cfg.get("input_size",
+                           fe.n_mels * fe.lfr_m),
+        d_model=enc.get("output_size", 512),
+        n_head=enc.get("attention_heads", 4),
+        enc_kernel=enc.get("kernel_size", 11),
+        dec_kernel=dec.get("kernel_size", 11),
+        n_enc_layers=enc.get("num_blocks", 50),
+        n_dec_layers=dec.get("num_blocks", 16),
+        chunk_size=tuple(cfg.get("chunk_size", (0, 10, 5))),
+        encoder_chunk_look_back=cfg.get("encoder_chunk_look_back", 4),
+        frontend=fe,
+    )
+
+
 def main(argv=None):  # CLI: funasr-tpu-server
     import argparse
 
@@ -193,6 +242,9 @@ def main(argv=None):  # CLI: funasr-tpu-server
     ap.add_argument("--model", required=True)
     ap.add_argument("--vad-model", default=None)
     ap.add_argument("--punc-model", default=None)
+    ap.add_argument("--streaming-model", default=None,
+                    help="ParaformerStreaming config.yaml for online/2pass "
+                         "modes (online falls back to offline without it)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=10095)
     args = ap.parse_args(argv)
@@ -203,7 +255,10 @@ def main(argv=None):  # CLI: funasr-tpu-server
         vad_model=load_config(args.vad_model) if args.vad_model else None,
         punc_model=load_config(args.punc_model) if args.punc_model else None,
     )
-    AsrWebSocketServer(am, host=args.host, port=args.port).run()
+    streaming = (build_streaming_model(load_config(args.streaming_model))
+                 if args.streaming_model else None)
+    AsrWebSocketServer(am, streaming_model=streaming,
+                       host=args.host, port=args.port).run()
 
 
 if __name__ == "__main__":

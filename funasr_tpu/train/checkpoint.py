@@ -53,8 +53,12 @@ class CheckpointManager:
         payload = {"state": state}
         if extra is not None:
             payload["extra"] = extra
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
-        self._mgr.wait_until_finished()
+        # idempotent on an existing step: an interval save at the epoch's
+        # last step is followed by the epoch-boundary save of the same step
+        # (orbax raises StepAlreadyExists otherwise)
+        if step not in self._mgr.all_steps():
+            self._mgr.save(step, args=ocp.args.StandardSave(payload))
+            self._mgr.wait_until_finished()
         if val_metric is not None:
             self._scores[str(step)] = float(val_metric)
             self._prune()
@@ -62,17 +66,23 @@ class CheckpointManager:
                 json.dump(self._scores, f)
 
     def _prune(self):
-        if len(self._scores) <= self.keep_nbest:
-            return
+        """Keep the n best scored checkpoints plus, always, the LATEST step
+        (the resume point — the reference keeps model.pt separate from the
+        n-best set, trainer.py:138-330); unscored older steps are deleted
+        too so disk use stays bounded."""
         ranked = sorted(
             self._scores.items(), key=lambda kv: kv[1],
             reverse=self.higher_better,
         )
-        for step_s, _ in ranked[self.keep_nbest:]:
-            step = int(step_s)
-            if step in self._mgr.all_steps():
+        keep = {int(s) for s, _ in ranked[: self.keep_nbest]}
+        latest = self._mgr.latest_step()
+        if latest is not None:
+            keep.add(latest)
+        for step in list(self._mgr.all_steps()):
+            if step not in keep:
                 self._mgr.delete(step)
-            self._scores.pop(step_s, None)
+                # latest may be unscored; scores entries for deleted steps go
+                self._scores.pop(str(step), None)
 
     # ------------------------------------------------------------ restore
     def latest_step(self) -> Optional[int]:

@@ -117,3 +117,132 @@ def test_streaming_emits_from_trained_region(tiny_params):
                                  is_final=(i == 4))
         total += toks
     assert cache.tokens == total
+
+
+def test_decoder_fsmn_stream_matches_reference_torch(rng):
+    """fsmn_stream == reference MultiHeadedAttentionSANMDecoder.forward with
+    a carried cache (sanm/attention.py:499): symmetric first chunk, causal
+    later chunks, the one-time right-pad gap, and no advance on empty
+    chunks."""
+    import sys
+    sys.path.insert(0, "tests")
+    import torch
+    from reference_torch import load_reference
+
+    att_mod = load_reference("funasr.models.sanm.attention")
+    K, D, U = 5, 8, 6
+    ref = att_mod.MultiHeadedAttentionSANMDecoder(D, 0.0, K).eval()
+    kernel_t = torch.asarray(
+        rng.standard_normal((D, 1, K)).astype(np.float32))
+    with torch.no_grad():
+        ref.fsmn_block.weight.copy_(kernel_t)
+    # jax kernel layout (K, 1, D)
+    kernel_j = jnp.asarray(np.transpose(np.asarray(kernel_t), (2, 1, 0)))
+
+    chunks = [3, 0, 2, 4]  # token counts per chunk (incl. an empty chunk)
+    cache_t = None
+    cache_j = jnp.zeros((1, K - 1, D), jnp.float32)
+    started = jnp.zeros((1,), jnp.bool_)
+    for n in chunks:
+        x = rng.standard_normal((1, max(n, 1), D)).astype(np.float32)
+        if n > 0:
+            with torch.no_grad():
+                out_t, cache_t = ref(torch.asarray(x[:, :n]), None, cache_t)
+        # padded grid on the jax side
+        grid = np.zeros((1, U, D), np.float32)
+        grid[:, :n] = x[:, :n] if n else 0.0
+        mem, cache_j = SF.fsmn_stream(
+            jnp.asarray(grid), jnp.asarray([n], jnp.int32), kernel_j,
+            cache_j, started, kernel_size=K)
+        started = started | (jnp.asarray([n]) > 0)
+        if n > 0:
+            np.testing.assert_allclose(
+                np.asarray(mem[0, :n]), out_t.numpy()[0], rtol=2e-5,
+                atol=2e-5)
+    # caches agree at the end (reference cache holds the last K-1+t
+    # entries; ours the last K-1 of the same stream)
+    ref_tail = cache_t.numpy()[0].T[-(K - 1):]
+    np.testing.assert_allclose(np.asarray(cache_j[0]), ref_tail,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_cif_final_chunk_reference_semantics(tiny_params, rng):
+    """Final-chunk CIF must keep lookahead alphas and fire the tail with a
+    ZERO pseudo-hidden (reference cif_predictor.py:277-289): total fired
+    tokens equal the reference integrate-and-fire loop's count."""
+    import flax
+
+    # rig the predictor to a constant alpha for every frame: conv weights 0,
+    # output kernel 0, output bias = logit(alpha)
+    alpha = 0.45
+    params = flax.core.unfreeze(jax.tree_util.tree_map(np.asarray,
+                                                       tiny_params))
+    pred = params["params"]["predictor"]
+    pred["cif_conv1d"] = np.zeros_like(pred["cif_conv1d"])
+    pred["cif_conv1d_bias"] = np.ones_like(pred["cif_conv1d_bias"])
+    pred["cif_output"]["kernel"] = np.zeros_like(pred["cif_output"]["kernel"])
+    pred["cif_output"]["bias"] = np.full_like(
+        pred["cif_output"]["bias"], np.log(alpha / (1 - alpha)))
+
+    fe = StreamingFrontend(n_mels=8, lfr_m=3, lfr_n=2)
+    sm = ParaformerStreaming(
+        params, input_size=24, d_model=16, n_head=2,
+        enc_kernel=5, dec_kernel=5, n_enc_layers=3, n_dec_layers=2,
+        chunk_size=(0, 6, 3), encoder_chunk_look_back=2, frontend=fe,
+    )
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1
+
+    # count the LFR frames the frontend emits for this audio
+    st = fe.init_state()
+    feats, _ = fe.step(st, wav, is_final=True)
+    n_frames = len(feats)
+
+    # reference oracle: integrate-and-fire at constant alpha over all
+    # frames, then the 0.45 tail pseudo-frame (threshold 1.0).  The first
+    # window's r zero-fill frames also fire (the reference computes alphas
+    # over the whole window incl. the zero feats cache and only masks the
+    # lookback, cif_predictor.py:277).
+    integrate, fires = 0.0, 0
+    for _ in range(n_frames + sm.chunk_size[2]):
+        integrate += alpha
+        if integrate >= 1.0:
+            fires += 1
+            integrate -= 1.0
+    integrate += sm.tail_threshold  # zero-hidden tail frame
+    if integrate >= 1.0:
+        fires += 1
+
+    out = sm.inference(wav, chunk_ms=200)
+    # blank tokens are filtered from token_ids, so compare raw fire counts
+    cache = sm.init_cache()
+    total = 0
+    stride = 3200
+    n = (len(wav) + stride - 1) // stride
+    for i in range(n):
+        part = wav[i * stride:(i + 1) * stride]
+        l_, c_, r_ = sm.chunk_size
+        feats_i, cache.frontend = sm.frontend.step(
+            cache.frontend, part, is_final=(i == n - 1))
+        if len(feats_i):
+            cache.pending = np.concatenate([cache.pending, feats_i], axis=0)
+        while len(cache.pending) >= c_:
+            chunk, cache.pending = cache.pending[:c_], cache.pending[c_:]
+            _, n_tok, cache.device = sm._step(
+                sm.params, jnp.asarray(
+                    np.concatenate([cache.feats_cache, chunk], 0)[None]),
+                cache.device, jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(sm.window, jnp.int32))
+            cache.feats_cache = np.concatenate(
+                [cache.feats_cache, chunk], 0)[-(l_ + r_):]
+            total += int(n_tok[0])
+        if i == n - 1:
+            n_real = len(cache.pending)
+            pad = np.zeros((c_ - n_real, sm.input_size), np.float32)
+            chunk = np.concatenate([cache.pending, pad], axis=0)
+            _, n_tok, cache.device = sm._step(
+                sm.params, jnp.asarray(
+                    np.concatenate([cache.feats_cache, chunk], 0)[None]),
+                cache.device, jnp.asarray(sm.tail_threshold, jnp.float32),
+                jnp.asarray(l_ + r_ + n_real, jnp.int32))
+            total += int(n_tok[0])
+    assert total == fires

@@ -134,3 +134,53 @@ def test_trainer_loop_runs(tmp_path, rng, caplog):
     )
     assert int(state2["step"] if isinstance(state2, dict) else state2.step) == 8
     assert trainer2.start_epoch == 2
+
+
+def test_checkpoint_latest_survives_prune(tmp_path, rng):
+    """A newest checkpoint with the worst validation score must survive
+    pruning (it is the resume point), like the reference's separate
+    model.pt; unscored older steps are pruned for bounded disk."""
+    model = Paraformer(**CONF)
+    batch = _fixed_batch(rng)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key, "sampler": key},
+                        batch["speech"], batch["speech_lengths"],
+                        batch["text"], batch["text_lengths"])
+    tx, _ = build_optimizer("adam", {"lr": 1e-3}, "constant", {})
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model, tx))
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), keep_nbest=2,
+                             metric="acc")
+    # three good saves, then the newest with the WORST score
+    for i, a in enumerate([0.5, 0.6, 0.7, 0.1]):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+        ckpt.save(int(state.step), state._asdict(), val_metric=a)
+    assert ckpt.latest_step() == 4          # resume point kept
+    steps = set(ckpt._mgr.all_steps())
+    assert steps == {2, 3, 4}               # 2 best (0.6, 0.7) + latest
+    assert ckpt.best_step() == 3
+
+
+def test_trainer_epoch_boundary_save_collision(tmp_path, rng):
+    """Epoch length divisible by save_checkpoint_interval: the interval
+    save and the epoch-boundary save hit the same step — must not raise."""
+    model = Paraformer(**CONF)
+    batch = _fixed_batch(rng)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key, "sampler": key},
+                        batch["speech"], batch["speech_lengths"],
+                        batch["text"], batch["text_lengths"])
+    tx, _ = build_optimizer("adam", {"lr": 1e-3}, "constant", {})
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model, tx))
+    ckpt = CheckpointManager(str(tmp_path / "ck"), keep_nbest=3)
+    trainer = Trainer(step, None, ckpt, max_epoch=2,
+                      save_checkpoint_interval=3, log_interval=10)
+
+    def build_iter(epoch, start_step):
+        return [batch] * (3 - start_step)  # 3 batches/epoch == interval
+
+    state = trainer.run(state, build_iter, valid_iter=None)
+    assert int(state.step) == 6
+    assert ckpt.latest_step() == 6
