@@ -165,19 +165,8 @@ def paraformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     sd = {k: np.asarray(v) for k, v in sd.items()}
     tree: Dict[str, Any] = {}
 
-    # ---- encoder
-    enc: Dict[str, Any] = {}
-    _enc_layer(sd, "encoder.encoders0.0", enc, "encoders0")
-    n_enc = _count_layers(sd, "encoder.encoders")
-    layers = []
-    for i in range(n_enc):
-        lt: Dict[str, Any] = {}
-        _enc_layer(sd, f"encoder.encoders.{i}", lt, "L")
-        layers.append(lt["L"])
-    if layers:
-        enc["encoders"] = _stack_layers(layers)
-    _norm(sd, "encoder.after_norm", enc, "after_norm")
-    tree["encoder"] = enc
+    # ---- encoder (shared SANM subtree mapping)
+    tree["encoder"] = _encoder_tree(sd, "encoder")
 
     # ---- predictor (CifPredictorV2)
     pred: Dict[str, Any] = {}

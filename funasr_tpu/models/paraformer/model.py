@@ -175,9 +175,12 @@ class Paraformer(nn.Module):
 
         stats = {"loss_att": loss_att, "loss_pre": loss_pre, "acc": acc}
         if self.ctc_weight > 0.0:
+            # CTC trains on the RAW targets, not the eos-augmented ys_pad
+            # (reference model.py:199 computes _calc_ctc_loss on
+            # text/text_lengths before add_sos_eos)
             ctc_logits = self.ctc_lo(enc)
             loss_ctc = losses.ctc_loss(
-                ctc_logits, enc_lens, ys_pad, ys_lens,
+                ctc_logits, enc_lens, text, text_lengths,
                 self.ignore_id, self.blank_id,
             )
             loss = (
@@ -202,8 +205,11 @@ class Paraformer(nn.Module):
         ys_masked = jnp.where(ys_pad == self.ignore_id, 0, ys_pad)
         ys_embed = self.decoder.embed_tokens(ys_masked)
 
+        # dropout stays LIVE in this pass: the reference wraps it in
+        # torch.no_grad() with the module in train() mode (model.py:357),
+        # so the wrong-token count is computed on dropout-noised logits
         logits = jax.lax.stop_gradient(
-            self.decoder(enc, enc_lens, acoustic_embeds, ys_lens, True)
+            self.decoder(enc, enc_lens, acoustic_embeds, ys_lens, False)
         )
         pred = jnp.argmax(logits, axis=-1)
         nonpad = ys_pad != self.ignore_id

@@ -67,20 +67,23 @@ def time_warp(
 
     def warp_one(x, L, key):
         kc, kd = jax.random.split(key)
-        L = jnp.maximum(L, 2 * window + 2)
+        # reference time_warp.py:27 skips utterances with L <= 2*window
+        do_warp = L > 2 * window
+        Ls = jnp.maximum(L, 2 * window + 2)  # safe arithmetic when skipped
         # dynamic upper bound: sample u in [0,1) and scale to [W, L-W)
         u = jax.random.uniform(kc, ())
-        c = (window + u * (L - 2 * window)).astype(jnp.int32)
-        d = jax.random.randint(kd, (), -window + 1, window)
+        c = (window + u * (Ls - 2 * window)).astype(jnp.int32)
+        # warped = randint(c-w, c+w) + 1 -> d in [-w+1, w] inclusive
+        d = jax.random.randint(kd, (), -window + 1, window + 1)
         p = c + d  # new pivot position
         t = jnp.arange(T, dtype=jnp.float32)
-        Lf = L.astype(jnp.float32)
+        Lf = Ls.astype(jnp.float32)
         cf, pf = c.astype(jnp.float32), p.astype(jnp.float32)
         src_left = t * cf / jnp.maximum(pf, 1.0)
         src_right = cf + (t - pf) * (Lf - cf) / jnp.maximum(Lf - pf, 1.0)
         src_w = jnp.clip(jnp.where(t < pf, src_left, src_right),
                          0.0, Lf - 1.0)
-        src = jnp.where(t < Lf, src_w, t)  # padding untouched
+        src = jnp.where(do_warp & (t < Lf), src_w, t)  # pads/short untouched
         lo = jnp.floor(src).astype(jnp.int32)
         hi = jnp.minimum(lo + 1, T - 1)
         frac = (src - lo.astype(jnp.float32))[:, None]
@@ -110,8 +113,12 @@ def spec_aug_lfr(
     if apply_time_warp:
         spec = time_warp(kw, spec, spec_lengths, time_warp_window)
     if apply_freq_mask:
+        # the reference passes lfr_rate + 1 (specaug.py:151): the stacked
+        # copy count is lfr_m = lfr_rate + 1, so the band D = F // (rate+1)
+        # is exactly one mel copy, replicated into every stacked copy
         spec = _mask_along_axis(
-            kf, spec, 2, tuple(freq_mask_width_range), num_freq_mask, lfr_rate
+            kf, spec, 2, tuple(freq_mask_width_range), num_freq_mask,
+            lfr_rate + 1 if lfr_rate else 1,
         )
     if apply_time_mask:
         spec = _mask_along_axis(

@@ -438,3 +438,40 @@ def test_registry_name_parity_full():
     missing = [(t, n) for t, n in sorted(pairs)
                if n not in tables.table(t)]
     assert not missing, f"unresolved reference registry names: {missing}"
+
+
+def test_specaug_lfr_band_is_one_mel_copy():
+    """Freq mask band = F // (lfr_rate+1) = one mel copy, replicated at
+    copy offsets (reference specaug.py:151 passes lfr_rate + 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    F, copies = 560, 7  # lfr_m = 7 stacked copies of 80 mels
+    x = jnp.ones((1, 6, F))
+    y, _ = spec_aug_lfr(jax.random.PRNGKey(5), x, jnp.array([6]),
+                        apply_time_mask=False,
+                        freq_mask_width_range=(10, 11), num_freq_mask=1,
+                        lfr_rate=6)
+    zero_cols = np.nonzero(np.asarray(y[0] == 0).all(axis=0))[0]
+    assert len(zero_cols) == copies * 10  # width 10 in each of 7 copies
+    per_copy = zero_cols.reshape(copies, 10) % 80
+    # the SAME mel band is masked in every stacked copy
+    assert (per_copy == per_copy[0]).all()
+    # and the band lies inside one copy (no straddling copy boundaries)
+    assert np.array_equal(per_copy[0], np.arange(per_copy[0][0],
+                                                 per_copy[0][0] + 10))
+
+
+def test_specaug_time_warp_skips_short_utterances():
+    """Reference time_warp.py:27: utterances with L <= 2*window are
+    returned unchanged (no pad frames pulled into the valid region)."""
+    import jax
+    import jax.numpy as jnp
+    from funasr_tpu.ops.specaug import time_warp
+
+    T = 30
+    x = jnp.broadcast_to(jnp.arange(T, dtype=jnp.float32)[None, :, None],
+                         (1, T, 4))
+    y = time_warp(jax.random.PRNGKey(0), x, jnp.array([8]), window=5)
+    np.testing.assert_allclose(np.asarray(y[0, :, 0]), np.arange(T),
+                               atol=1e-5)
