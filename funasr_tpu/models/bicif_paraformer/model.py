@@ -176,7 +176,9 @@ class BiCifParaformer(Paraformer):
         acc = losses.th_accuracy(
             glat_logits if glat_logits is not None else logits,
             ys_pad, self.ignore_id)
-        loss = loss_att + self.predictor_weight * (loss_pre + loss_pre2)
+        # reference model.py:195 weights pre2 by predictor_weight * 0.5
+        loss = (loss_att + self.predictor_weight * loss_pre
+                + 0.5 * self.predictor_weight * loss_pre2)
         stats = {"loss": loss, "loss_att": loss_att, "loss_pre": loss_pre,
                  "loss_pre2": loss_pre2, "acc": acc}
         return loss, stats

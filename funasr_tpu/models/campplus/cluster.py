@@ -42,7 +42,9 @@ class ClusterBackend:
         n = len(embeddings)
         if n == 0:
             return np.zeros((0,), np.int32)
-        if n <= 2:
+        if n < 20:
+            # too few chunks to cluster reliably: single speaker
+            # (reference cluster_backend.py:154)
             return np.zeros((n,), np.int32)
         aff = _refine(cosine_affinity(embeddings))
         # normalized laplacian eigen-gap for speaker count
@@ -67,7 +69,35 @@ class ClusterBackend:
                 np.linalg.norm(spec, axis=1, keepdims=True), 1e-8)
             labels = KMeans(n_clusters=k, n_init=10, random_state=0).fit(
                 spec).labels_.astype(np.int32)
-        return self._merge_small(embeddings, labels)
+        labels = self._merge_small(embeddings, labels)
+        if oracle_num is None:
+            labels = self.merge_by_cos(embeddings, labels, self.merge_thr)
+        return labels
+
+    def merge_by_cos(self, emb, labels, cos_thr):
+        """Iteratively merge the most-similar centroid pair while its
+        cosine >= cos_thr (reference cluster_backend.py:167)."""
+        labels = labels.copy()
+        while True:
+            uniq = sorted(set(labels.tolist()))
+            if len(uniq) == 1:
+                break
+            cents = np.stack([emb[labels == u].mean(axis=0) for u in uniq])
+            cents = cents / np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-8)
+            aff = np.triu(cents @ cents.T, 1)
+            i, j = np.unravel_index(int(np.argmax(aff)), aff.shape)
+            if aff[i, j] < cos_thr:
+                break
+            labels[labels == uniq[j]] = uniq[i]
+        # contiguous ids in order of appearance
+        remap = {}
+        out = np.zeros_like(labels)
+        for t, l in enumerate(labels):
+            if l not in remap:
+                remap[l] = len(remap)
+            out[t] = remap[l]
+        return out
 
     def _merge_small(self, emb, labels):
         """Merge clusters with too few points / too-similar centroids."""
@@ -103,19 +133,25 @@ class ClusterBackend:
 def sv_chunk(segment: Sequence, chunk_s: float = 1.5, step_s: float = 0.75,
              fs: int = 16000) -> List[List]:
     """Split a [start_s, end_s, wav] VAD segment into fixed sliding chunks
-    for embedding extraction (reference utils.py sv_chunk)."""
+    for embedding extraction (reference utils.py:66 sv_chunk): the final
+    chunk is RIGHT-ALIGNED (start pulled back to end-chunk_s) so segment
+    tails keep embedding coverage; sub-chunk segments are zero-padded."""
     start, end, wav = segment
-    dur = end - start
+    n = len(wav)
+    chunk_len = int(chunk_s * fs)
+    shift = int(step_s * fs)
     out = []
-    if dur <= chunk_s:
-        out.append([start, end, wav])
-        return out
-    t = 0.0
-    while t + chunk_s <= dur + 1e-6:
-        beg = int(t * fs)
-        out.append([start + t, start + t + chunk_s,
-                    wav[beg: beg + int(chunk_s * fs)]])
-        t += step_s
+    last_ed = 0
+    for st in range(0, n, shift):
+        ed = min(st + chunk_len, n)
+        if ed <= last_ed:
+            break
+        last_ed = ed
+        st = max(0, ed - chunk_len)
+        data = wav[st:ed]
+        if len(data) < chunk_len:
+            data = np.pad(data, (0, chunk_len - len(data)))
+        out.append([start + st / fs, start + ed / fs, data])
     return out
 
 

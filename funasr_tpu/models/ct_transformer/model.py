@@ -209,7 +209,10 @@ class CTTransformerModel:
         parts: List[str] = []
         for i, w in enumerate(words):
             ascii_w = len(w[0].encode()) == 1
-            if i > 0 and self.punc_list[puncs[i - 1]] in ("。", "？") and ascii_w:
+            # reference model.py:330 capitalizes the window's FIRST ascii
+            # word too, not only words after sentence-final punctuation
+            if ascii_w and (i == 0
+                            or self.punc_list[puncs[i - 1]] in ("。", "？")):
                 w = w.capitalize()
             if ascii_w and (i == 0 or len(words[i - 1][0].encode()) == 1):
                 w = " " + w

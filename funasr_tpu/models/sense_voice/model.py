@@ -34,6 +34,11 @@ Dtype = Any
 LID_DICT = {"auto": 0, "zh": 3, "en": 4, "yue": 7, "ja": 11, "ko": 12,
             "nospeech": 13}
 TEXTNORM_DICT = {"withitn": 14, "woitn": 15}
+# main-vocab tag token id -> query embed id (reference model.py:643,645:
+# lid_int_dict / textnorm_int_dict for the released 25k SentencePiece vocab)
+LID_INT_DICT = {24884: 3, 24885: 4, 24888: 7, 24892: 11, 24896: 12,
+                24992: 13}
+TEXTNORM_INT_DICT = {25016: 14, 25017: 15}
 EMO_UNK_TAG = "<|EMO_UNKNOWN|>"
 QUERY_VOCAB = 16  # 7 + len(lid) + len(textnorm)
 
@@ -143,9 +148,24 @@ class SenseVoiceSmall(nn.Module):
     def __call__(self, speech, speech_lengths, text, text_lengths,
                  deterministic: bool = False):
         """Training forward.  ``text[:, :4]`` = [lid, event, emo, textnorm]
-        tag token ids (in the main vocab); text[:, 4:] = transcription."""
-        lid_ids = jnp.zeros((speech.shape[0],), jnp.int32)  # 'auto' during loss
-        tn_ids = jnp.full((speech.shape[0],), TEXTNORM_DICT["woitn"], jnp.int32)
+        tag token ids (in the main vocab); text[:, 4:] = transcription.
+
+        The language/textnorm QUERIES are derived from the ground-truth tag
+        tokens (reference model.py:744-772: ``lid_int_dict[text[:,0]]`` with
+        0.2 dropout to 'auto', ``textnorm_int_dict[text[:,3]]``) so the
+        prompts the model learns to follow agree with the rich-CE targets.
+        """
+        B = speech.shape[0]
+        lid_tok, tn_tok = text[:, 0], text[:, 3]
+        lid_ids = jnp.zeros((B,), jnp.int32)  # default 'auto'
+        for tok, qid in LID_INT_DICT.items():
+            lid_ids = jnp.where(lid_tok == tok, qid, lid_ids)
+        if not deterministic:
+            drop = jax.random.uniform(self.make_rng("dropout"), (B,)) <= 0.2
+            lid_ids = jnp.where(drop, 0, lid_ids)
+        tn_ids = jnp.full((B,), TEXTNORM_DICT["woitn"], jnp.int32)
+        for tok, qid in TEXTNORM_INT_DICT.items():
+            tn_ids = jnp.where(tn_tok == tok, qid, tn_ids)
         enc, enc_lens = self.encode(speech, speech_lengths, lid_ids, tn_ids,
                                     deterministic)
         logits = self.ctc_lo(enc)

@@ -246,7 +246,7 @@ def beam_search(
 
     carry = (ys, scores, finished, lengths, r_state, sigma_g, hw_state)
     carry, _ = lax.scan(step_fn, carry, jnp.arange(maxlen))
-    ys, scores, finished, lengths, r_state, sigma_g, _ = carry
+    ys, scores, finished, lengths, r_state, sigma_g, hw_state = carry
 
     # forced-eos finalization: hypotheses still running at maxlen must pay
     # the eos term before ranking against finished ones (the reference
@@ -264,6 +264,11 @@ def beam_search(
     if use_ctc:
         prefix_complete = _logaddexp(r_state[..., -1, 0], r_state[..., -1, 1])
         eos_term = eos_term + ctc_weight * (prefix_complete - sigma_g)
+    if use_hw:
+        # cancel uncommitted trie credit for hyps still mid-hotword, just
+        # as an in-loop eos step would have (hw_bonus[state][eos] is the
+        # partial-match back-off)
+        eos_term = eos_term + hotword_weight * hw_bonus[hw_state][..., eos]
     scores = jnp.where(finished, scores, scores + eos_term)
 
     order = jnp.argsort(-scores, axis=1)

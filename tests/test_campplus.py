@@ -55,3 +55,43 @@ def test_sv_chunk_and_distribute():
     sd = [[0, 1500, 0], [1500, 3000, 1]]
     out = distribute_spk(sents, sd)
     assert out[0]["spk"] == 0 and out[1]["spk"] == 1
+
+
+def test_cluster_few_chunks_single_speaker(rng):
+    """<20 chunks -> all one speaker (reference cluster_backend.py:154)."""
+    from funasr_tpu.models.campplus.cluster import ClusterBackend
+
+    emb = rng.standard_normal((12, 16)).astype(np.float32)
+    labels = ClusterBackend()(emb)
+    assert (labels == 0).all()
+
+
+def test_cluster_merge_by_cos(rng):
+    """Two nearby blobs whose centroid cosine exceeds merge_thr collapse
+    into one speaker (reference merge_by_cos)."""
+    from funasr_tpu.models.campplus.cluster import ClusterBackend
+
+    base = rng.standard_normal(16).astype(np.float32)
+    a = base + 0.05 * rng.standard_normal((15, 16)).astype(np.float32)
+    b = base + 0.05 * rng.standard_normal((15, 16)).astype(np.float32)
+    emb = np.concatenate([a, b + 0.2], axis=0)
+    labels = ClusterBackend(merge_thr=0.78)(emb)
+    assert len(set(labels.tolist())) == 1
+
+
+def test_sv_chunk_right_aligned_tail():
+    """The segment tail gets a right-aligned final chunk (reference
+    utils.py:84), so no part of the segment lacks coverage."""
+    from funasr_tpu.models.campplus.cluster import sv_chunk
+
+    fs = 16000
+    wav = np.arange(2 * fs, dtype=np.float32)  # 2.0 s
+    chunks = sv_chunk([0.0, 2.0, wav], fs=fs)
+    ends = [c[1] for c in chunks]
+    assert max(ends) == 2.0  # tail covered
+    # the last chunk is right-aligned: starts at 0.5 s, ends at 2.0 s
+    assert chunks[-1][0] == 0.5
+    assert len(chunks[-1][2]) == int(1.5 * fs)
+    # short segments are zero-padded to the chunk length
+    short = sv_chunk([0.0, 0.5, wav[: fs // 2]], fs=fs)
+    assert len(short) == 1 and len(short[0][2]) == int(1.5 * fs)

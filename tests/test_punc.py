@@ -70,7 +70,8 @@ def test_assemble_spacing(punc_model):
     words = ["hello", "world", "好"]
     puncs = np.array([3, 1, 2])  # hello。 world(_) 好，
     s = punc_model._assemble(words, puncs)
-    assert "hello." in s
+    # first ascii word capitalized too (reference model.py:330)
+    assert "Hello." in s
     assert " World" in s  # capitalized after sentence end, space-joined
     assert s.endswith("好，")
 
