@@ -171,6 +171,40 @@ class AutoModel:
             vocab_size=vocab, input_size=input_size,
             encoder_conf=cfg.get("encoder_conf"),
         )
+        if name in ("BiCifParaformer", "SeacoParaformer",
+                    "ContextualParaformer"):
+            from funasr_tpu.auto.engines import BiCifEngine, HotwordEngine
+
+            module = cls(
+                decoder_name=cfg.get("decoder"),
+                decoder_conf=cfg.get("decoder_conf"),
+                predictor_conf=cfg.get("predictor_conf"),
+                **common, **(cfg.get("model_conf") or {}),
+            )
+            params = _load_params(cfg)
+            if params is None:
+                T = 32
+                if name == "BiCifParaformer":
+                    params = module.init(
+                        {"params": self.rng},
+                        jnp.zeros((1, T, input_size)), jnp.array([T]),
+                        max_tokens=8, method=module.timestamps,
+                    )
+                else:  # hotword heads need the bias branch initialized
+                    hw = jnp.asarray(
+                        [[getattr(module, "no_bias_id", 1)]], jnp.int32)
+                    params = module.init(
+                        {"params": self.rng},
+                        jnp.zeros((1, T, input_size)), jnp.array([T]),
+                        hw, jnp.array([1]), max_tokens=8,
+                        method=module.decode_with_hotwords,
+                    )
+            if name == "BiCifParaformer":
+                return BiCifEngine(module, params, frontend, tokenizer,
+                                   blank_id=module.blank_id, mesh=self.mesh)
+            return HotwordEngine(module, params, frontend, tokenizer,
+                                 blank_id=module.blank_id, mesh=self.mesh,
+                                 seaco=(name == "SeacoParaformer"))
         if name in ("Paraformer", "EParaformer", "SCAMA"):
             # same NAR contract (SCAMA/EParaformer subclass Paraformer);
             # EParaformer's PIF predictor has no cif peaks -> timestamps

@@ -21,7 +21,10 @@ from funasr_tpu.utils.postprocess import (
     rich_transcription_postprocess,
     sentence_postprocess,
 )
-from funasr_tpu.utils.timestamp_tools import ts_prediction_lfr6_standard
+from funasr_tpu.utils.timestamp_tools import (
+    ts_from_cif_peaks,
+    ts_prediction_lfr6_standard,
+)
 
 
 def quantize(n: int, step: int = 2000, minimum: int = 4000) -> int:
@@ -138,7 +141,7 @@ class ParaformerEngine(BatchedAsrEngine):
 
     def transcribe(
         self, wavs: Sequence[np.ndarray], with_timestamp: bool = False,
-        vad_offsets: Optional[Sequence[int]] = None,
+        vad_offsets: Optional[Sequence[int]] = None, **kw,
     ) -> List[Dict[str, Any]]:
         if not len(wavs):
             return []
@@ -160,7 +163,7 @@ class ParaformerEngine(BatchedAsrEngine):
             res: Dict[str, Any] = {}
             if with_timestamp:
                 offset = vad_offsets[i] if vad_offsets else 0
-                _, ts = ts_prediction_lfr6_standard(
+                _, ts = ts_from_cif_peaks(
                     peaks[i], alphas[i], list(toks), vad_offset=offset
                 )
                 text, ts_kept, words = sentence_postprocess(toks, ts)
@@ -171,6 +174,148 @@ class ParaformerEngine(BatchedAsrEngine):
                 res["raw_tokens"] = words
             res["text"] = text
             results.append(res)
+        return results
+
+
+class BiCifEngine(ParaformerEngine):
+    """BiCifParaformer serving: frame-accurate 20 ms timestamps from the
+    upsampled cif2 fire track (reference bicif_paraformer/model.py:135
+    ``calc_predictor_timestamp`` + timestamp_tools.py:31)."""
+
+    def __init__(self, module, params, frontend: FrontendConfig, tokenizer,
+                 blank_id: int = 0, max_tokens_per_15s: int = 128,
+                 mesh=None):
+        super().__init__(module, params, frontend, tokenizer,
+                         blank_id=blank_id,
+                         max_tokens_per_15s=max_tokens_per_15s, mesh=mesh)
+
+        def _run_ts(params, wav, lens, max_tokens):
+            feats, flens = self.frontend.device_features(wav, lens)
+            return self.module.apply(params, feats, flens,
+                                     max_tokens=max_tokens,
+                                     method=self.module.timestamps)
+
+        self._run_ts = self._jit(_run_ts, 2, static_argnames=("max_tokens",))
+
+    def transcribe(self, wavs, with_timestamp: bool = True,
+                   vad_offsets=None, **kw) -> List[Dict[str, Any]]:
+        if not len(wavs):
+            return []
+        if not with_timestamp:
+            return super().transcribe(wavs, with_timestamp=False)
+        wav_d, lens_d = self._pack(wavs)
+        dur_s = wav_d.shape[1] / self.frontend.fs
+        max_tokens = max(16,
+                         int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+        tokens, tok_lens, us_alphas, us_peaks = self._run_ts(
+            self.params, wav_d, lens_d, max_tokens)
+        return self._ts_results(wavs, tokens, tok_lens, us_alphas, us_peaks,
+                                vad_offsets)
+
+    def _ts_results(self, wavs, tokens, tok_lens, us_alphas, us_peaks,
+                    vad_offsets):
+        tokens = np.asarray(tokens)
+        tok_lens = np.asarray(tok_lens)
+        us_alphas = np.asarray(us_alphas)
+        us_peaks = np.asarray(us_peaks)
+        results = []
+        for i in range(len(wavs)):
+            n = int(tok_lens[i])
+            ids = [t for t in tokens[i, :n].tolist() if t != self.blank_id]
+            toks = self.tokenizer.ids2tokens(ids)
+            offset = vad_offsets[i] if vad_offsets else 0
+            _, ts = ts_prediction_lfr6_standard(
+                us_alphas[i], us_peaks[i], list(toks), vad_offset=offset)
+            text, ts_kept, words = sentence_postprocess(toks, ts)
+            results.append({"text": text, "timestamp": ts_kept,
+                            "raw_tokens": words})
+        return results
+
+
+class HotwordEngine(BiCifEngine):
+    """SeacoParaformer / ContextualParaformer serving: hotword strings are
+    tokenized into padded (H, L) grids per call; Seaco also yields BiCif
+    timestamps in the same pass (reference seaco_paraformer/model.py:234)."""
+
+    def __init__(self, module, params, frontend: FrontendConfig, tokenizer,
+                 blank_id: int = 0, max_tokens_per_15s: int = 128,
+                 mesh=None, seaco: bool = True):
+        if seaco:
+            # BiCifEngine init also builds the _run_ts timestamp path
+            # (Seaco inherits BiCif's upsampled fire track)
+            super().__init__(module, params, frontend, tokenizer,
+                             blank_id=blank_id,
+                             max_tokens_per_15s=max_tokens_per_15s,
+                             mesh=mesh)
+        else:
+            # Contextual has no cif2 head: plain Paraformer fallback paths
+            ParaformerEngine.__init__(
+                self, module, params, frontend, tokenizer, blank_id=blank_id,
+                max_tokens_per_15s=max_tokens_per_15s, mesh=mesh)
+        self.seaco = seaco
+
+        def _run_hw(params, wav, lens, hw_pad, hw_lens, max_tokens):
+            feats, flens = self.frontend.device_features(wav, lens)
+            return self.module.apply(
+                params, feats, flens, hw_pad, hw_lens,
+                max_tokens=max_tokens,
+                method=self.module.decode_with_hotwords)
+
+        self._run_hw = self._jit(_run_hw, 2, static_argnames=("max_tokens",))
+
+    def _encode_hotwords(self, hotword):
+        """'word1 word2' or list -> padded (H, L) id grid + lengths; Seaco
+        appends the no-bias row (reference proc_hotword)."""
+        words = hotword.split() if isinstance(hotword, str) else list(hotword)
+        rows = [self.tokenizer.encode(w) for w in words]
+        rows = [r for r in rows if len(r)]
+        if self.seaco:
+            rows.append([int(self.module.no_bias_id)])
+        if not rows:
+            return None, None
+        L = max(8, max(len(r) for r in rows))
+        pad = np.zeros((len(rows), L), np.int32)
+        lens = np.zeros((len(rows),), np.int32)
+        for i, r in enumerate(rows):
+            pad[i, : len(r)] = r[:L]
+            lens[i] = min(len(r), L)
+        return jnp.asarray(pad), jnp.asarray(lens)
+
+    def transcribe(self, wavs, hotword=None, with_timestamp: bool = True,
+                   vad_offsets=None, **kw) -> List[Dict[str, Any]]:
+        if not len(wavs):
+            return []
+        if hotword is None:
+            if self.seaco:
+                return super().transcribe(
+                    wavs, with_timestamp=with_timestamp,
+                    vad_offsets=vad_offsets)
+            return ParaformerEngine.transcribe(
+                self, wavs, with_timestamp=with_timestamp,
+                vad_offsets=vad_offsets)
+        hw_pad, hw_lens = self._encode_hotwords(hotword)
+        wav_d, lens_d = self._pack(wavs)
+        dur_s = wav_d.shape[1] / self.frontend.fs
+        max_tokens = max(16,
+                         int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+        out = self._run_hw(self.params, wav_d, lens_d, hw_pad, hw_lens,
+                           max_tokens)
+        if self.seaco:
+            tokens, tok_lens, us_alphas, us_peaks = out
+            if with_timestamp:
+                return self._ts_results(wavs, tokens, tok_lens, us_alphas,
+                                        us_peaks, vad_offsets)
+        else:
+            tokens, tok_lens = out
+        tokens = np.asarray(tokens)
+        tok_lens = np.asarray(tok_lens)
+        results = []
+        for i in range(len(wavs)):
+            n = int(tok_lens[i])
+            ids = [t for t in tokens[i, :n].tolist() if t != self.blank_id]
+            toks = self.tokenizer.ids2tokens(ids)
+            text, words = sentence_postprocess(toks)
+            results.append({"text": text, "raw_tokens": words})
         return results
 
 

@@ -196,9 +196,9 @@ class BiCifParaformer(Paraformer):
         return log_probs, token_lengths, pred
 
     def timestamps(self, speech, speech_lengths, max_tokens: int = 128):
-        """-> (tokens, token_lengths, us_peaks) for frame-accurate stamps at
-        60/upsample_times ms resolution."""
+        """-> (tokens, token_lengths, us_alphas, us_peaks) for
+        frame-accurate stamps at 60/upsample_times ms resolution."""
         log_probs, token_lengths, pred = self.inference_logits(
             speech, speech_lengths, max_tokens)
         tokens = jnp.argmax(log_probs, axis=-1)
-        return tokens, token_lengths, pred.us_peaks
+        return tokens, token_lengths, pred.us_alphas, pred.us_peaks

@@ -128,7 +128,7 @@ class SeacoParaformer(BiCifParaformer):
         lam = self.seaco_weight
         merged = jnp.where(use_dec, dec_logp,
                            (1 - lam) * dec_logp + lam * dha_logp)
-        return merged, tok_lens
+        return merged, tok_lens, pred
 
     def decode_with_hotwords(
         self,
@@ -136,12 +136,15 @@ class SeacoParaformer(BiCifParaformer):
         hotword_pad, hotword_lengths,
         max_tokens: int = 128,
     ):
-        """Greedy decode with hotword bias fusion -> (tokens, token_lengths)."""
-        merged, tok_lens = self.hotword_logprobs(
+        """Greedy decode with hotword bias fusion -> (tokens, token_lengths,
+        us_alphas, us_peaks) — the upsampled fire tracks give the BiCif
+        frame-accurate timestamps in the same pass."""
+        merged, tok_lens, pred = self.hotword_logprobs(
             speech, speech_lengths, hotword_pad, hotword_lengths, max_tokens)
         tokens = jnp.argmax(merged, axis=-1)
         valid = sequence_mask(tok_lens, max_tokens, jnp.bool_)
-        return jnp.where(valid, tokens, self.blank_id), tok_lens
+        return (jnp.where(valid, tokens, self.blank_id), tok_lens,
+                pred.us_alphas, pred.us_peaks)
 
     # -------------------------------------------------------------- training
     def seaco_loss(

@@ -15,34 +15,121 @@ import numpy as np
 FRAME_MS = 60  # LFR6: 10 ms shift x 6
 
 
+def _cif_fire_track(alphas: np.ndarray, threshold: float) -> np.ndarray:
+    """Integrate-and-fire positions for an alpha track (numpy equivalent of
+    cif_predictor.py:738 ``cif_wo_hidden``): a frame fires when the running
+    integral crosses the next multiple of ``threshold``."""
+    s = np.cumsum(alphas.astype(np.float64))
+    return np.diff(np.floor(s / threshold), prepend=0.0) >= 1.0
+
+
 def ts_prediction_lfr6_standard(
-    peaks: np.ndarray,  # (T,) bool or fire track values
-    alphas: np.ndarray,  # (T,) alphas (unused in the standard variant)
+    us_alphas: np.ndarray,  # (T*u,) upsampled alpha track (BiCif cif2)
+    us_peaks: np.ndarray,  # (T*u,) upsampled fire track
+    tokens: List[str],
+    vad_offset: int = 0,
+    force_time_shift: float = -1.5,
+    upsample_rate: int = 3,
+) -> Tuple[str, List[List[int]]]:
+    """Frame-accurate token timestamps from BiCif's upsampled fire track
+    (reference timestamp_tools.py:31): cif2 fires when a token STARTS, so
+    there are len(tokens)+1 fires and the span of token i is
+    [fire(i), fire(i+1)], every fire shifted by ``force_time_shift`` frames
+    (CIF delay compensation).  If the fire count disagrees, alphas are
+    renormalized to sum len+1 and re-fired.  Leading/trailing silence and
+    over-long (> MAX_TOKEN_DURATION) gaps become <sil> segments excluded
+    from the returned list.
+
+    Returns (kaldi-style string, [[start_ms, end_ms], ...] per token).
+    """
+    char_list = list(tokens)
+    if not char_list:
+        return "", []
+    if char_list[-1] == "</s>":
+        char_list = char_list[:-1]
+    START_END_THRESHOLD = 5
+    MAX_TOKEN_DURATION = 12  # upsampled frames
+    time_rate = 10.0 * 6 / 1000 / upsample_rate  # s per upsampled frame
+    alphas = np.asarray(us_alphas, np.float64).reshape(-1)
+    peaks = np.asarray(us_peaks, np.float64).reshape(-1)
+    fire_place = np.nonzero(peaks >= 1.0 - 1e-4)[0] + force_time_shift
+    if len(fire_place) != len(char_list) + 1 and alphas.sum() > 0:
+        alphas = alphas / (alphas.sum() / (len(char_list) + 1))
+        fires = _cif_fire_track(alphas, 1.0 - 1e-4)
+        fire_place = np.nonzero(fires)[0] + force_time_shift
+    if len(fire_place) < 2:
+        # degenerate fallback: one uniform span per token
+        n = max(len(char_list), 1)
+        T = len(peaks)
+        ts = [[int(i * T / n * time_rate * 1000) + vad_offset,
+               int((i + 1) * T / n * time_rate * 1000) + vad_offset]
+              for i in range(len(char_list))]
+        txt = ";".join(f"{c} {b/1000.0:.3f} {e/1000.0:.3f}"
+                       for c, (b, e) in zip(char_list, ts))
+        return txt, ts
+
+    num_frames = len(peaks)
+    spans: List[List[float]] = []
+    chars: List[str] = []
+    if fire_place[0] > START_END_THRESHOLD:  # leading silence
+        spans.append([0.0, fire_place[0] * time_rate])
+        chars.append("<sil>")
+    for i in range(len(fire_place) - 1):
+        if i >= len(char_list):
+            break
+        chars.append(char_list[i])
+        if fire_place[i + 1] - fire_place[i] <= MAX_TOKEN_DURATION:
+            spans.append([fire_place[i] * time_rate,
+                          fire_place[i + 1] * time_rate])
+        else:  # split over-long spans: token + silence
+            split = fire_place[i] + MAX_TOKEN_DURATION
+            spans.append([fire_place[i] * time_rate, split * time_rate])
+            spans.append([split * time_rate, fire_place[i + 1] * time_rate])
+            chars.append("<sil>")
+    if num_frames - fire_place[-1] > START_END_THRESHOLD:  # tail silence
+        end = (num_frames + fire_place[-1]) * 0.5
+        if spans:
+            spans[-1][1] = end * time_rate
+        spans.append([end * time_rate, num_frames * time_rate])
+        chars.append("<sil>")
+    elif spans:
+        spans[-1][1] = num_frames * time_rate
+    if vad_offset:
+        spans = [[b + vad_offset / 1000.0, e + vad_offset / 1000.0]
+                 for b, e in spans]
+    txt = ";".join(f"{c} {b + 0.0005:.3f} {e + 0.0005:.3f}"
+                   for c, (b, e) in zip(chars, spans))
+    ts = [[int(b * 1000), int(e * 1000)]
+          for c, (b, e) in zip(chars, spans) if c != "<sil>"]
+    return txt, ts
+
+
+def ts_from_cif_peaks(
+    peaks: np.ndarray,  # (T,) fire track at the LFR frame rate
+    alphas: np.ndarray,  # (T,) alphas (renorm fallback unused here)
     tokens: List[str],
     vad_offset: int = 0,
     force_time_shift: float = -1.5,
 ) -> Tuple[str, List[List[int]]]:
-    """Assign each token the span between consecutive CIF fires.
-
-    Returns (kaldi-style string, [[start_ms, end_ms], ...]).  Fire at frame f
-    means a token ends there; starts are the previous fire (shifted by
-    ``force_time_shift`` frames like the reference to compensate CIF delay).
-    """
+    """Coarse per-token spans from the base CIF predictor's fire track
+    (fires mark token ENDS at the 60 ms LFR rate).  TPU-design extension:
+    the reference only has frame-accurate stamps via BiCif; this gives the
+    plain Paraformer usable 60 ms-granular stamps.  ``force_time_shift``
+    compensates the CIF integration delay on every fire."""
     peaks = np.asarray(peaks)
     if peaks.dtype != np.bool_:
         peaks = peaks > (1.0 - 1e-4)
-    fire_idx = np.nonzero(peaks)[0]
+    fire_idx = np.nonzero(peaks)[0].astype(np.float64) + 1.0 + force_time_shift
+    fire_idx = np.maximum(fire_idx, 0.0)
     n = min(len(tokens), len(fire_idx))
     ts: List[List[int]] = []
     prev = 0.0
     for i in range(n):
-        end = float(fire_idx[i]) + 1.0
-        start = max(prev + force_time_shift if i == 0 else prev, 0.0)
-        begin_ms = int(start * FRAME_MS) + vad_offset
-        end_ms = int(end * FRAME_MS) + vad_offset
+        end = float(fire_idx[i])
+        begin_ms = int(prev * FRAME_MS) + vad_offset
+        end_ms = int(max(end, prev) * FRAME_MS) + vad_offset
         ts.append([begin_ms, end_ms])
-        prev = end
-    # pad remaining tokens (no fire -> inherit the last end)
+        prev = max(end, prev)
     for _ in range(n, len(tokens)):
         last_end = ts[-1][1] if ts else vad_offset
         ts.append([last_end, last_end + FRAME_MS])

@@ -265,3 +265,50 @@ def test_generate_fs_is_input_rate(rng):
     n8_untagged = len(am.generate([wav8], key=["a"])[0]["text"])
     assert abs(n8 - n16) <= 2        # resampled: same duration, same tokens
     assert n8_untagged <= 0.7 * n16  # untagged 8 k reads as 1 s of 16 k
+
+
+BICIF_CFG = dict(
+    model="BiCifParaformer",
+    vocab_size=len(VOCAB),
+    tokenizer_conf={"token_list": VOCAB},
+    frontend_conf=dict(n_mels=20, lfr_m=3, lfr_n=2),
+    input_size=60,
+    encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                      num_blocks=2, kernel_size=5, dropout_rate=0.0),
+    decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=1,
+                      att_layer_num=1, kernel_size=5, dropout_rate=0.0),
+    predictor_conf=dict(idim=16, tail_threshold=0.45, dropout=0.0),
+)
+
+
+def test_bicif_engine_timestamps(rng):
+    """BiCifParaformer builds through AutoModel and yields 20 ms-accurate
+    timestamps (reference paraformer-large timestamp model path)."""
+    am = AutoModel(model=BICIF_CFG)
+    res = am.generate([_wav(rng, 2.0)], key=["b"])
+    assert res[0]["key"] == "b"
+    ts = res[0].get("timestamp")
+    assert ts is not None
+    assert all(e >= b >= 0 for b, e in ts)
+
+
+def test_seaco_engine_hotwords(rng):
+    cfg = dict(BICIF_CFG, model="SeacoParaformer",
+               model_conf=dict(no_bias_id=3, inner_dim=16,
+                               seaco_decoder_conf=dict(
+                                   attention_heads=2, linear_units=32,
+                                   num_blocks=1, att_layer_num=1,
+                                   kernel_size=5)))
+    am = AutoModel(model=cfg)
+    res = am.generate([_wav(rng, 1.5)], hotword="我们 公园")
+    assert "text" in res[0]
+    # no hotwords -> BiCif fallback still works
+    res2 = am.generate([_wav(rng, 1.5)])
+    assert "text" in res2[0] and "timestamp" in res2[0]
+
+
+def test_contextual_engine_hotwords(rng):
+    cfg = dict(BICIF_CFG, model="ContextualParaformer")
+    am = AutoModel(model=cfg)
+    res = am.generate([_wav(rng, 1.5)], hotword="今天")
+    assert "text" in res[0]

@@ -50,7 +50,8 @@ def test_bicif_train_and_timestamps(rng):
     assert np.isfinite(float(loss))
     assert "loss_pre2" in stats
 
-    tokens, tok_lens, us_peaks = model.apply(
+    tokens, tok_lens, us_alphas, us_peaks = model.apply(
         params, speech, slens, max_tokens=16, method=model.timestamps)
     assert tokens.shape == (B, 16)
     assert us_peaks.shape[1] == T * 3  # upsample x3 of the encoder frames
+    assert us_alphas.shape == us_peaks.shape

@@ -64,3 +64,42 @@ def test_word_tokenizer():
     assert t.encode("hello world unseen") == [1, 2, 0]
     assert t.decode([1, 2]) == "hello world"
     assert t.get_vocab_size() == 3
+
+
+def test_ts_prediction_lfr6_matches_reference_torch():
+    """ts_prediction_lfr6_standard == reference timestamp_tools.py:31 on
+    BiCif-style upsampled fire tracks (incl. the renormalization fallback,
+    silence segments and the MAX_TOKEN_DURATION split)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip("torch")
+    from reference_torch import load_reference
+
+    ref_mod = load_reference("funasr.utils.timestamp_tools")
+    from funasr_tpu.utils.timestamp_tools import ts_prediction_lfr6_standard
+
+    rng = np.random.default_rng(0)
+    for case in range(4):
+        T = 90  # 30 LFR frames x3 upsample
+        n_tok = 5
+        # synth a fire track with n_tok+1 fires (cif2 fires at token starts)
+        alphas = rng.uniform(0.0, 0.12, T)
+        if case % 2 == 0:
+            # exact fires at chosen positions
+            peaks = np.zeros(T)
+            pos = np.sort(rng.choice(np.arange(4, T - 6), n_tok + 1,
+                                     replace=False))
+            peaks[pos] = 1.0
+        else:
+            # fire count mismatch -> both sides renormalize alphas
+            peaks = np.zeros(T)
+            peaks[[10, 30]] = 1.0
+        chars = [f"c{i}" for i in range(n_tok)]
+        want_txt, want = ref_mod.ts_prediction_lfr6_standard(
+            torch.asarray(alphas.copy()), torch.asarray(peaks.copy()),
+            list(chars), vad_offset=120)
+        got_txt, got = ts_prediction_lfr6_standard(
+            alphas.copy(), peaks.copy(), list(chars), vad_offset=120)
+        assert got == want, (case, got, want)

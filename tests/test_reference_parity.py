@@ -492,7 +492,7 @@ def test_seaco_hotword_parity(speech):
     hw_lens = np.array([2, 1, 1], np.int32)
     for i, hw in enumerate(hw_list):
         hw_pad[i, :len(hw)] = hw
-    got, tok_lens = ours.apply(
+    got, tok_lens, _ = ours.apply(
         params, jnp.asarray(x), jnp.asarray(lens), jnp.asarray(hw_pad),
         jnp.asarray(hw_lens), max_tokens=U, method=ours.hotword_logprobs)
     assert tok_lens.tolist() == tok_len.tolist()

@@ -44,21 +44,22 @@ def seaco():
 
 def test_decode_with_hotwords(seaco):
     model, params, (speech, slens, hotwords, hlens) = seaco
-    tokens, tok_lens = model.apply(
+    tokens, tok_lens, us_alphas, us_peaks = model.apply(
         params, speech, slens, hotwords, hlens, max_tokens=10,
         method=model.decode_with_hotwords,
     )
     assert tokens.shape == (2, 10)
     assert (np.asarray(tok_lens) <= 10).all()
+    assert us_peaks.shape == us_alphas.shape  # BiCif stamps in the same pass
 
 
 def test_hotword_count_invariance(seaco):
     """Token count must not change with the number of hotwords supplied."""
     model, params, (speech, slens, hotwords, hlens) = seaco
-    _, lens_a = model.apply(params, speech, slens, hotwords, hlens,
+    _, lens_a, _, _ = model.apply(params, speech, slens, hotwords, hlens,
                             max_tokens=10, method=model.decode_with_hotwords)
     hot_b = jnp.asarray([[31, 0, 0]], jnp.int32)  # only the no-bias entry
-    _, lens_b = model.apply(params, speech, slens, hot_b, jnp.array([1]),
+    _, lens_b, _, _ = model.apply(params, speech, slens, hot_b, jnp.array([1]),
                             max_tokens=10, method=model.decode_with_hotwords)
     np.testing.assert_array_equal(np.asarray(lens_a), np.asarray(lens_b))
 
