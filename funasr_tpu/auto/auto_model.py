@@ -175,12 +175,13 @@ class AutoModel:
                     "ContextualParaformer"):
             from funasr_tpu.auto.engines import BiCifEngine, HotwordEngine
 
-            module = cls(
-                decoder_name=cfg.get("decoder"),
+            kw = dict(
                 decoder_conf=cfg.get("decoder_conf"),
                 predictor_conf=cfg.get("predictor_conf"),
-                **common, **(cfg.get("model_conf") or {}),
             )
+            if cfg.get("decoder"):  # keep the class default otherwise
+                kw["decoder_name"] = cfg["decoder"]
+            module = cls(**kw, **common, **(cfg.get("model_conf") or {}))
             params = _load_params(cfg)
             if params is None:
                 T = 32

@@ -205,6 +205,60 @@ def bicif_paraformer_from_torch(sd: Mapping[str, np.ndarray]
     return out
 
 
+def contextual_paraformer_from_torch(sd: Mapping[str, np.ndarray]
+                                     ) -> Dict[str, Any]:
+    """ContextualParaformer (reference contextual_paraformer/model.py:41):
+    Paraformer tree with the contextual decoder (decoders[:n-1] +
+    ``last_decoder`` + ``bias_decoder`` cross-attn + ``bias_output``
+    Conv1d(2D->D,1)) plus the 1-layer ``bias_encoder`` LSTM and the
+    dedicated ``bias_embed``."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    out = paraformer_from_torch(sd)
+    tree = out["params"]
+
+    dec: Dict[str, Any] = {}
+    n = _count_layers(sd, "decoder.decoders")
+    layers = []
+    for i in range(n):
+        lt: Dict[str, Any] = {}
+        _dec_layer(sd, f"decoder.decoders.{i}", lt, "L")
+        layers.append(lt["L"])
+    if layers:
+        dec["decoders"] = _stack_layers(layers)
+    lt = {}
+    _dec_layer(sd, "decoder.last_decoder", lt, "L")
+    dec["last_decoder"] = lt["L"]
+    # ContextualBiasDecoder: norm3 -> our bias_norm; src_attn -> our
+    # bias_decoder CrossAttention
+    _norm(sd, "decoder.bias_decoder.norm3", dec, "bias_norm")
+    bd: Dict[str, Any] = {}
+    _linear(sd, "decoder.bias_decoder.src_attn.linear_q", bd, "linear_q")
+    _linear(sd, "decoder.bias_decoder.src_attn.linear_k_v", bd, "linear_k_v")
+    _linear(sd, "decoder.bias_decoder.src_attn.linear_out", bd, "linear_out")
+    dec["bias_decoder"] = bd
+    # Conv1d(2D->D, k=1, bias=False) weight (D, 2D, 1) -> Dense kernel
+    dec["bias_output"] = {
+        "kernel": np.ascontiguousarray(
+            sd["decoder.bias_output.weight"][:, :, 0].T)
+    }
+    if "decoder.decoders3.0.norm1.weight" in sd:
+        lt = {}
+        _dec_layer(sd, "decoder.decoders3.0", lt, "L",
+                   has_self=False, has_src=False)
+        dec["decoders3"] = lt["L"]
+    _norm(sd, "decoder.after_norm", dec, "after_norm")
+    if "decoder.output_layer.weight" in sd:
+        _linear(sd, "decoder.output_layer", dec, "output_layer")
+    if "decoder.embed.0.weight" in sd:
+        dec["embed"] = {"embedding": sd["decoder.embed.0.weight"]}
+    tree["decoder"] = dec
+
+    _lstm(sd, "bias_encoder", tree, "bias_encoder", num_layers=1)
+    if "bias_embed.weight" in sd:
+        tree["bias_embed"] = {"embedding": sd["bias_embed.weight"]}
+    return out
+
+
 def seaco_paraformer_from_torch(sd: Mapping[str, np.ndarray]
                                 ) -> Dict[str, Any]:
     """SeacoParaformer (reference seaco_paraformer/model.py:44): BiCif tree

@@ -1,11 +1,12 @@
 """ContextualParaformer: hotword biasing v1 (reference
-funasr/models/contextual_paraformer/model.py:41 — an LSTM bias encoder
-over hotword token lists plus a bias cross-attention whose context is
-concatenated into the decoder hidden states before the output projection).
+funasr/models/contextual_paraformer/model.py:41): hotword token lists run
+through a dedicated embedding + 1-layer LSTM; the final per-word state is
+the hotword memory; a bias cross-attention INSIDE the decoder's last
+attention layer attends into that memory and the context re-enters the
+hidden stream through a 1x1 Conv (decoder.py:299 ``bias_output``).
 
-SeACo (funasr_tpu/models/seaco_paraformer) is the v2 scheme with a
-separate bias decoder; this class keeps the simpler v1 head.  Both share
-the hotword representation (token embed -> 2-layer LSTM, final state).
+SeACo (funasr_tpu/models/seaco_paraformer) is the v2 scheme with a separate
+bias decoder head.
 """
 
 from __future__ import annotations
@@ -17,48 +18,54 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from funasr_tpu import losses
+from funasr_tpu.models.contextual_paraformer.decoder import (
+    ContextualParaformerSANMDecoder,
+)
 from funasr_tpu.models.paraformer.model import Paraformer, add_eos
-from funasr_tpu.models.seaco_paraformer.model import BiasLSTM
-from funasr_tpu.models.transformer.decoder import MultiHeadAttention
 from funasr_tpu.ops.masks import sequence_mask
 from funasr_tpu.registry import tables
 
 Dtype = Any
 
 
+class BiasLSTM1(nn.Module):
+    """1-layer unidirectional LSTM (reference model.py:64: torch.nn.LSTM
+    with num_layers=1); returns the output at every position."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        rnn = nn.RNN(nn.OptimizedLSTMCell(self.features), name="lstm0")
+        return rnn(x)
+
+
 @tables.register("model_classes", "ContextualParaformer")
 class ContextualParaformer(Paraformer):
+    # the registered contextual decoder replaces the plain SANM one
+    decoder_name: Optional[str] = "ContextualParaformerDecoder"
     inner_dim: int = 512
-    bias_heads: int = 4
+    use_decoder_embedding: bool = False
+    clas_scale: float = 1.0
 
     def setup(self):
         super().setup()
-        self.bias_encoder = BiasLSTM(self.inner_dim, name="bias_encoder")
-        self.bias_attn = MultiHeadAttention(
-            self.bias_heads, self.inner_dim, 0.0, self.dtype,
-            self.param_dtype, name="bias_attn")
-        self.bias_output = nn.Dense(
-            self.vocab_size, name="bias_output", dtype=self.dtype,
-            param_dtype=self.param_dtype)
+        self.bias_encoder = BiasLSTM1(self.inner_dim, name="bias_encoder")
+        if not self.use_decoder_embedding:
+            self.bias_embed = nn.Embed(
+                self.vocab_size, self.inner_dim, name="bias_embed",
+                param_dtype=self.param_dtype, dtype=self.dtype)
 
     def _hotword_memory(self, hotword_pad, hotword_lengths):
-        """(H, Lh) -> (H, D): embed + LSTM final state (model.py bias
-        encoder; the last row should be the all-blank "no bias" entry)."""
-        hw_embed = self.decoder.embed_tokens(hotword_pad)
+        """(H, Lh) -> (H, D): embed + 1-layer LSTM output at position
+        len-1 (reference model.py:179-187)."""
+        if self.use_decoder_embedding:
+            hw_embed = self.decoder.embed_tokens(hotword_pad)
+        else:
+            hw_embed = self.bias_embed(hotword_pad)
         out = self.bias_encoder(hw_embed.astype(jnp.float32))
         idx = jnp.maximum(hotword_lengths.astype(jnp.int32) - 1, 0)
-        return jax.vmap(lambda o, i: o[i])(out, idx)
-
-    def _bias_logits(self, dec_hidden, memory, tok_lens):
-        """decoder hiddens attend into the hotword memory; the context adds
-        a bias term to the vocabulary logits (model.py contextual head)."""
-        B = dec_hidden.shape[0]
-        H = memory.shape[0]
-        mem = jnp.broadcast_to(memory[None], (B, H, memory.shape[-1]))
-        ctx = self.bias_attn(dec_hidden.astype(self.dtype),
-                             mem.astype(self.dtype), None, True)
-        base = self.decoder.project(dec_hidden)
-        return base + self.bias_output(ctx)
+        return jax.vmap(lambda o, i: o[i])(out, idx)  # (H, D)
 
     # ------------------------------------------------------------ inference
     def decode_with_hotwords(self, speech, speech_lengths, hotword_pad,
@@ -68,10 +75,12 @@ class ContextualParaformer(Paraformer):
                               deterministic=True)
         tok_lens = jnp.clip(jnp.round(pred.token_num).astype(jnp.int32),
                             0, max_tokens)
-        dec_hidden = self.decoder(enc, enc_lens, pred.acoustic_embeds,
-                                  tok_lens, True, return_hidden=True)
         memory = self._hotword_memory(hotword_pad, hotword_lengths)
-        logits = self._bias_logits(dec_hidden, memory, tok_lens)
+        ctx = jnp.broadcast_to(memory[None],
+                               (enc.shape[0],) + memory.shape)
+        logits = self.decoder(enc, enc_lens, pred.acoustic_embeds, tok_lens,
+                              True, contextual_info=ctx,
+                              clas_scale=self.clas_scale)
         tokens = jnp.argmax(logits, axis=-1)
         valid = sequence_mask(tok_lens, max_tokens, jnp.bool_)
         return jnp.where(valid, tokens, self.blank_id), tok_lens
@@ -80,6 +89,9 @@ class ContextualParaformer(Paraformer):
     def contextual_loss(self, speech, speech_lengths, text, text_lengths,
                         hotword_pad, hotword_lengths,
                         deterministic: bool = False):
+        """Training loss with the bias branch active (reference
+        model.py:150 ``forward``: att CE + predictor MAE, decoder fed the
+        hotword memory)."""
         enc, enc_lens = self.encode(speech, speech_lengths, deterministic)
         ys_pad, ys_lens = add_eos(text, text_lengths, self.eos,
                                   self.ignore_id)
@@ -87,10 +99,12 @@ class ContextualParaformer(Paraformer):
         pred = self.predictor(enc, enc_lens, max_tokens=U,
                               target_length=ys_lens.astype(jnp.float32),
                               deterministic=deterministic)
-        dec_hidden = self.decoder(enc, enc_lens, pred.acoustic_embeds,
-                                  ys_lens, deterministic, return_hidden=True)
         memory = self._hotword_memory(hotword_pad, hotword_lengths)
-        logits = self._bias_logits(dec_hidden, memory, ys_lens)
+        ctx = jnp.broadcast_to(memory[None],
+                               (enc.shape[0],) + memory.shape)
+        logits = self.decoder(enc, enc_lens, pred.acoustic_embeds, ys_lens,
+                              deterministic, contextual_info=ctx,
+                              clas_scale=self.clas_scale)
         loss_att = losses.label_smoothing_loss(
             logits, ys_pad, self.ignore_id, self.lsm_weight,
             self.length_normalized_loss)

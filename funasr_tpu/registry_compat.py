@@ -128,11 +128,14 @@ def install():
     # scama/decoder.py:203 FsmnDecoderSCAMAOpt, paraformer/decoder.py:982)
     for name in ("FsmnDecoder", "FsmnDecoderSCAMAOpt",
                  "ParaformerSANMDecoderExport",
-                 "ParaformerSANMDecoderOnlineExport",
-                 "ContextualParaformerDecoder",
-                 "ContextualParaformerDecoderExport"):
+                 "ParaformerSANMDecoderOnlineExport"):
         _alias("decoder_classes", name,
                "decoder_classes", "ParaformerSANMDecoder")
+    # ContextualParaformerDecoder is a real class
+    # (models/contextual_paraformer/decoder.py); only its export wrapper
+    # aliases to it
+    _alias("decoder_classes", "ContextualParaformerDecoderExport",
+           "decoder_classes", "ContextualParaformerDecoder")
     for name in ("ParaformerDecoderSAN", "ParaformerDecoderSANExport"):
         _alias("decoder_classes", name,
                "decoder_classes", "ParaformerSANDecoder")

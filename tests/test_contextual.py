@@ -8,7 +8,7 @@ import pytest
 from funasr_tpu.models.contextual_paraformer.model import ContextualParaformer
 
 CFG = dict(
-    vocab_size=12, input_size=20, inner_dim=16, bias_heads=2,
+    vocab_size=12, input_size=20, inner_dim=16,
     encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
                       num_blocks=2, kernel_size=5, dropout_rate=0.0),
     decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=1,
@@ -54,8 +54,8 @@ def test_contextual_loss_and_grad(ctx_model):
 
     loss, grads = jax.value_and_grad(lf)(params)
     assert np.isfinite(float(loss))
-    # the bias head must receive gradient
-    bias_grads = grads["params"]["bias_output"]
+    # the bias branch (inside the decoder) must receive gradient
+    bias_grads = grads["params"]["decoder"]["bias_output"]
     gsum = jax.tree_util.tree_reduce(
         lambda a, g: a + float(jnp.sum(jnp.abs(g))), bias_grads, 0.0)
     assert gsum > 0

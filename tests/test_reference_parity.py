@@ -502,3 +502,79 @@ def test_seaco_hotword_parity(speech):
                                    rtol=2e-3, atol=2e-3)
         np.testing.assert_array_equal(got[b, :n].argmax(-1),
                                       want[b, :n].argmax(-1))
+
+
+def test_contextual_hotword_parity(speech):
+    """ContextualParaformer decoder with the in-decoder bias branch matches
+    the reference cal_decoder_with_predictor (contextual_paraformer/
+    model.py:298) logit for logit."""
+    from funasr_tpu.convert import contextual_paraformer_from_torch
+    from funasr_tpu.models.contextual_paraformer.model import (
+        ContextualParaformer,
+    )
+
+    load_reference("funasr.models.sanm.encoder")
+    load_reference("funasr.models.paraformer.decoder")
+    load_reference("funasr.models.paraformer.cif_predictor")
+    cm = load_reference("funasr.models.contextual_paraformer.model")
+    torch.manual_seed(5)
+    ref = cm.ContextualParaformer(
+        encoder="SANMEncoder", encoder_conf=dict(ENC, input_layer="pe"),
+        decoder="ContextualParaformerDecoder", decoder_conf=dict(DEC),
+        predictor="CifPredictorV2", predictor_conf=dict(PRED),
+        inner_dim=D, ctc_weight=0.0, input_size=IN, vocab_size=V,
+        predictor_weight=1.0, predictor_bias=1, sampling_ratio=0.0,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {"params": contextual_paraformer_from_torch(sd)["params"]}
+
+    ours = ContextualParaformer(
+        vocab_size=V, input_size=IN, encoder_conf=ENC, decoder_conf=DEC,
+        predictor_conf=PRED, inner_dim=D, sampling_ratio=0.0)
+
+    x, lens = speech
+    hw_list = [[3, 4], [7], [1]]
+    with torch.no_grad():
+        enc, enc_lens = ref.encode(
+            torch.from_numpy(x), torch.from_numpy(lens.astype(np.int64)))
+        pre_embeds, tok_len, _, _ = ref.calc_predictor(enc, enc_lens)
+        tok_len = tok_len.round().long()
+        want, _ = ref.cal_decoder_with_predictor(
+            enc, enc_lens, pre_embeds, tok_len,
+            hw_list=[torch.tensor(h) for h in hw_list])
+        want = want.numpy()
+
+    U = want.shape[1]
+    hw_pad = np.zeros((3, 2), np.int32)
+    hw_lens = np.array([2, 1, 1], np.int32)
+    for i, hw in enumerate(hw_list):
+        hw_pad[i, :len(hw)] = hw
+    toks, tok_lens_j = ours.apply(
+        params, jnp.asarray(x), jnp.asarray(lens), jnp.asarray(hw_pad),
+        jnp.asarray(hw_lens), max_tokens=U,
+        method=ours.decode_with_hotwords)
+    assert tok_lens_j.tolist() == tok_len.tolist()
+    # logits parity needs the raw decoder output: run the decoder directly
+    from funasr_tpu.models.paraformer.model import Paraformer  # noqa: F401
+
+    def run_logits(mdl, x_, lens_, hw_pad_, hw_lens_):
+        enc_j, enc_lens_j = mdl.encode(x_, lens_, True)
+        pred = mdl.predictor(enc_j, enc_lens_j, max_tokens=U,
+                             deterministic=True)
+        tl = jnp.clip(jnp.round(pred.token_num).astype(jnp.int32), 0, U)
+        mem = mdl._hotword_memory(hw_pad_, hw_lens_)
+        ctx = jnp.broadcast_to(mem[None], (enc_j.shape[0],) + mem.shape)
+        logits = mdl.decoder(enc_j, enc_lens_j, pred.acoustic_embeds, tl,
+                             True, contextual_info=ctx)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), tl
+
+    got, tl = ours.apply(params, jnp.asarray(x), jnp.asarray(lens),
+                         jnp.asarray(hw_pad), jnp.asarray(hw_lens),
+                         method=run_logits)
+    got = np.asarray(got)
+    for b, n in enumerate(np.asarray(tl)):
+        np.testing.assert_allclose(got[b, :n], want[b, :n],
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_array_equal(got[b, :n].argmax(-1),
+                                      want[b, :n].argmax(-1))
