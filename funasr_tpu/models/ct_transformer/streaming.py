@@ -69,32 +69,67 @@ class CTTransformerStreamingModel(CTTransformerModel):
 
     def punctuate_streaming(self, text: str, cache: Optional[Dict] = None,
                             is_final: bool = False) -> Dict[str, Any]:
+        """Mini-sentence windowing like the reference (model.py:78-140):
+        new words are consumed in ``split_size``-word windows, each run as
+        [carried tail + window]; everything up to the window's last 。/？
+        commits; a window that exceeds ``cache_pop_trigger_limit`` words
+        with no sentence end force-breaks at its last comma (promoted to
+        。), so the carry — and the per-call forward length — stay bounded.
+        """
         cache = cache if cache is not None else {}
         prev_words: List[str] = cache.get("words", [])
-        prev_ids: List[int] = cache.get("ids", [])
+        prev_ids: List[int] = list(cache.get("ids", []))
 
         new_words = split_words(text)
         new_ids = self.tokens2ids(new_words)
-        words = prev_words + new_words
-        ids = np.asarray(prev_ids + new_ids, np.int32)
-        if len(words) == 0:
-            return {"text": "", "punc_array": np.zeros((0,), np.int64),
-                    "cache": cache}
+        split_size = 20
+        cache_pop_trigger_limit = 200
+        windows = [
+            (new_words[i: i + split_size], new_ids[i: i + split_size])
+            for i in range(0, len(new_words), split_size)
+        ]
+        if not windows:
+            if not (is_final and prev_words):
+                return {"text": "", "punc_array": np.zeros((0,), np.int64),
+                        "cache": cache}
+            windows = [([], [])]  # final flush of the carried tail
 
-        puncs = self._punc_ids_masked(ids, vad_pos=len(prev_words))
+        out_words: List[str] = []
+        out_puncs: List[int] = []
+        sentence_ends = ("。", "？", ".", "?")
+        for wi, (mw, mi) in enumerate(windows):
+            words = prev_words + mw
+            ids = prev_ids + list(mi)
+            if not words:
+                continue
+            puncs = np.array(self._punc_ids_masked(
+                np.asarray(ids, np.int32), vad_pos=len(prev_words)))
+            if is_final and wi == len(windows) - 1:
+                commit = len(words)
+            else:
+                sentence_end, last_comma = -1, -1
+                for i in range(len(puncs) - 2, 1, -1):
+                    p = self.punc_list[puncs[i]]
+                    if p in sentence_ends:
+                        sentence_end = i
+                        break
+                    if last_comma < 0 and p in ("，", ","):
+                        last_comma = i
+                if (sentence_end < 0
+                        and len(words) > cache_pop_trigger_limit
+                        and last_comma >= 0):
+                    # too long with no sentence end: break at the comma
+                    sentence_end = last_comma
+                    puncs[sentence_end] = self.sentence_end_id
+                commit = sentence_end + 1
+            out_words += words[:commit]
+            out_puncs += puncs[:commit].tolist()
+            prev_words = words[commit:]
+            prev_ids = ids[commit:]
 
-        if is_final:
-            commit = len(words)
-        else:
-            commit = 0
-            for i in range(len(puncs) - 1, -1, -1):
-                if self.punc_list[puncs[i]] in ("。", "？", ".", "?"):
-                    commit = i + 1
-                    break
-        out_words = words[:commit]
-        out_puncs = np.array(puncs[:commit])  # writable copy
-        cache["words"] = words[commit:]
-        cache["ids"] = list(ids[commit:])
+        cache["words"] = prev_words
+        cache["ids"] = prev_ids
+        out_puncs = np.asarray(out_puncs, np.int64)
 
         out_text = self._assemble(out_words, out_puncs) if out_words else ""
         if is_final and out_text and out_text[-1] not in ("。", "？", ".", "?"):

@@ -122,3 +122,29 @@ def test_streaming_punc_incremental(stream_punc):
 def test_streaming_punc_empty(stream_punc):
     out = stream_punc.punctuate_streaming("", {}, is_final=True)
     assert out["text"] == "" and len(out["punc_array"]) == 0
+
+
+def test_streaming_punc_force_break_bounds_cache(stream_punc):
+    """A stream whose model only ever predicts commas must still commit
+    (force-break at the comma past cache_pop_trigger_limit=200 words), so
+    the carry and per-call forward length stay bounded."""
+    model = stream_punc
+    comma_id = model.punc_list.index("，")
+
+    def all_commas(ids, vad_pos):
+        return np.full((len(ids),), comma_id, np.int64)
+
+    orig = model._punc_ids_masked
+    model._punc_ids_masked = all_commas
+    try:
+        cache = {}
+        committed = 0
+        for _ in range(30):  # 30 x 20 words = 600 words
+            out = model.punctuate_streaming("我们 " * 20, cache=cache)
+            committed += len(out["punc_array"])
+            assert len(cache["words"]) <= 201  # bounded carry
+        assert committed > 0  # the force-break actually commits
+        # the promoted break is a sentence end
+        out = model.punctuate_streaming("", cache=cache, is_final=True)
+    finally:
+        model._punc_ids_masked = orig
