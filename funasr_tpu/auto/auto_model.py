@@ -57,7 +57,9 @@ def _resolve_cfg(model: Union[str, Dict, None], conf: Optional[Dict]) -> Dict:
     else:
         cfg = {}
     if conf:
-        cfg.update(conf)
+        from funasr_tpu.config import deep_update
+
+        deep_update(cfg, conf)  # ++key.path=value merges, not replaces
     return cfg
 
 

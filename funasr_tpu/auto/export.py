@@ -133,16 +133,29 @@ class LoadedServable:
         return self.buckets[-1]
 
     def __call__(self, wavs: Sequence[np.ndarray]):
+        """Decode any number of waveforms: batches larger than the biggest
+        bucket run in chunks (nothing is dropped); audio longer than the
+        longest seconds bucket raises instead of silently truncating."""
         n = len(wavs)
+        max_B = max(b for b, _, _ in self.buckets)
+        if n > max_B:  # chunk and concatenate per-output
+            outs = [self(wavs[i: i + max_B]) for i in range(0, n, max_B)]
+            return tuple(np.concatenate([o[k] for o in outs], axis=0)
+                         for k in range(len(outs[0])))
         samples = max(len(w) for w in wavs)
+        max_T = max(s for _, s, _ in self.buckets) * self.fs
+        if samples > max_T:
+            raise ValueError(
+                f"audio of {samples / self.fs:.1f}s exceeds the largest "
+                f"exported bucket ({max_T / self.fs:.0f}s); re-export with "
+                "a larger `seconds` bucket or segment with a VAD model")
         B, S, fname = self._pick(n, samples)
         T = S * self.fs
         wav = np.zeros((B, T), np.float32)
         lens = np.zeros((B,), np.int32)
-        for i, w in enumerate(wavs[:B]):
-            m = min(len(w), T)
-            wav[i, :m] = w[:m]
-            lens[i] = m
+        for i, w in enumerate(wavs):
+            wav[i, : len(w)] = w
+            lens[i] = len(w)
         out = self._fn(B, S, fname).call(self.param_leaves, wav, lens)
         return tuple(np.asarray(o)[:n] for o in out)
 

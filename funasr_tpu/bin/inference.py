@@ -46,15 +46,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from funasr_tpu.auto.auto_model import AutoModel
-    from funasr_tpu.config import deep_update, load_config
 
-    model_cfg = load_config(args.model)
-    deep_update(model_cfg, parse_overrides(args.overrides))
-
+    # args.model may be a dir/yaml OR a hub id/alias ("paraformer-zh"):
+    # AutoModel._resolve_cfg handles all of them; ++overrides deep-merge
     am = AutoModel(
-        model=model_cfg,
-        vad_model=load_config(args.vad_model) if args.vad_model else None,
-        punc_model=load_config(args.punc_model) if args.punc_model else None,
+        model=args.model,
+        model_conf=parse_overrides(args.overrides),
+        vad_model=args.vad_model,
+        punc_model=args.punc_model,
     )
     gen_kwargs = {}
     if am.vad_engine is not None:

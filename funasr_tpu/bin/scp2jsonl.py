@@ -62,7 +62,7 @@ def scp2jsonl(scp_file: str, out_file: str,
             tgt = texts.get(key, "")
             rec = {"key": key, "source": src,
                    "source_len": n_samp if n_samp else 1,
-                   "target": tgt, "target_len": len(tgt.split()) or len(tgt)}
+                   "target": tgt, "target_len": (len(tgt.split()) if " " in tgt else len(tgt))}
             f.write(json.dumps(rec, ensure_ascii=False) + "\n")
             n += 1
     return n

@@ -35,7 +35,7 @@ def sensevoice2jsonl(scp_file: str, text_file: str, out_file: str,
                 "key": key, "source": src,
                 "source_len": n_samp if n_samp else 1,
                 "target": tgt,
-                "target_len": len(tgt.split()) or len(tgt),
+                "target_len": (len(tgt.split()) if " " in tgt else len(tgt)),
                 "text_language": lids.get(key, "<|zh|>"),
                 "emo_target": emos.get(key, "<|NEUTRAL|>"),
                 "event_target": events.get(key, "<|Speech|>"),

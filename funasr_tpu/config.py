@@ -25,7 +25,9 @@ def deep_update(base: Dict[str, Any], new: Mapping[str, Any]) -> Dict[str, Any]:
     nested dicts merge; everything else overwrites.
     """
     for k, v in new.items():
-        if isinstance(v, Mapping) and isinstance(base.get(k), dict):
+        # an EMPTY mapping override replaces (clears) the section, matching
+        # the reference (misc.py: only non-empty dicts merge recursively)
+        if isinstance(v, Mapping) and v and isinstance(base.get(k), dict):
             deep_update(base[k], v)
         else:
             base[k] = copy.deepcopy(v) if isinstance(v, (dict, list)) else v

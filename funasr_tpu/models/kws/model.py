@@ -458,8 +458,9 @@ class SanmKWSStreaming(SanmKWS):
             p = params["params"]
             W = chunk.shape[1]
             out, enc_state = encoder_chunk(
-                p["encoder"], chunk, st.enc, st.start_idx,
-                n_head=n_head, kernel_size=kernel, d_model=d_model, keep=W)
+                p["encoder"], chunk, st.enc, st.start_idx, chunk_valid,
+                n_head=n_head, kernel_size=kernel, d_model=d_model, keep=W,
+                overlap=0)  # KWS windows carry no overlap cache
             logits = dense(p["ctc_lo"], out)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
 

@@ -90,9 +90,10 @@ def _enc_layer_chunk(lp, x, kv_cache, kv_valid, win_valid, *, n_head,
 
     # FSMN memory over the window only (reference passes mask=None); pad
     # frames beyond win_valid are zeroed so they cannot leak into the conv
-    # tails of real frames
+    # tails of real frames.  win_valid: () scalar or (B,) per-utterance.
+    wv = jnp.reshape(jnp.asarray(win_valid), (-1, 1, 1))  # (1|B, 1, 1)
     wpos = lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
-    wvalid = (wpos < win_valid).astype(v.dtype)
+    wvalid = (wpos < wv).astype(v.dtype)
     v = v * wvalid
     left = (kernel_size - 1) // 2
     mem = depthwise_conv(v, ap["fsmn_block"], left, kernel_size - 1 - left) + v
@@ -107,7 +108,7 @@ def _enc_layer_chunk(lp, x, kv_cache, kv_valid, win_valid, *, n_head,
     scores = jnp.einsum("bwhd,bshd->bhws", q_h, k_h).astype(jnp.float32)
     pos = lax.broadcasted_iota(jnp.int32, (1, 1, 1, C + W), 3)
     valid = ((pos >= (C - kv_valid))  # first C-valid cache slots are empty
-             & (pos < C + win_valid))  # final-chunk pad frames
+             & (pos < C + jnp.reshape(wv, (-1, 1, 1, 1))))  # trailing pads
     scores = jnp.where(valid, scores, jnp.finfo(jnp.float32).min)
     attn = jax.nn.softmax(scores, axis=-1).astype(v_h.dtype)
     ctx = jnp.einsum("bhws,bshd->bwhd", attn, v_h).reshape(B, W, D)

@@ -66,15 +66,20 @@ class AsrGrpcServer:
         buf = bytearray()
         user = ""
         language = "zh-CN"
+        fs = 16000
         for msg in request_iterator:
             req = _de(msg)
             user = req.get("user", user)
             language = req.get("language", language)
+            # honor audio_fs on whichever message carries it (clients
+            # usually set it on the audio-bearing messages, not the final
+            # speaking:false)
+            if req.get("audio_fs"):
+                fs = int(req["audio_fs"])
             if req.get("audio_data"):
                 buf.extend(base64.b64decode(req["audio_data"]))
             if req.get("speaking") is False:
                 wav = np.frombuffer(bytes(buf), "<i2").astype(np.float32) / 32768.0
-                fs = int(req.get("audio_fs", 16000))
                 if fs != 16000:
                     from funasr_tpu.utils.audio import resample_linear
 
@@ -158,7 +163,6 @@ def main(argv=None):
     import argparse
 
     from funasr_tpu.auto.auto_model import AutoModel
-    from funasr_tpu.config import load_config
 
     ap = argparse.ArgumentParser(prog="funasr-tpu-grpc-server")
     ap.add_argument("--model", required=True)
@@ -167,7 +171,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
-    am = AutoModel(model=load_config(args.model))
+    am = AutoModel(model=args.model)
     srv = AsrGrpcServer(am, host=args.host, port=args.port)
     srv.start()
     srv.wait()

@@ -57,8 +57,16 @@ class AsrHttpServer:
 
                 with wavmod.open(io.BytesIO(data)) as w:
                     fs = w.getframerate()
+                    nch = w.getnchannels()
+                    width = w.getsampwidth()
                     raw = w.readframes(w.getnframes())
+                if width != 2:
+                    raise ValueError(
+                        f"unsupported wav sample width {width * 8} bit "
+                        "(PCM16 supported in the pure-python fallback)")
                 wav = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+                if nch > 1:  # downmix interleaved channels like native
+                    wav = wav.reshape(-1, nch).mean(axis=1)
                 wav = load_audio(wav, fs=16000, audio_fs=fs)
         else:
             wav = load_audio(data, fs=16000, audio_fs=audio_fs)
@@ -117,7 +125,6 @@ def main(argv=None):  # CLI: python -m funasr_tpu.runtime.http_server
     import argparse
 
     from funasr_tpu.auto.auto_model import AutoModel
-    from funasr_tpu.config import load_config
 
     ap = argparse.ArgumentParser(prog="funasr-tpu-http-server")
     ap.add_argument("--model", required=True)
@@ -129,9 +136,9 @@ def main(argv=None):  # CLI: python -m funasr_tpu.runtime.http_server
 
     logging.basicConfig(level=logging.INFO)
     am = AutoModel(
-        model=load_config(args.model),
-        vad_model=load_config(args.vad_model) if args.vad_model else None,
-        punc_model=load_config(args.punc_model) if args.punc_model else None,
+        model=args.model,
+        vad_model=args.vad_model,
+        punc_model=args.punc_model,
     )
     AsrHttpServer(am, host=args.host, port=args.port).run()
 

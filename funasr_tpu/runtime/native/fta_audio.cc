@@ -191,6 +191,13 @@ int fta_queue_push(fta_queue *q, const float *samples, int64_t n) {
 
 int fta_queue_push_pcm16(fta_queue *q, const uint8_t *bytes, size_t len) {
   if (!q) return -1;
+  /* same dead-prefix compaction as fta_queue_push: streaming sessions feed
+     exclusively through this path, so without it the buffer grows without
+     bound (~230 MB/h of 16 kHz audio) */
+  if (q->head > 65536 && q->head * 2 > q->buf.size()) {
+    q->buf.erase(q->buf.begin(), q->buf.begin() + (ptrdiff_t)q->head);
+    q->head = 0;
+  }
   int64_t n = (int64_t)(len / 2);
   size_t old = q->buf.size();
   q->buf.resize(old + (size_t)n);

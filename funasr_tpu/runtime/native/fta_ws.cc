@@ -266,7 +266,8 @@ struct Server {
     std::string key = req.substr(vbeg, vend - vbeg);
     size_t a = key.find_first_not_of(" \t");
     size_t b = key.find_last_not_of(" \t");
-    key = key.substr(a, b - a + 1);
+    if (a == std::string::npos) return false;  // empty key: reject, don't
+    key = key.substr(a, b - a + 1);            // throw across the C ABI
 
     uint8_t digest[20];
     Sha1().digest(key + kGuid, digest);

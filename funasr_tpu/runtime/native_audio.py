@@ -48,7 +48,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ):
             if not _build():
                 return None
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:  # corrupt / wrong-arch .so: fall back to NumPy
+            return None
         lib.fta_wav_decode.restype = ctypes.c_int
         lib.fta_wav_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,

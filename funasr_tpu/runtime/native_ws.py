@@ -205,7 +205,6 @@ def main(argv=None):  # CLI: python -m funasr_tpu.runtime.native_ws
     import argparse
 
     from funasr_tpu.auto.auto_model import AutoModel
-    from funasr_tpu.config import load_config
 
     ap = argparse.ArgumentParser(prog="funasr-tpu-server-native")
     ap.add_argument("--model", required=True)
@@ -217,9 +216,9 @@ def main(argv=None):  # CLI: python -m funasr_tpu.runtime.native_ws
 
     logging.basicConfig(level=logging.INFO)
     am = AutoModel(
-        model=load_config(args.model),
-        vad_model=load_config(args.vad_model) if args.vad_model else None,
-        punc_model=load_config(args.punc_model) if args.punc_model else None,
+        model=args.model,
+        vad_model=args.vad_model,
+        punc_model=args.punc_model,
     )
     NativeAsrWebSocketServer(am, host=args.host, port=args.port).run()
 

@@ -251,9 +251,9 @@ def main(argv=None):  # CLI: funasr-tpu-server
 
     logging.basicConfig(level=logging.INFO)
     am = AutoModel(
-        model=load_config(args.model),
-        vad_model=load_config(args.vad_model) if args.vad_model else None,
-        punc_model=load_config(args.punc_model) if args.punc_model else None,
+        model=args.model,
+        vad_model=args.vad_model,
+        punc_model=args.punc_model,
     )
     streaming = (build_streaming_model(load_config(args.streaming_model))
                  if args.streaming_model else None)

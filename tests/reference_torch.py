@@ -20,6 +20,12 @@ def _stub(name, **attrs):
     mod = sys.modules.get(name)
     if mod is None:
         mod = types.ModuleType(name)
+        # a real ModuleSpec: importlib.util.find_spec() on a stubbed name
+        # (e.g. transformers probing librosa) raises ValueError when
+        # __spec__ is None, poisoning later tests in the same process
+        import importlib.machinery
+
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         sys.modules[name] = mod
     for k, v in attrs.items():
         setattr(mod, k, v)
