@@ -30,8 +30,12 @@ Dtype = Any
 
 class PredictorOutputV3(NamedTuple):
     base: PredictorOutput
-    us_alphas: jnp.ndarray  # (B, T*u) upsampled alphas
+    us_alphas: jnp.ndarray  # (B, T*u) upsampled alphas (rescaled)
     us_peaks: jnp.ndarray  # (B, T*u) upsampled fire indicator
+    token_num2: jnp.ndarray  # (B,) PRE-rescale sum of the upsample head:
+    # the pre2 training signal (reference cif_predictor.py:214
+    # token_num2 = alphas2.sum(-1)); the rescaled us_alphas sum to
+    # token_num identically, which would give the head ZERO gradient
 
 
 @tables.register("predictor_classes", "CifPredictorV3")
@@ -94,6 +98,7 @@ class CifPredictorV3(nn.Module):
                           - self.noise_threshold2)
         mask2 = jnp.repeat(mask, u, axis=-1)
         alphas2 = alphas2 * mask2
+        token_num2 = jnp.sum(alphas2, axis=-1)
 
         def us_track(a2, count):
             # rescale so the upsampled head integrates to exactly `count`
@@ -117,7 +122,7 @@ class CifPredictorV3(nn.Module):
                                    o.fires, o.peaks)
             alphas2, us_peaks = us_track(
                 alphas2, target_length.astype(jnp.float32))
-            return PredictorOutputV3(base, alphas2, us_peaks)
+            return PredictorOutputV3(base, alphas2, us_peaks, token_num2)
 
         if self.tail_threshold > 0.0:
             hidden_masked, alphas, tok_floor = cif_tail(
@@ -127,7 +132,7 @@ class CifPredictorV3(nn.Module):
         base = PredictorOutput(o.embeds.astype(self.dtype), token_num, alphas,
                                o.fires, o.peaks)
         alphas2, us_peaks = us_track(alphas2, token_num.astype(jnp.float32))
-        return PredictorOutputV3(base, alphas2, us_peaks)
+        return PredictorOutputV3(base, alphas2, us_peaks, token_num2)
 
 
 @tables.register("model_classes", "BiCifParaformer")
@@ -169,10 +174,11 @@ class BiCifParaformer(Paraformer):
             self.length_normalized_loss)
         loss_pre = losses.mae_length_loss(ys_lens, base.token_num,
                                           self.length_normalized_loss)
-        # pre2: the upsampled alphas must also integrate to the target length
+        # pre2: the upsample head's PRE-rescale mass must integrate to the
+        # target length (token_num2; the rescaled us_alphas sum to the
+        # target identically and would give zero gradient)
         loss_pre2 = losses.mae_length_loss(
-            ys_lens, jnp.sum(pred.us_alphas, axis=-1),
-            self.length_normalized_loss)
+            ys_lens, pred.token_num2, self.length_normalized_loss)
         acc = losses.th_accuracy(
             glat_logits if glat_logits is not None else logits,
             ys_pad, self.ignore_id)

@@ -123,7 +123,10 @@ class Emotion2vecModule(nn.Module):
 
     @nn.compact
     def __call__(self, wav, wav_lengths, deterministic: bool = True,
-                 return_frames: bool = False):
+                 return_frames: bool = False, frame_mask=None):
+        """``frame_mask`` (B, T) bool: positions replaced by the learned
+        mask embedding after the feature extractor (the data2vec student
+        corruption; the teacher runs with frame_mask=None)."""
         feats = ConvFeatureExtractor(dtype=self.dtype,
                                      param_dtype=self.param_dtype,
                                      name="feature_extractor")(wav)
@@ -136,6 +139,11 @@ class Emotion2vecModule(nn.Module):
         x = LayerNormF32(self.dtype, self.param_dtype, name="post_extract_ln")(feats)
         x = nn.Dense(self.dim, name="post_extract_proj", dtype=self.dtype,
                      param_dtype=self.param_dtype)(x)
+        mask_emb = self.param("mask_emb", nn.initializers.normal(0.02),
+                              (self.dim,), self.param_dtype)
+        if frame_mask is not None:
+            x = jnp.where(frame_mask[:, :, None],
+                          mask_emb.astype(x.dtype)[None, None, :], x)
         # conv positional embedding (wav2vec2 style: depthwise-ish conv)
         pos = nn.Conv(self.dim, (19,), padding="SAME", feature_group_count=16,
                       name="pos_conv", dtype=self.dtype,
@@ -231,12 +239,12 @@ def ssl_loss(module: Emotion2vecModule, student_params, teacher_params,
     T = teacher_frames.shape[1]
     mask = jax.random.bernoulli(rng, mask_prob, (wav.shape[0], T))
     mask = mask & (jnp.arange(T)[None] < flens[:, None])
-    # student sees masked input: zero out masked frames post-extractor is
-    # approximated by input dropout via the same forward (masking at the
-    # waveform level would shift frames); regression on masked positions
+    # the student's masked positions are replaced by the learned mask
+    # embedding after the feature extractor (the data2vec corruption) —
+    # without it the objective is degenerate (student == teacher input)
     _, _, student_frames, _ = module.apply(
         student_params, wav, wav_lengths, deterministic=True,
-        return_frames=True)
+        return_frames=True, frame_mask=mask)
     diff = (student_frames - teacher_frames) ** 2
     per_frame = jnp.mean(diff, axis=-1)
     denom = jnp.maximum(jnp.sum(mask), 1)

@@ -57,8 +57,12 @@ class MonotonicAligner(nn.Module):
         enc, enc_lens = self.encoder(speech, speech_lengths, deterministic)
         pred = self.predictor(enc, enc_lens, max_tokens=text.shape[1],
                               deterministic=deterministic)
+        # pre-rescale upsample-head mass (token_num2): the rescaled
+        # us_alphas sum to token_num identically -> zero gradient
+        # (reference monotonic_aligner/model.py:105 trains
+        # pre_token_length2)
         loss = losses.mae_length_loss(
-            text_lengths, jnp.sum(pred.us_alphas, axis=-1),
+            text_lengths, pred.token_num2,
             self.length_normalized_loss,
         )
         return loss, {"loss": loss, "loss_pre": loss}
@@ -81,5 +85,8 @@ class MonotonicAligner(nn.Module):
         s, c = compensated_cumsum(us_alphas, axis=-1)
         S = s + c
         P = S - us_alphas
-        us_peaks = jnp.floor(S) > jnp.floor(P)
+        # integer fire counts: a frame whose rescaled alpha crosses several
+        # integer boundaries fires that many times (reference cif_wo_hidden
+        # subtracts the threshold per fire, losing none)
+        us_peaks = (jnp.floor(S) - jnp.floor(P)).astype(jnp.int32)
         return us_alphas, us_peaks

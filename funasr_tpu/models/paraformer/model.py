@@ -133,11 +133,14 @@ class Paraformer(nn.Module):
         text: jnp.ndarray,  # (B, U) token ids, ignore_id padded
         text_lengths: jnp.ndarray,
         deterministic: bool = False,
+        encoded=None,  # optional (enc, enc_lens) to share the encoder pass
     ):
         """Training forward -> (loss, stats).  Matches reference
         model.py:168 ``forward`` loss composition."""
         B = speech.shape[0]
-        enc, enc_lens = self.encode(speech, speech_lengths, deterministic)
+        enc, enc_lens = (encoded if encoded is not None
+                         else self.encode(speech, speech_lengths,
+                                          deterministic))
 
         ys_pad, ys_lens = (
             add_eos(text, text_lengths, self.eos, self.ignore_id)

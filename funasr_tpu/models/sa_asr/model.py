@@ -73,9 +73,11 @@ class SAASR(Paraformer):
 
         spk_labels: (B, U+1) profile index per target token (ignore_id
         padded; the eos position may be ignore_id)."""
-        loss_asr, stats = self(speech, speech_lengths, text, text_lengths,
-                               deterministic)
+        # ONE encoder pass shared by the ASR loss and the speaker branch
+        # (the 50-layer encoder is the bulk of the step)
         enc, enc_lens = self.encode(speech, speech_lengths, deterministic)
+        loss_asr, stats = self(speech, speech_lengths, text, text_lengths,
+                               deterministic, encoded=(enc, enc_lens))
         ys_pad, ys_lens = add_eos(text, text_lengths, self.eos,
                                   self.ignore_id)
         U = ys_pad.shape[1]

@@ -63,13 +63,19 @@ class SONDNet(nn.Module):
         # (frame x speaker) score map (the "overlap-aware" post net)
         scores = jnp.einsum("btd,bsd->bts", x, prof) / jnp.sqrt(
             float(self.n_units))
+        # zero padded-profile columns BEFORE the joint post net so bias-only
+        # projections of zero profiles cannot leak into valid speakers'
+        # refined logits.  NOTE: the post net mixes over the speaker axis,
+        # so the padded profile count S is fixed by the trained params
+        # (pad enrollments to the same S across calls).
+        pmask = sequence_mask(profile_lens, S, jnp.bool_)[:, None, :]
+        scores = jnp.where(pmask, scores, 0.0)
         h = nn.Dense(self.n_units // 2, name="post1", dtype=self.dtype,
                      param_dtype=self.param_dtype)(scores)
         h = nn.relu(h)
         h = nn.Dense(S, name="post2", dtype=self.dtype,
                      param_dtype=self.param_dtype)(h)
         logits = scores + h  # residual refinement
-        pmask = sequence_mask(profile_lens, S, jnp.bool_)[:, None, :]
         return jnp.where(pmask, logits, -1e30)
 
 

@@ -142,7 +142,11 @@ class Transducer(nn.Module):
         enc, enc_lens = self.encoder(speech, speech_lengths, True)
         B, T, _ = enc.shape
         state0 = self.decoder.init_state(B)
-        _, g0 = self.decoder.step(state0, jnp.full((B,), self.blank_id, jnp.int32))
+        # carry the post-blank LSTM state: training runs the prediction net
+        # over [blank]+targets, so the first emission must be fed to the
+        # state AFTER consuming blank, not the zero state
+        state0, g0 = self.decoder.step(
+            state0, jnp.full((B,), self.blank_id, jnp.int32))
 
         def frame_step(carry, t):
             state, g, last_tok, out, count = carry

@@ -25,19 +25,22 @@ from jax import lax
 
 from funasr_tpu.registry import tables
 
+def _size(d_model, layers, heads, **extra):
+    # FFN width is 4*d_model in every released Whisper; WhisperConfig's
+    # default (1536) only matches tiny, so spell it out per size
+    return dict(d_model=d_model, encoder_layers=layers,
+                encoder_attention_heads=heads, decoder_layers=layers,
+                decoder_attention_heads=heads,
+                encoder_ffn_dim=4 * d_model, decoder_ffn_dim=4 * d_model,
+                **extra)
+
+
 SIZES = {
-    "tiny": dict(d_model=384, encoder_layers=4, encoder_attention_heads=6,
-                 decoder_layers=4, decoder_attention_heads=6),
-    "base": dict(d_model=512, encoder_layers=6, encoder_attention_heads=8,
-                 decoder_layers=6, decoder_attention_heads=8),
-    "small": dict(d_model=768, encoder_layers=12, encoder_attention_heads=12,
-                  decoder_layers=12, decoder_attention_heads=12),
-    "medium": dict(d_model=1024, encoder_layers=24,
-                   encoder_attention_heads=16, decoder_layers=24,
-                   decoder_attention_heads=16),
-    "large-v3": dict(d_model=1280, encoder_layers=32,
-                     encoder_attention_heads=20, decoder_layers=32,
-                     decoder_attention_heads=20, num_mel_bins=128),
+    "tiny": _size(384, 4, 6),
+    "base": _size(512, 6, 8),
+    "small": _size(768, 12, 12),
+    "medium": _size(1024, 24, 16),
+    "large-v3": _size(1280, 32, 20, num_mel_bins=128, vocab_size=51866),
 }
 
 
@@ -119,13 +122,25 @@ class WhisperLID(WhisperWrap):
 
     def transcribe_with_lid(self, input_features: jnp.ndarray,
                             max_tokens: int = 64):
+        if not self.language_token_ids:
+            raise ValueError(
+                "WhisperLID needs language_token_ids (the tokenizer ids of "
+                "the <|xx|> language tokens) to detect languages")
         probs = self.detect_language(input_features,
                                      self.language_token_ids)
-        best = jnp.argmax(probs, axis=-1)
-        # force the detected language token after sot (per-batch leading
-        # token; decode uses the modal language for the batch)
-        lang_tok = int(jnp.asarray(self.language_token_ids)[
-            int(np.asarray(best)[0])])
-        tokens = self.greedy_decode(input_features, max_tokens=max_tokens,
-                                    forced_tokens=[lang_tok])
-        return tokens, probs
+        best = np.asarray(jnp.argmax(probs, axis=-1))
+        lang_ids = np.asarray(self.language_token_ids)
+        # decode each utterance with ITS detected language token (grouped
+        # by language so each group is one fixed-shape decode)
+        B = input_features.shape[0]
+        out_tokens = None
+        for lang in np.unique(best):
+            idx = np.nonzero(best == lang)[0]
+            toks = self.greedy_decode(
+                input_features[jnp.asarray(idx)], max_tokens=max_tokens,
+                forced_tokens=[int(lang_ids[lang])])
+            toks = np.asarray(toks)
+            if out_tokens is None:
+                out_tokens = np.zeros((B,) + toks.shape[1:], toks.dtype)
+            out_tokens[idx] = toks
+        return jnp.asarray(out_tokens), probs

@@ -22,16 +22,17 @@ def test_pretrain_step(rng):
     lens = jnp.array([3200], jnp.int32)
     loss, grads, _ = m.pretrain_step(student, teacher, wav, lens,
                                      jax.random.PRNGKey(1))
-    # identical student/teacher -> zero loss, zero grads
-    assert float(loss) < 1e-9
-    # perturb student -> nonzero loss and grads
+    # the masked-frame corruption makes reconstruction non-trivial: even an
+    # identical student/teacher pair has loss and gradient (the old
+    # degenerate objective gave exactly zero and trained nothing)
+    assert float(loss) > 1e-4
+    gsum = jax.tree_util.tree_reduce(
+        lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0)
+    assert gsum > 0
     student2 = jax.tree_util.tree_map(lambda v: v + 0.01, student)
     loss2, grads2, _ = m.pretrain_step(student2, teacher, wav, lens,
                                        jax.random.PRNGKey(1))
     assert float(loss2) > 0
-    gsum = jax.tree_util.tree_reduce(
-        lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads2, 0.0)
-    assert gsum > 0
     # EMA merge moves the teacher toward the student
     t2 = m.update_teacher(teacher, student2)
 

@@ -56,8 +56,14 @@ def test_ssl_loss(ser, rng):
     lens = jnp.array([3200], jnp.int32)
     loss = ssl_loss(module, ser.params, ser.params, wav, lens,
                     jax.random.PRNGKey(1))
-    # identical student/teacher -> zero regression loss
-    assert float(loss) < 1e-9
+    # the student's masked positions are corrupted (mask_emb), so even an
+    # identical student/teacher pair has a real reconstruction loss — the
+    # objective is NOT degenerate
+    assert float(loss) > 1e-4
+    # no masking -> student sees the teacher's input -> zero loss
+    loss0 = ssl_loss(module, ser.params, ser.params, wav, lens,
+                     jax.random.PRNGKey(1), mask_prob=0.0)
+    assert float(loss0) < 1e-9
 
 
 def test_emotion2vec_via_automodel(rng):
