@@ -75,22 +75,53 @@ class WhisperWrap:
 
     def greedy_decode(self, input_features: jnp.ndarray, max_tokens: int = 64,
                       forced_tokens: Optional[list] = None):
-        """Device greedy decode -> (B, max_tokens) token ids."""
-        enc = self.model.encode(input_features=input_features,
-                                params=self.params)
-        B = input_features.shape[0]
-        sot = self.config.decoder_start_token_id
-        eos = self.config.eos_token_id
-        start = [sot] + list(forced_tokens or [])
-        del eos  # greedy loop runs to max_tokens; caller trims at eos
+        """Device greedy decode -> (B, max_tokens) token ids.
 
-        tokens = jnp.tile(jnp.asarray(start, jnp.int32)[None], (B, 1))
-        for _ in range(max_tokens):
-            out = self.model.decode(decoder_input_ids=tokens,
-                                    encoder_outputs=enc, params=self.params)
-            nxt = jnp.argmax(out.logits[:, -1, :], axis=-1).astype(jnp.int32)
-            tokens = jnp.concatenate([tokens, nxt[:, None]], axis=1)
-        return tokens[:, len(start):]
+        One jitted program: the decoder runs with a KV cache under
+        ``lax.scan`` (fixed shapes, O(L) work) instead of re-running the
+        full decoder over the growing prefix each step."""
+        import functools
+
+        sot = self.config.decoder_start_token_id
+        start = tuple([sot] + list(forced_tokens or []))
+        key = (max_tokens, start, input_features.shape)
+        if getattr(self, "_greedy_key", None) != key:
+            n0 = len(start)
+            total = n0 + max_tokens
+
+            @jax.jit
+            def run(params, feats):
+                enc = self.model.encode(input_features=feats, params=params)
+                B = feats.shape[0]
+                cache = self.model.init_cache(B, total, enc)
+                forced = jnp.tile(jnp.asarray(start, jnp.int32)[None],
+                                  (B, 1))  # (B, n0)
+
+                def body(carry, i):
+                    tok, cache = carry  # tok (B,) current input token
+                    o = self.model.decode(
+                        decoder_input_ids=tok[:, None], encoder_outputs=enc,
+                        params=params, past_key_values=cache,
+                        decoder_position_ids=jnp.full((B, 1), i, jnp.int32))
+                    pred = jnp.argmax(o.logits[:, -1, :],
+                                      -1).astype(jnp.int32)
+                    # inside the forced prefix the next input is the forced
+                    # token; afterwards it is the greedy prediction
+                    in_prefix = i + 1 < n0
+                    nxt = jnp.where(in_prefix,
+                                    forced[:, jnp.minimum(i + 1, n0 - 1)],
+                                    pred)
+                    return (nxt, o.past_key_values), pred
+
+                steps = n0 + max_tokens - 1
+                (_, _), preds = jax.lax.scan(
+                    body, (forced[:, 0], cache), jnp.arange(steps))
+                preds = jnp.moveaxis(preds, 0, 1)  # (B, steps)
+                return preds[:, n0 - 1:]  # the max_tokens continuations
+
+            self._greedy_key = key
+            self._greedy_fn = run
+        return self._greedy_fn(self.params, input_features)
 
     def detect_language(self, input_features: jnp.ndarray,
                         language_token_ids):
