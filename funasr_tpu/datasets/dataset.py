@@ -60,7 +60,13 @@ class AudioDataset:
     ) -> Dict[str, np.ndarray]:
         """Pad a list of items to (quantized) batch shapes."""
         B = len(items)
-        s_len = pad_speech_len or max(it["speech_length"] for it in items)
+        true_s = max(it["speech_length"] for it in items)
+        s_len = pad_speech_len or true_s
+        if s_len < true_s:
+            raise ValueError(
+                f"pad_speech_len={s_len} is below the longest item "
+                f"({true_s} samples) — the sampler's length grid must cover "
+                "the dataset max (silent truncation would corrupt training)")
         speech = np.zeros((B, s_len), np.float32)
         speech_lengths = np.zeros((B,), np.int32)
         for b, it in enumerate(items):
@@ -73,7 +79,12 @@ class AudioDataset:
             "keys": [it["key"] for it in items],
         }
         if "text" in items[0]:
-            t_len = pad_text_len or max(it["text_length"] for it in items)
+            true_t = max(it["text_length"] for it in items)
+            t_len = pad_text_len or true_t
+            if t_len < true_t:
+                raise ValueError(
+                    f"pad_text_len={t_len} is below the longest target "
+                    f"({true_t} tokens) — widen the sampler's target grid")
             text = np.full((B, t_len), ignore_id, np.int32)
             text_lengths = np.zeros((B,), np.int32)
             for b, it in enumerate(items):

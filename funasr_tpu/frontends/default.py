@@ -2,9 +2,10 @@
 funasr/frontends/default.py:24 ``DefaultFrontend``; used by data2vec-style
 models).
 
-Semantics: Hann-windowed STFT (n_fft 512, hop 128 by default, center
-reflect padding), power spectrum, HTK-mel filterbank, ``log``.  Jittable
-static-shape function + a thin registered class.
+Semantics: periodic-Hann STFT (torch.hann_window; n_fft 512, hop 128,
+center reflect padding), power spectrum, librosa SLANEY mel filterbank
+(fmin=0, htk=False — reference frontends/utils/log_mel.py:49), ``log``.
+Jittable static-shape function + a thin registered class.
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from funasr_tpu.ops.fbank import kaldi_mel_banks
+from funasr_tpu.frontends.whisper_frontend import _slaney_mel_banks
 from funasr_tpu.registry import tables
 
 
@@ -31,7 +32,11 @@ def stft_log_mel(wav: jnp.ndarray, lengths: jnp.ndarray, n_fft: int = 512,
     T = N // hop + 1
     idx = jnp.arange(T)[:, None] * hop + jnp.arange(n_fft)[None, :]
     frames = x[:, idx]
-    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    # torch.hann_window is PERIODIC (0.5 - 0.5*cos(2*pi*n/N)); np.hanning
+    # is symmetric and differs at every sample
+    n = np.arange(n_fft)
+    window = jnp.asarray(
+        (0.5 - 0.5 * np.cos(2 * np.pi * n / n_fft)).astype(np.float32))
     frames = frames * window
     n_freqs = n_fft // 2 + 1
     k = np.arange(n_fft)[:, None] * np.arange(n_freqs)[None, :]
@@ -40,7 +45,7 @@ def stft_log_mel(wav: jnp.ndarray, lengths: jnp.ndarray, n_fft: int = 512,
     re = frames @ cos_m
     im = frames @ sin_m
     power = re * re + im * im
-    banks = jnp.asarray(kaldi_mel_banks(n_mels, n_fft, fs))  # (n_freqs, M)
+    banks = jnp.asarray(_slaney_mel_banks(n_mels, n_fft, fs).T)  # (F, M)
     mel = power @ banks
     feats = jnp.log(jnp.maximum(mel, 1e-10))
     flens = lengths // hop + 1

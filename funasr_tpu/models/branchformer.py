@@ -63,8 +63,9 @@ class ConvolutionalSpatialGatingUnit(nn.Module):
     def __call__(self, x, mask_t=None, deterministic: bool = True):
         a, g = jnp.split(x, 2, axis=-1)
         g = LayerNormF32(self.dtype, self.param_dtype, name="norm")(g)
-        if mask_t is not None:
-            g = g * mask_t
+        # NOTE: the reference CSGU convolves UNMASKED frames
+        # (cgmlp.py:110-118) — pad frames may bleed into the last
+        # kernel//2 valid frames exactly as in released checkpoints
         ch = g.shape[-1]
         kernel = self.param("conv", nn.initializers.normal(1e-3),
                             (self.kernel_size, 1, ch), self.param_dtype)
@@ -177,8 +178,9 @@ class EBranchformerLayer(nn.Module):
         kernel = self.param("merge_conv", nn.initializers.lecun_normal(),
                             (self.merge_kernel, 1, cat.shape[-1]),
                             self.param_dtype)
-        cat = cat + _depthwise_conv1d(
-            cat * (mask_t if mask_t is not None else 1.0), kernel)
+        # reference merge conv is unmasked too (e_branchformer
+        # encoder.py:160)
+        cat = cat + _depthwise_conv1d(cat, kernel)
         merged = nn.Dense(self.size, name="merge_proj", dtype=self.dtype,
                           param_dtype=self.param_dtype)(cat)
         x = x + drop(merged)
@@ -217,7 +219,9 @@ class _BranchEncoderBase(nn.Module):
                          param_dtype=self.param_dtype)(xs.astype(self.dtype))
         else:
             raise NotImplementedError(self.input_layer)
-        return x, lengths
+        # reference embed ends in RelPositionalEncoding whose forward scales
+        # by sqrt(d_model) (embedding.py:273,321)
+        return x * (self.output_size ** 0.5), lengths
 
     def _common(self, x, lengths):
         T = x.shape[1]
@@ -246,6 +250,7 @@ class BranchformerEncoder(_BranchEncoderBase):
             self.attention_dropout_rate, self.dtype, self.param_dtype,
             name="encoders",
         )(x, (pos_emb, mask, mask_t), deterministic)
+        x = LayerNormF32(self.dtype, self.param_dtype, name="after_norm")(x)
         return x, lengths
 
 
@@ -269,6 +274,7 @@ class EBranchformerEncoder(_BranchEncoderBase):
             self.attention_dropout_rate, self.dtype, self.param_dtype,
             name="encoders",
         )(x, (pos_emb, mask, mask_t), deterministic)
+        x = LayerNormF32(self.dtype, self.param_dtype, name="after_norm")(x)
         return x, lengths
 
 

@@ -181,7 +181,7 @@ class CrossAttention(nn.Module):
         key_mask_only = memory_mask is None or memory_mask.shape[1] == 1
         if (AP.enabled() and key_mask_only
                 and AP.supported(U, d_k, v.dtype, None, Tk=T)
-                and (self.dropout_rate == 0.0 or deterministic)):
+                and deterministic):  # pallas kernels are inference-only
             # fused VMEM cross-attention (same kernel as the encoder path)
             if memory_mask is None:
                 bias = jnp.zeros((B, T), jnp.float32)
@@ -241,9 +241,7 @@ class DecoderLayerSANM(nn.Module):
         from funasr_tpu.models.sanm import _LNParams
 
         if (self.has_self_attn and self.has_src_attn
-                and (deterministic or (self.dropout_rate == 0.0
-                                       and self.self_attention_dropout_rate == 0.0
-                                       and self.src_attention_dropout_rate == 0.0))
+                and deterministic  # pallas kernels are inference-only
                 and quant.enabled() and DL.enabled()
                 and tgt_mask is not None and memory_mask is not None
                 and memory_mask.shape[1] == 1

@@ -127,8 +127,10 @@ class MultiHeadedAttentionSANM(nn.Module):
 
         from funasr_tpu.ops import attention_pallas as AP
 
+        # deterministic-only: pallas_call has no transpose rule, so the
+        # fused kernels must never be reachable from jax.grad
         if (AP.enabled() and AP.supported(T, d_k, v.dtype, attn_mask)
-                and (self.dropout_rate == 0.0 or deterministic)):
+                and deterministic):
             # fused VMEM attention: scores never hit HBM, inputs stay in
             # (B, T, H*d) layout (no head transposes)
             if mask is None:
@@ -282,7 +284,7 @@ class PositionwiseFeedForward(nn.Module):
         M = 1
         for d in x.shape[:-1]:
             M *= d
-        if ((deterministic or self.dropout_rate == 0.0) and quant.enabled()
+        if (deterministic and quant.enabled()
                 and FP.enabled()
                 and FP.supported(M, x.shape[-1], self.hidden_units,
                                  self.out_units, self.dtype)):
@@ -356,8 +358,7 @@ class EncoderLayerSANM(nn.Module):
         from funasr_tpu.ops import sanm_layer_pallas as SL
 
         if (self.in_size == self.size
-                and (deterministic or (self.dropout_rate == 0.0
-                                       and self.attention_dropout_rate == 0.0))
+                and deterministic
                 and quant.enabled() and SL.enabled()
                 and not isinstance(mask, (tuple, list))
                 and SL.supported(x.shape[1], self.size, self.linear_units,
@@ -469,8 +470,7 @@ class SANMEncoder(nn.Module):
 
         if (n_rest > 0 and quant.enabled() and SL.enabled()
                 and attn_mask is None
-                and (deterministic or (self.dropout_rate == 0.0
-                                       and self.attention_dropout_rate == 0.0))
+                and deterministic
                 and SL.supported(T, self.output_size, self.linear_units,
                                  self.attention_heads)):
             # fused int8 stack: params declared by a scanned holder (tree

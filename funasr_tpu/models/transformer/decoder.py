@@ -273,6 +273,13 @@ class LightweightConvolution(nn.Module):
 
         w = self.param("weight", nn.initializers.uniform(1.0), (H, k),
                        self.param_dtype).astype(jnp.float32)
+        if not deterministic and self.dropout_rate > 0.0:
+            # reference lightconv.py:92: dropout on the kernel weights
+            # BEFORE the masked softmax during training
+            keep_p = 1.0 - self.dropout_rate
+            drop = jax.random.bernoulli(self.make_rng("dropout"), keep_p,
+                                        w.shape)
+            w = jnp.where(drop, w / keep_p, 0.0)
         if self.use_kernel_mask:
             # keep taps 0..k//2 (past + current; conv pad k//2 => causal)
             keep = jnp.arange(k) < (k // 2 + 1)
@@ -334,6 +341,12 @@ class DynamicConvolution(nn.Module):
         w = QDense(H * k, name="linear_weight", use_bias=True,
                      dtype=self.dtype, param_dtype=self.param_dtype)(h)
         w = w.reshape(B, T, H, k).astype(jnp.float32)
+        if not deterministic and self.dropout_rate > 0.0:
+            # reference dynamic_conv.py:93 weight dropout during training
+            keep_p = 1.0 - self.dropout_rate
+            drop = jax.random.bernoulli(self.make_rng("dropout"), keep_p,
+                                        w.shape)
+            w = jnp.where(drop, w / keep_p, 0.0)
         # banded scores: score[b,h,t,s] = w[b,t,h, s - t + (k-1)//2]
         t_pos = jnp.arange(T)[:, None]
         s_pos = jnp.arange(T)[None, :]

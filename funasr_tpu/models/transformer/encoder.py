@@ -75,8 +75,17 @@ class TransformerEncoder(nn.Module):
                 self.output_size, self.dtype, self.param_dtype, name="embed"
             )(xs, lengths)
         elif self.input_layer == "linear":
+            # reference embed stack: Linear -> LayerNorm -> Dropout -> ReLU
+            # (transformer/encoder.py:188-195), then pos-enc below
+            from funasr_tpu.models.sanm import LayerNormF32
+
             x = QDense(self.output_size, name="embed", dtype=self.dtype,
                          param_dtype=self.param_dtype)(xs)
+            x = LayerNormF32(self.dtype, self.param_dtype,
+                             name="embed_norm")(x)
+            x = nn.Dropout(self.dropout_rate)(
+                x, deterministic=deterministic)
+            x = nn.relu(x)
         else:
             raise NotImplementedError(self.input_layer)
         B, T, d = x.shape

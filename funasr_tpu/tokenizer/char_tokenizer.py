@@ -66,13 +66,15 @@ class CharTokenizer:
                     if word_l in self.seg_dict:
                         tokens.extend(self.seg_dict[word_l].split())
                     elif all(ord(c) < 128 for c in word):
-                        tokens.append("<unk>")
+                        tokens.append(self.unk_symbol)
                     else:
                         tokens.extend(list(word))
                 else:
                     tokens.append(word)
             return tokens
-        return [c for c in text]
+        # char mode: spaces are dropped, not tokenized (reference
+        # char_tokenizer.py:67-71 skips " " instead of emitting <unk>)
+        return [c for c in text if c != " "]
 
     def tokens2text(self, tokens: Iterable[str]) -> str:
         return "".join(t if t != self.space_symbol else " " for t in tokens)

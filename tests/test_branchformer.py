@@ -20,18 +20,32 @@ CONF = dict(output_size=16, attention_heads=2, linear_units=32,
 @pytest.mark.parametrize("cls", [BranchformerEncoder, EBranchformerEncoder])
 def test_encoder_shapes_and_mask(cls, rng):
     enc = cls(input_size=20, **CONF)
-    x = jnp.asarray(rng.standard_normal((2, 40, 20)), jnp.float32)
-    lens = jnp.array([40, 24], jnp.int32)
+    x = jnp.asarray(rng.standard_normal((2, 120, 20)), jnp.float32)
+    lens = jnp.array([120, 80], jnp.int32)
     params = enc.init(jax.random.PRNGKey(0), x, lens)
     out, out_lens = enc.apply(params, x, lens)
-    assert out.shape == (2, (40 - 1) // 2 // 2 - 1 + 1, 16) or out.shape[0] == 2
+    assert out.shape[0] == 2
     assert out.shape[-1] == 16
-    # padded region must not affect valid outputs: change tail, re-run
-    x2 = x.at[1, 30:].set(99.0)
-    out2, _ = enc.apply(params, x2, lens)
-    n_valid = int(out_lens[1])
-    np.testing.assert_allclose(np.asarray(out[1, :n_valid]),
-                               np.asarray(out2[1, :n_valid]),
+    # attention is masked, but the CSGU/merge convs run UNMASKED like the
+    # reference (cgmlp.py:110, e_branchformer/encoder.py:160): pad frames
+    # bleed into the conv tail of the last valid frames, and from the
+    # second layer on that contamination spreads globally through
+    # attention (exactly as in the reference).  So prefix invariance is
+    # only checkable with ONE layer.
+    enc1 = cls(input_size=20, **dict(CONF, num_blocks=1))
+    params1 = enc1.init(jax.random.PRNGKey(0), x, lens)
+    out1, out_lens1 = enc1.apply(params1, x, lens)
+    # perturb pads beyond the (unmasked, reference-parity) Conv2d
+    # subsampling reach, so no VALID frame sees the change except through
+    # the unmasked cgmlp/merge conv tail
+    x2 = x.at[1, 90:].set(99.0)
+    out2, _ = enc1.apply(params1, x2, lens)
+    n_valid = int(out_lens1[1])
+    margin = (7 // 2 + 3 // 2) + 2  # conv bleed + subsampling edge
+    keep = n_valid - margin
+    assert keep >= 5  # the test must actually check something
+    np.testing.assert_allclose(np.asarray(out1[1, :keep]),
+                               np.asarray(out2[1, :keep]),
                                rtol=2e-4, atol=2e-5)
 
 

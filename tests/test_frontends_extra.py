@@ -48,3 +48,28 @@ def test_sensevoice2jsonl(tmp_path):
     assert rec["text_language"] == "<|en|>"
     assert rec["emo_target"] == "<|NEUTRAL|>"
     assert rec["with_or_wo_itn"] == "<|woitn|>"
+
+
+def test_default_frontend_matches_torch_stft_slaney():
+    """DefaultFrontend == torch.stft(periodic hann, reflect center) +
+    librosa Slaney mel (reference frontends/utils/log_mel.py:49)."""
+    import numpy as np
+    import pytest
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from funasr_tpu.frontends.default import stft_log_mel
+    from funasr_tpu.frontends.whisper_frontend import _slaney_mel_banks
+
+    wav = np.random.default_rng(0).standard_normal(4000).astype(
+        np.float32) * 0.1
+    n_fft, hop = 512, 128
+    t = torch.stft(torch.from_numpy(wav), n_fft, hop,
+                   window=torch.hann_window(n_fft), center=True,
+                   pad_mode="reflect", return_complex=True)
+    power = (t.abs() ** 2).numpy().T
+    want = np.log(np.maximum(
+        power @ _slaney_mel_banks(80, n_fft, 16000).T, 1e-10))
+    feats, _ = stft_log_mel(jnp.asarray(wav[None]), jnp.asarray([4000]))
+    got = np.asarray(feats[0])
+    T = min(len(want), got.shape[0])
+    np.testing.assert_allclose(got[:T], want[:T], atol=2e-3)
