@@ -556,3 +556,70 @@ def campplus_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     bn("xvector.dense.nonlinear.batchnorm", "dense_bn", affine=False)
 
     return {"params": params, "batch_stats": stats}
+
+
+def eres2net_from_torch(sd: Mapping[str, np.ndarray],
+                        layers=(3, 4, 6, 3)) -> Dict[str, Any]:
+    """ERes2Net (reference eres2net/eres2net.py + fusion.py) -> flax
+    variables {params, batch_stats} for funasr_tpu.models.eres2net.ERes2Net
+    (NHWC; torch conv (O,I,kh,kw) -> (kh,kw,I,O))."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_w(t):
+        return np.ascontiguousarray(np.transpose(t, (2, 3, 1, 0)))
+
+    def put(tree, path, val):
+        node = tree
+        for p in path.split("/")[:-1]:
+            node = node.setdefault(p, {})
+        node[path.split("/")[-1]] = val
+
+    def bn(tp, jp):
+        put(params, f"{jp}/scale", sd[f"{tp}.weight"])
+        put(params, f"{jp}/bias", sd[f"{tp}.bias"])
+        put(stats, f"{jp}/mean", sd[f"{tp}.running_mean"])
+        put(stats, f"{jp}/var", sd[f"{tp}.running_var"])
+
+    def convbn(tp_conv, tp_bn, jp):
+        put(params, f"{jp}/conv/kernel", conv_w(sd[f"{tp_conv}.weight"]))
+        bn(tp_bn, f"{jp}/bn")
+
+    def aff(tp, jp):
+        put(params, f"{jp}/att1/kernel", conv_w(sd[f"{tp}.local_att.0.weight"]))
+        put(params, f"{jp}/att1/bias", sd[f"{tp}.local_att.0.bias"])
+        bn(f"{tp}.local_att.1", f"{jp}/bn1")
+        put(params, f"{jp}/att2/kernel", conv_w(sd[f"{tp}.local_att.3.weight"]))
+        put(params, f"{jp}/att2/bias", sd[f"{tp}.local_att.3.bias"])
+        bn(f"{tp}.local_att.4", f"{jp}/bn2")
+
+    convbn("conv1", "bn1", "stem")
+    for s, n_blocks in enumerate(layers, start=1):
+        for b in range(n_blocks):
+            tp = f"layer{s}.{b}"
+            jp = f"layer{s}_block{b + 1}"
+            put(params, f"{jp}/reduce/kernel", conv_w(sd[f"{tp}.conv1.weight"]))
+            bn(f"{tp}.bn1", f"{jp}/bn1")
+            i = 0
+            while f"{tp}.convs.{i}.weight" in sd:
+                convbn(f"{tp}.convs.{i}", f"{tp}.bns.{i}", f"{jp}/conv{i}")
+                i += 1
+            j = 0
+            while f"{tp}.fuse_models.{j}.local_att.0.weight" in sd:
+                aff(f"{tp}.fuse_models.{j}", f"{jp}/fuse{j}")
+                j += 1
+            put(params, f"{jp}/expand/kernel", conv_w(sd[f"{tp}.conv3.weight"]))
+            bn(f"{tp}.bn3", f"{jp}/bn3")
+            if f"{tp}.shortcut.0.weight" in sd:
+                convbn(f"{tp}.shortcut.0", f"{tp}.shortcut.1",
+                       f"{jp}/shortcut")
+    for s, name in ((1, "fuse_mode12"), (2, "fuse_mode123"),
+                    (3, "fuse_mode1234")):
+        put(params, f"down{s}/kernel",
+            conv_w(sd[f"layer{s}_downsample.weight"]))
+        aff(name, f"fuse{s}")
+    put(params, "embedding/kernel",
+        np.ascontiguousarray(sd["seg_1.weight"].T))
+    put(params, "embedding/bias", sd["seg_1.bias"])
+    return {"params": params, "batch_stats": stats}

@@ -37,17 +37,40 @@ class Dataloader:
         n = len(self.dataset)
         lo = n * data_split_i // self.data_split_num
         hi = n * (data_split_i + 1) // self.data_split_num
+        # RE-BATCH within the slice (reference dataloader_entry.py:83
+        # rebuilds the dataset per slice): filtering each full-dataset
+        # batch down to the slice would yield mostly-fragment batches
+        # padded to the full static shape (~data_split_num x wasted
+        # compute per step)
+        pending: list = []
+        pending_src = 0
+        pending_tgt = 0
+
+        def emit(indices):
+            kw = dict(self.collate_kwargs)
+            if pending_src:
+                kw.setdefault("pad_speech_len", pending_src)
+            if pending_tgt:
+                kw.setdefault("pad_text_len", pending_tgt)
+            batch = self.dataset.collate(
+                [self.dataset[i] for i in indices], **kw)
+            if self.featurize is not None:
+                batch = self.featurize(batch)
+            return batch
+
         for b in self.sampler:
             idx = [i for i in b.indices
                    if self.data_split_num == 1 or lo <= i < hi]
             if not idx:
                 continue
-            kw = dict(self.collate_kwargs)
-            if getattr(b, "pad_source_len", None):
-                kw.setdefault("pad_speech_len", b.pad_source_len)
-            if getattr(b, "pad_target_len", None):
-                kw.setdefault("pad_text_len", b.pad_target_len)
-            batch = self.dataset.collate([self.dataset[i] for i in idx], **kw)
-            if self.featurize is not None:
-                batch = self.featurize(batch)
-            yield batch
+            target = len(b.indices)
+            pending.extend(idx)
+            pending_src = max(pending_src,
+                              getattr(b, "pad_source_len", 0) or 0)
+            pending_tgt = max(pending_tgt,
+                              getattr(b, "pad_target_len", 0) or 0)
+            while len(pending) >= target:
+                take, pending = pending[:target], pending[target:]
+                yield emit(take)
+        if pending:
+            yield emit(pending)

@@ -172,7 +172,13 @@ class OpenAIDatasetMultiTurn(LLMDataset):
         batch = AudioDataset.collate(self, items, pad_speech_len, None,
                                      ignore_id)
         if "input_ids" in items[0]:
-            L = pad_text_len or max(it["input_length"] for it in items)
+            true_L = max(it["input_length"] for it in items)
+            L = pad_text_len or true_L
+            if L < true_L:
+                raise ValueError(
+                    f"pad_text_len={L} is below the longest conversation "
+                    f"({true_L} tokens) — widen the sampler's target grid "
+                    "(silent truncation would drop supervision spans)")
             ids = np.zeros((len(items), L), np.int32)
             lab = np.full((len(items), L), ignore_id, np.int32)
             lens = np.zeros((len(items),), np.int32)

@@ -404,7 +404,7 @@ class KWSStreamState(NamedTuple):
     vit_steps: jnp.ndarray  # (B, K, S) path lengths
     best: jnp.ndarray  # (B, K) best score so far
     best_end: jnp.ndarray  # (B, K) global end frame of the best score
-    start_idx: jnp.ndarray  # () int32 global frame offset
+    start_idx: jnp.ndarray  # (B,) int32 per-stream global frame offset
 
 
 @tables.register("model_classes", "SanmKWSStreaming")
@@ -448,7 +448,7 @@ class SanmKWSStreaming(SanmKWS):
             vit_steps=jnp.broadcast_to(steps0, (batch, K, S)),
             best=jnp.full((batch, K), NEG_INF),
             best_end=jnp.zeros((batch, K), jnp.int32),
-            start_idx=jnp.zeros((), jnp.int32),
+            start_idx=jnp.zeros((batch,), jnp.int32),
         )
 
         blank = self.blank_id
@@ -476,14 +476,17 @@ class SanmKWSStreaming(SanmKWS):
             a, s, fins = jax.vmap(per_utt)(
                 logp, chunk_valid, st.vit_alpha, st.vit_steps)  # (B,K,S)/(B,K,W)
             chunk_best = jnp.max(fins, axis=-1)
-            chunk_end = st.start_idx + jnp.argmax(fins, axis=-1).astype(jnp.int32)
+            chunk_end = (st.start_idx[:, None]
+                         + jnp.argmax(fins, axis=-1).astype(jnp.int32))
             better = chunk_best > st.best
             return KWSStreamState(
                 enc=enc_state,
                 vit_alpha=a, vit_steps=s,
                 best=jnp.where(better, chunk_best, st.best),
                 best_end=jnp.where(better, chunk_end, st.best_end),
-                start_idx=st.start_idx + jnp.max(chunk_valid).astype(jnp.int32),
+                # per-row: streams in one batch may carry different valid
+                # frame counts per chunk
+                start_idx=st.start_idx + chunk_valid.astype(jnp.int32),
             )
 
         self._stream_step = step

@@ -38,9 +38,18 @@ class CrossChannelLayer(nn.Module):
         B, C, T, D = x.shape
         res = x
         h = LayerNormF32(self.dtype, self.param_dtype, name="norm")(x)
-        # multi-frame key/value: concat neighboring frames
-        ctxs = [jnp.roll(h, s, axis=2) for s in
-                range(-self.context, self.context + 1)]
+        # multi-frame key/value: concat neighboring frames with ZERO
+        # padding at sequence boundaries (jnp.roll would wrap frame 0's
+        # "previous frame" to T-1, leaking pad/tail content)
+        def shift(arr, s):
+            if s == 0:
+                return arr
+            pad = jnp.zeros_like(arr[:, :, :abs(s)])
+            if s > 0:  # context from the past: out[t] = arr[t - s]
+                return jnp.concatenate([pad, arr[:, :, :-s]], axis=2)
+            return jnp.concatenate([arr[:, :, -s:], pad], axis=2)
+
+        ctxs = [shift(h, s) for s in range(-self.context, self.context + 1)]
         kv = jnp.concatenate(ctxs, axis=-1)  # (B, C, T, D*(2c+1))
         q = nn.Dense(self.dim, name="q", dtype=self.dtype,
                      param_dtype=self.param_dtype)(h)

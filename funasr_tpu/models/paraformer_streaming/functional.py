@@ -128,10 +128,10 @@ def _enc_layer_chunk(lp, x, kv_cache, kv_valid, win_valid, *, n_head,
 def _streaming_pe(positions, depth):
     """Reference SinusoidalPositionEncoderOnline.encode (embedding.py:423):
     PE(p) = [sin(p * inv_ts), cos(p * inv_ts)], computed analytically so
-    long-running streams never clip/freeze.  positions: (W,) float."""
+    long-running streams never clip/freeze.  positions: (..., W) float."""
     log_inc = jnp.log(10000.0) / (depth / 2 - 1)
     inv_ts = jnp.exp(jnp.arange(depth // 2, dtype=jnp.float32) * -log_inc)
-    scaled = positions[:, None] * inv_ts[None, :]
+    scaled = positions[..., None] * inv_ts
     return jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=-1)
 
 
@@ -149,9 +149,11 @@ def encoder_chunk(enc_params, window, state: EncChunkState, start_idx,
     ``feats`` cache."""
     B, W, D_in = window.shape
     x = window.astype(jnp.float32) * (d_model ** 0.5)
-    abs_idx = start_idx - overlap + jnp.arange(W)  # absolute frame index
+    # start_idx: () shared or (B,) per-row absolute new-frame counts
+    start = jnp.reshape(jnp.asarray(start_idx), (-1, 1))  # (1|B, 1)
+    abs_idx = start - overlap + jnp.arange(W)[None]  # (1|B, W)
     pe = _streaming_pe((abs_idx + 1).astype(jnp.float32), D_in)
-    x = x + pe[None] * (abs_idx >= 0)[None, :, None]
+    x = x + pe * (abs_idx >= 0)[..., None]
 
     x, c0 = _enc_layer_chunk(
         enc_params["encoders0"], x, state.kv[0], state.kv_valid, win_valid,

@@ -70,6 +70,10 @@ def sentence_postprocess(
         core = t[:-2] if piece_cont else t
         if merge_prev and words:
             words[-1] = words[-1] + core
+            # the merged word ends when its LAST piece ends (reference
+            # postprocess_utils.py:174-192 extends end per continuation)
+            if kept_ts and timestamps is not None and i < len(timestamps):
+                kept_ts[-1] = [kept_ts[-1][0], timestamps[i][1]]
         else:
             words.append(core)
             if timestamps is not None and i < len(timestamps):

@@ -143,8 +143,8 @@ def test_sanm_kws_streaming(rng):
                                      threshold=-100.0)
         assert len(hits) == 2 and len(hits[0]) == 2
         assert all(np.isfinite(h["score"]) for u in hits for h in u)
-        assert int(state.start_idx) == prev_start + 10
-        prev_start = int(state.start_idx)
+        assert int(state.start_idx[0]) == prev_start + 10
+        prev_start = int(state.start_idx[0])
     # best-so-far ends are inside the audio seen so far
     assert all(0 <= h["end_frame"] < 30 for u in hits for h in u)
 

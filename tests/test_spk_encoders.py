@@ -13,7 +13,9 @@ def test_stats_pooling():
     x = jnp.asarray([[[1.0, 2.0], [3.0, 4.0]]])
     out = np.asarray(stats_pooling(x))
     np.testing.assert_allclose(out[0, :2], [2.0, 3.0])
-    np.testing.assert_allclose(out[0, 2:], [1.0, 1.0], rtol=1e-5)
+    # reference TSTP uses the UNBIASED variance: [1,3] over T=2 -> var 2
+    np.testing.assert_allclose(out[0, 2:], [2.0 ** 0.5, 2.0 ** 0.5],
+                               rtol=1e-5)
 
 
 def test_eres2net_shapes(rng):
@@ -60,3 +62,31 @@ def test_spk_engine_accepts_eres2net(rng):
     emb = eng.embed(wavs)
     assert emb.shape == (3, 16)
     assert np.isfinite(emb).all()
+
+
+def test_eres2net_matches_reference_torch(rng):
+    """Converted reference ERes2Net produces the same embeddings (AFF
+    concat-gating, diff_AFF blocks, bare downsample convs, channel-major
+    unbiased TSTP — eres2net.py:43-246, fusion.py:8)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import pytest
+    torch = pytest.importorskip("torch")
+    from reference_torch import load_reference
+    from funasr_tpu.convert import eres2net_from_torch
+
+    m = load_reference("funasr.models.eres2net.eres2net")
+    torch.manual_seed(0)
+    layers = (1, 1, 1, 1)
+    ref = m.ERes2Net(num_blocks=list(layers), m_channels=4, feat_dim=16,
+                     embedding_size=24).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = eres2net_from_torch(sd, layers=layers)
+
+    ours = ERes2Net(feat_dim=16, embedding_size=24, m_channels=4,
+                    layers=layers)
+    x = rng.standard_normal((2, 64, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
