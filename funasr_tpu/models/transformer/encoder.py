@@ -77,8 +77,6 @@ class TransformerEncoder(nn.Module):
         elif self.input_layer == "linear":
             # reference embed stack: Linear -> LayerNorm -> Dropout -> ReLU
             # (transformer/encoder.py:188-195), then pos-enc below
-            from funasr_tpu.models.sanm import LayerNormF32
-
             x = QDense(self.output_size, name="embed", dtype=self.dtype,
                          param_dtype=self.param_dtype)(xs)
             x = LayerNormF32(self.dtype, self.param_dtype,
