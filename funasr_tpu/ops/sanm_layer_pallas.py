@@ -52,29 +52,8 @@ from funasr_tpu.ops.quant import rowquant_kernel as _rowquant  # noqa: E402
 
 
 def _ln(xf, scale_ref, bias_ref, eps=1e-12):
-    """LayerNorm with MXU-based reductions.
-
-    Cross-lane ``jnp.mean(axis=1)`` reductions cost ~36 us per LN at
-    (256, 512) on the VPU (measured); a (T, D) @ (D, 128) ones-matmul does
-    the same sum in ~1 MXU pass.  Precision: the operand splits into
-    bf16 hi+lo (x = hi + lo to ~1e-6) and 1/D is exact in bf16 for
-    power-of-two D, so the mean/var error is ~1e-6 — far below the int8
-    serving noise floor this kernel runs under."""
-    T, D = xf.shape
-    ones = jnp.full((D, 128), 1.0 / D, jnp.bfloat16)
-
-    def _rowsum_mean(a):
-        hi = a.astype(jnp.bfloat16)
-        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        s = (jax.lax.dot_general(hi, ones, _DIMS,
-                                 preferred_element_type=jnp.float32)
-             + jax.lax.dot_general(lo, ones, _DIMS,
-                                   preferred_element_type=jnp.float32))
-        return s[:, :1]
-
-    mean = _rowsum_mean(xf)
-    ex2 = _rowsum_mean(xf * xf)
-    var = jnp.maximum(ex2 - mean * mean, 0.0)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y * scale_ref[:] + bias_ref[:]
 
@@ -111,18 +90,15 @@ def _sanm_layer_kernel(len_ref, x_ref,
                               preferred_element_type=jnp.int32)
     qkv = qkv.astype(jnp.float32) * hs * sqkv[:] + bqkv[:]  # (T, 3D)
 
-    # ---- FSMN memory on v (mask -> depthwise conv -> +v -> mask).
-    # The K shifted FMAs run in bf16 (matching the module path, which
-    # computes fsmn_memory in the model dtype): f32 accumulation here
-    # measured ~69 us/layer, bf16 halves the VPU traffic.
+    # ---- FSMN memory on v (mask -> depthwise conv -> +v -> mask)
     vm = qkv[:, 2 * D:3 * D] * valid
     vmb = vm.astype(jnp.bfloat16)
-    mem_b = vmb
+    mem = vm
     for j in range(K):
         s = j - left
-        tap = fsmn[j:j + 1, :].astype(jnp.bfloat16)       # (1, D)
-        mem_b = mem_b + tap * _shift_rows(vmb, s, T)
-    mem = mem_b.astype(jnp.float32) * valid
+        tap = fsmn[j:j + 1, :].astype(jnp.float32)        # (1, D)
+        mem = mem + tap * _shift_rows(vm, s, T)
+    mem = mem * valid
 
     # ---- attention (f32 softmax), per 128-wide head slice.  Scores on
     # the int8 MXU when int8_attn: per-row scales for q and k factor out
