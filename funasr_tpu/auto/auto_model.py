@@ -597,9 +597,20 @@ class AutoModel:
                 texts.append(r["text"])
             all_ts.extend(r.get("timestamp", []))
             all_tokens.extend(r.get("raw_tokens", []))
-        text = " ".join(texts) if any(
-            t and len(t[0].encode()) == 1 for t in texts
-        ) else "".join(texts)
+        # Per-boundary join with sentence_postprocess semantics (reference
+        # funasr/utils/postprocess_utils.py:144): an ascii word is preceded
+        # by a space, a CJK char is not — applied independently at every
+        # segment boundary so mixed CJK/English long audio joins correctly
+        # (a global one-bit heuristic mis-joins mixed content).
+        from funasr_tpu.utils.postprocess import _is_cjk
+
+        text = ""
+        for t in texts:
+            if not t:
+                continue
+            if text and not _is_cjk(t[0]) and not text.endswith(" "):
+                text += " "
+            text += t
 
         result: Dict[str, Any] = {"key": key, "text": text}
         if with_timestamp:
@@ -614,9 +625,30 @@ class AutoModel:
         if self.punc_engine is not None and text:
             punc_out = self.punc_engine.punctuate(text)
             result["text"] = punc_out["text"]
-            if with_timestamp and len(all_tokens) == len(punc_out["punc_array"]):
+            if with_timestamp:
+                punc_array = punc_out["punc_array"]
+                if len(all_tokens) != len(punc_array):
+                    # The reference always emits sentence_info on this path
+                    # (funasr/auto/auto_model.py:551-633) — never drop it
+                    # silently.  Best-effort align to the common prefix.
+                    import logging
+
+                    logging.warning(
+                        "punc/token length mismatch (%d tokens vs %d punc "
+                        "labels) for key=%s; sentence_info aligned to the "
+                        "common prefix", len(all_tokens), len(punc_array), key,
+                    )
+                    n = min(len(all_tokens), len(punc_array))
+                    if n and punc_array[n - 1] <= 1:
+                        punc_array = list(punc_array[:n])
+                        punc_array[n - 1] = 2  # force a sentence close (。)
+                    else:
+                        punc_array = punc_array[:n]
+                    all_tokens_a, all_ts_a = all_tokens[:n], all_ts[:n]
+                else:
+                    all_tokens_a, all_ts_a = all_tokens, all_ts
                 result["sentence_info"] = timestamp_sentence(
-                    punc_out["punc_array"], all_ts, all_tokens,
+                    punc_array, all_ts_a, all_tokens_a,
                     punc_list=self.punc_engine.model.punc_list,
                 )
 

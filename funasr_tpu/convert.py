@@ -159,6 +159,26 @@ def _lstm(sd, tprefix: str, tree: Dict, jprefix: str, num_layers: int = 2):
                 _set(tree, f"{cell}/h{g}/bias", bih[rows] + bhh[rows])
 
 
+def _cif_predictor_tree(sd, prefix: str = "predictor") -> Dict[str, Any]:
+    """CifPredictorV2 params (reference paraformer/cif_predictor.py:173);
+    if the upsample head is present (CifPredictorV3,
+    bicif_paraformer/cif_predictor.py:97) it is mapped too."""
+    pred: Dict[str, Any] = {}
+    w = sd[f"{prefix}.cif_conv1d.weight"]  # (D, D, K) torch conv1d
+    pred["cif_conv1d"] = np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+    pred["cif_conv1d_bias"] = sd[f"{prefix}.cif_conv1d.bias"]
+    _linear(sd, f"{prefix}.cif_output", pred, "cif_output")
+    if f"{prefix}.upsample_cnn.weight" in sd:
+        # torch ConvTranspose1d weight (in=D, out=D, K=u); ours is
+        # (u, D_in, D_out) applied as einsum("btd,udo->btuo")
+        w = sd[f"{prefix}.upsample_cnn.weight"]
+        pred["upsample_cnn"] = np.ascontiguousarray(
+            np.transpose(w, (2, 0, 1)))
+        pred["upsample_cnn_bias"] = sd[f"{prefix}.upsample_cnn.bias"]
+        _linear(sd, f"{prefix}.cif_output2", pred, "cif_output2")
+    return pred
+
+
 def paraformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     """Build the ``{'params': ...}`` tree for funasr_tpu Paraformer from a
     reference torch state_dict (values as numpy arrays)."""
@@ -169,12 +189,7 @@ def paraformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     tree["encoder"] = _encoder_tree(sd, "encoder")
 
     # ---- predictor (CifPredictorV2)
-    pred: Dict[str, Any] = {}
-    w = sd["predictor.cif_conv1d.weight"]  # (D, D, K) torch conv1d
-    pred["cif_conv1d"] = np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
-    pred["cif_conv1d_bias"] = sd["predictor.cif_conv1d.bias"]
-    _linear(sd, "predictor.cif_output", pred, "cif_output")
-    tree["predictor"] = pred
+    tree["predictor"] = _cif_predictor_tree(sd, "predictor")
 
     # ---- decoder
     tree["decoder"] = _sanm_decoder_tree(sd, "decoder")
@@ -194,15 +209,7 @@ def bicif_paraformer_from_torch(sd: Mapping[str, np.ndarray]
     (ConvTranspose1d ``upsample_cnn`` + ``cif_output2``, upsample_type
     'cnn')."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
-    out = paraformer_from_torch(sd)
-    pred = out["params"]["predictor"]
-    # torch ConvTranspose1d weight (in=D, out=D, K=u); ours is
-    # (u, D_in, D_out) applied as einsum("btd,udo->btuo")
-    w = sd["predictor.upsample_cnn.weight"]
-    pred["upsample_cnn"] = np.ascontiguousarray(np.transpose(w, (2, 0, 1)))
-    pred["upsample_cnn_bias"] = sd["predictor.upsample_cnn.bias"]
-    _linear(sd, "predictor.cif_output2", pred, "cif_output2")
-    return out
+    return paraformer_from_torch(sd)  # V3 upsample head mapped by presence
 
 
 def contextual_paraformer_from_torch(sd: Mapping[str, np.ndarray]
@@ -623,3 +630,112 @@ def eres2net_from_torch(sd: Mapping[str, np.ndarray],
         np.ascontiguousarray(sd["seg_1.weight"].T))
     put(params, "embedding/bias", sd["seg_1.bias"])
     return {"params": params, "batch_stats": stats}
+
+
+def monotonic_aligner_from_torch(sd: Mapping[str, np.ndarray]
+                                 ) -> Dict[str, Any]:
+    """MonotonicAligner ("fa-zh", reference monotonic_aligner/model.py:25):
+    SANM encoder + CifPredictorV3 timestamp head."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    return {"params": {
+        "encoder": _encoder_tree(sd, "encoder"),
+        "predictor": _cif_predictor_tree(sd, "predictor"),
+    }}
+
+
+def scama_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """SCAMA (reference scama/model.py): SANMEncoderChunkOpt encoder +
+    CifPredictorV2 + FsmnDecoderSCAMAOpt decoder — the state_dict layout is
+    key-for-key the Paraformer one (encoders0/encoders/after_norm,
+    cif_conv1d/cif_output, decoders/decoders2/decoders3)."""
+    return paraformer_from_torch(sd)
+
+
+def uniasr_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """UniASR 2-pass (reference uniasr/model.py:27): pass-1
+    encoder/predictor/decoder + pass-2 encoder2/predictor2/decoder2 (both
+    SANM-chunk encoders, CifPredictorV2, FsmnDecoderSCAMAOpt)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    return {"params": {
+        "encoder1": _encoder_tree(sd, "encoder"),
+        "predictor1": _cif_predictor_tree(sd, "predictor"),
+        "decoder1": _sanm_decoder_tree(sd, "decoder"),
+        "encoder2": _encoder_tree(sd, "encoder2"),
+        "predictor2": _cif_predictor_tree(sd, "predictor2"),
+        "decoder2": _sanm_decoder_tree(sd, "decoder2"),
+    }}
+
+
+def _rnnt_decoder_tree(sd, prefix: str = "decoder") -> Dict[str, Any]:
+    """RNNT prediction network (reference transducer/rnnt_decoder.py:15):
+    ``embed`` + a ModuleList of single-layer LSTMs ``rnn.{i}`` -> flax
+    ``lstm{i}`` (nn.RNN over OptimizedLSTMCell; torch gate order
+    [i, f, g, o]; the cell's hidden bias absorbs bias_ih + bias_hh)."""
+    tree: Dict[str, Any] = {"embed": {"embedding": sd[f"{prefix}.embed.weight"]}}
+    i = 0
+    while f"{prefix}.rnn.{i}.weight_ih_l0" in sd:
+        wih = sd[f"{prefix}.rnn.{i}.weight_ih_l0"]  # (4H, E)
+        whh = sd[f"{prefix}.rnn.{i}.weight_hh_l0"]  # (4H, H)
+        bih = sd.get(f"{prefix}.rnn.{i}.bias_ih_l0")
+        bhh = sd.get(f"{prefix}.rnn.{i}.bias_hh_l0")
+        H = whh.shape[1]
+        for gi, g in enumerate(("i", "f", "g", "o")):
+            rows = slice(gi * H, (gi + 1) * H)
+            _set(tree, f"lstm{i}/cell/i{g}/kernel",
+                 np.ascontiguousarray(wih[rows].T))
+            _set(tree, f"lstm{i}/cell/h{g}/kernel",
+                 np.ascontiguousarray(whh[rows].T))
+            if bih is not None and bhh is not None:
+                _set(tree, f"lstm{i}/cell/h{g}/bias", bih[rows] + bhh[rows])
+        i += 1
+    return tree
+
+
+def transducer_from_torch(sd: Mapping[str, np.ndarray],
+                          n_mels_after_conv: int) -> Dict[str, Any]:
+    """Transducer/RNN-T (reference transducer/model.py:40): Conformer
+    encoder + RNNT prediction net + JointNetwork (lin_enc / bias-free
+    lin_dec / lin_out, joint_network.py:13).  ``n_mels_after_conv`` as in
+    :func:`conformer_from_torch`."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    enc = conformer_from_torch(enc_sd, n_mels_after_conv)
+    joint: Dict[str, Any] = {}
+    _linear(sd, "joint_network.lin_enc", joint, "lin_enc")
+    _linear(sd, "joint_network.lin_dec", joint, "lin_dec")
+    _linear(sd, "joint_network.lin_out", joint, "lin_out")
+    return {
+        "params": {
+            "encoder": enc["params"],
+            "decoder": _rnnt_decoder_tree(sd, "decoder"),
+            "joint_network": joint,
+        },
+        "batch_stats": {"encoder": enc["batch_stats"]},
+    }
+
+
+def fsmn_kws_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """FSMN keyword spotter (reference fsmn_kws/model.py): FSMN AM
+    (``encoder.*``, same layout as the VAD scorer) + CTC head
+    (``ctc.ctc_lo``).  Our FsmnKWS runs the bare FSMN with
+    output_dim=vocab, so the affine chain out_linear2 -> ctc_lo (no
+    nonlinearity between them, fsmn_kws/encoder.py:458 + ctc/ctc.py:7)
+    is folded into a single affine: W = W_ctc @ W_out2,
+    b = W_ctc @ b_out2 + b_ctc — mathematically exact."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    out = fsmn_vad_from_torch(enc_sd)
+    w2 = enc_sd["out_linear2.linear.weight"]          # (O, A)
+    b2 = enc_sd.get("out_linear2.linear.bias",
+                    np.zeros(w2.shape[0], w2.dtype))  # (O,)
+    wc = sd["ctc.ctc_lo.weight"]                      # (V, O)
+    bc = sd.get("ctc.ctc_lo.bias", np.zeros(wc.shape[0], wc.dtype))
+    folded_w = wc.astype(np.float64) @ w2.astype(np.float64)   # (V, A)
+    folded_b = wc.astype(np.float64) @ b2.astype(np.float64) + bc
+    out["params"]["out_linear2"] = {
+        "kernel": np.ascontiguousarray(folded_w.T.astype(np.float32)),
+        "bias": folded_b.astype(np.float32),
+    }
+    return out

@@ -79,9 +79,11 @@ class JointNetwork(nn.Module):
     @nn.compact
     def __call__(self, enc: jnp.ndarray, dec: jnp.ndarray) -> jnp.ndarray:
         """enc (..., De), dec (..., Dd) broadcastable -> (..., V)."""
+        # lin_dec is bias-free like the reference (joint_network.py:38)
         h = (nn.Dense(self.joint_size, name="lin_enc", dtype=self.dtype,
                       param_dtype=self.param_dtype)(enc)
-             + nn.Dense(self.joint_size, name="lin_dec", dtype=self.dtype,
+             + nn.Dense(self.joint_size, name="lin_dec", use_bias=False,
+                        dtype=self.dtype,
                         param_dtype=self.param_dtype)(dec))
         return nn.Dense(self.vocab_size, name="lin_out", dtype=self.dtype,
                         param_dtype=self.param_dtype)(jnp.tanh(h))
@@ -135,6 +137,18 @@ class Transducer(nn.Module):
         logits = self.joint_network(enc[:, :, None, :], dec_out[:, None, :, :])
         loss = rnnt_loss(logits, tokens, enc_lens, text_lengths, self.blank_id)
         return loss, {"loss": loss}
+
+    def logits_grid(self, speech, speech_lengths, tokens):
+        """Full (B, T, U+1, V) joint grid over [blank]+tokens — the tensor
+        the RNN-T loss consumes; exposed for parity/debugging."""
+        enc, enc_lens = self.encoder(speech, speech_lengths, True)
+        B = tokens.shape[0]
+        dec_in = jnp.concatenate(
+            [jnp.full((B, 1), self.blank_id, tokens.dtype), tokens], axis=1)
+        dec_out = self.decoder(dec_in)
+        logits = self.joint_network(enc[:, :, None, :],
+                                    dec_out[:, None, :, :])
+        return logits, enc_lens
 
     def greedy_decode(self, speech, speech_lengths, max_tokens: int = 128):
         """Device greedy decode: scan over frames, up to
