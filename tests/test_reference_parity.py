@@ -578,3 +578,70 @@ def test_contextual_hotword_parity(speech):
                                    rtol=2e-3, atol=2e-3)
         np.testing.assert_array_equal(got[b, :n].argmax(-1),
                                       want[b, :n].argmax(-1))
+
+
+# --------------------------------------------------------------------------
+# Flagship-width parity: 512-d/560-in Paraformer-large dims (layout bugs the
+# D=16 toy cannot catch: head splits, fused-qkv slicing, LFR-input embed)
+# --------------------------------------------------------------------------
+
+
+def test_flagship_width_parity():
+    """Paraformer at production width (560-in LFR, 512-d, 2048 FFN, 4 heads,
+    kernel 11 — the Paraformer-large template.yaml dims, depth reduced) —
+    converted-weights greedy decode matches the reference token for token."""
+    from funasr_tpu.convert import paraformer_from_torch
+    from funasr_tpu.models.paraformer.model import Paraformer as JaxPara
+
+    load_reference("funasr.models.sanm.encoder")
+    load_reference("funasr.models.paraformer.decoder")
+    load_reference("funasr.models.paraformer.cif_predictor")
+    pm = load_reference("funasr.models.paraformer.model")
+    VF, INF, DF = 120, 560, 512
+    ENC_F = dict(output_size=DF, attention_heads=4, linear_units=2048,
+                 num_blocks=4, kernel_size=11, dropout_rate=0.0,
+                 attention_dropout_rate=0.0)
+    DEC_F = dict(attention_heads=4, linear_units=2048, num_blocks=3,
+                 att_layer_num=2, kernel_size=11, dropout_rate=0.0,
+                 self_attention_dropout_rate=0.0,
+                 src_attention_dropout_rate=0.0)
+    PRED_F = dict(idim=DF, threshold=1.0, l_order=1, r_order=1,
+                  tail_threshold=0.45)
+    torch.manual_seed(14)
+    ref = pm.Paraformer(
+        encoder="SANMEncoder", encoder_conf=dict(ENC_F, input_layer="pe"),
+        decoder="ParaformerSANMDecoder", decoder_conf=dict(DEC_F),
+        predictor="CifPredictorV2", predictor_conf=dict(PRED_F),
+        ctc_weight=0.0, input_size=INF, vocab_size=VF,
+        predictor_weight=1.0, predictor_bias=1, sampling_ratio=0.0,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = paraformer_from_torch(sd)
+    ours = JaxPara(vocab_size=VF, input_size=INF, encoder_conf=ENC_F,
+                   decoder_conf=DEC_F, predictor_conf=PRED_F,
+                   sampling_ratio=0.0)
+
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal((2, 48, INF)).astype(np.float32) * 0.5
+    lens = np.array([48, 36], np.int32)
+    with torch.no_grad():
+        enc, enc_lens = ref.encode(
+            torch.from_numpy(x), torch.from_numpy(lens.astype(np.int64)))
+        pre_embeds, tok_len, _, _ = ref.calc_predictor(enc, enc_lens)
+        tok_len = tok_len.round().long()
+        dec_out, _ = ref.cal_decoder_with_predictor(
+            enc, enc_lens, pre_embeds, tok_len)
+    ref_logp = dec_out.numpy()
+
+    U = ref_logp.shape[1]
+    log_probs, tok_lens, _ = ours.apply(
+        params, jnp.asarray(x), jnp.asarray(lens), max_tokens=U,
+        method=ours.inference_logits)
+    assert tok_lens.tolist() == tok_len.tolist()
+    lp = np.asarray(log_probs)
+    for b, n in enumerate(np.asarray(tok_lens)):
+        np.testing.assert_allclose(lp[b, :n], ref_logp[b, :n],
+                                   rtol=5e-3, atol=5e-3)
+        np.testing.assert_array_equal(lp[b, :n].argmax(-1),
+                                      ref_logp[b, :n].argmax(-1))
