@@ -739,3 +739,72 @@ def fsmn_kws_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
         "bias": folded_b.astype(np.float32),
     }
     return out
+
+
+def _ffconvm_tree(sd, p: str) -> Dict[str, Any]:
+    """FFConvM (mossformer.py:136): mdl.0 ScaleNorm g, mdl.1 Linear,
+    mdl.3.sequential.1.conv depthwise Conv1d (no bias)."""
+    t: Dict[str, Any] = {"norm": {"g": sd[f"{p}.mdl.0.g"]}}
+    _linear(sd, f"{p}.mdl.1", t, "proj")
+    w = sd[f"{p}.mdl.3.sequential.1.conv.weight"]  # (C, 1, K)
+    t["conv"] = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 1, 0)))}
+    return t
+
+
+def mossformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """MossFormer separation (reference mossformer/e2e_ss.py:36 composition
+    of MossFormerEncoder + MossFormer_MaskNet + MossFormerDecoder; FLASH
+    layers mossformer.py:155).  1x1 Conv1d -> Dense; depthwise convs ->
+    (K, 1, C); ConvTranspose1d (C, 1, K) -> dec_kernel (C, K)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tree: Dict[str, Any] = {}
+
+    tree["enc"] = {"kernel": np.ascontiguousarray(
+        np.transpose(sd["enc.conv1d.weight"], (2, 1, 0)))}
+
+    mn: Dict[str, Any] = {}
+    _norm(sd, "mask_net.norm", mn, "norm")
+    mn["conv1d_encoder"] = {"kernel": np.ascontiguousarray(
+        sd["mask_net.conv1d_encoder.weight"][:, :, 0].T)}
+    if "mask_net.pos_enc.scale" in sd:
+        mn["pos_scale"] = sd["mask_net.pos_enc.scale"]
+
+    lp = "mask_net.mdl.intra_mdl.mossformerM.layers"
+    n = _count_layers(sd, lp)
+    layers = []
+    for i in range(n):
+        p = f"{lp}.{i}"
+        lt: Dict[str, Any] = {
+            "to_hidden": _ffconvm_tree(sd, f"{p}.to_hidden"),
+            "to_qk": _ffconvm_tree(sd, f"{p}.to_qk"),
+            "gamma": sd[f"{p}.qk_offset_scale.gamma"],
+            "beta": sd[f"{p}.qk_offset_scale.beta"],
+            "to_out": _ffconvm_tree(sd, f"{p}.to_out"),
+        }
+        layers.append({"flash": lt})
+    mdl: Dict[str, Any] = {"layers": _stack_layers(layers)}
+    _norm(sd, "mask_net.mdl.intra_mdl.norm", mdl, "norm")
+    mn["mdl"] = mdl
+    _norm(sd, "mask_net.mdl.intra_norm", mn, "intra_norm")
+    mn["prelu"] = sd["mask_net.prelu.weight"]
+    mn["conv1d_out"] = {
+        "kernel": np.ascontiguousarray(
+            sd["mask_net.conv1d_out.weight"][:, :, 0].T),
+        "bias": sd["mask_net.conv1d_out.bias"],
+    }
+    mn["output"] = {
+        "kernel": np.ascontiguousarray(
+            sd["mask_net.output.0.weight"][:, :, 0].T),
+        "bias": sd["mask_net.output.0.bias"],
+    }
+    mn["output_gate"] = {
+        "kernel": np.ascontiguousarray(
+            sd["mask_net.output_gate.0.weight"][:, :, 0].T),
+        "bias": sd["mask_net.output_gate.0.bias"],
+    }
+    mn["conv1_decoder"] = {"kernel": np.ascontiguousarray(
+        sd["mask_net.conv1_decoder.weight"][:, :, 0].T)}
+    tree["mask_net"] = mn
+
+    tree["dec_kernel"] = np.ascontiguousarray(sd["dec.weight"][:, 0, :])
+    return {"params": tree}

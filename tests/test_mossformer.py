@@ -33,7 +33,9 @@ def test_pit_si_snr_permutation_invariant(rng):
 
 
 def test_mossformer_forward_and_loss(rng):
-    m = MossFormer(num_spks=2, enc_dim=16, n_layers=2, n_heads=2, ffn=32)
+    m = MossFormer(num_spks=2, in_channels=16, out_channels=16,
+                   num_blocks=2, kernel_size=16, group_size=32,
+                   query_key_dim=24, expansion_factor=4.0)
     mix = jnp.asarray(rng.standard_normal((2, 800)), jnp.float32)
     params = m.init(jax.random.PRNGKey(0), mix)
     est = m.apply(params, mix)
