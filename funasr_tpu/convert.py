@@ -808,3 +808,67 @@ def mossformer_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
 
     tree["dec_kernel"] = np.ascontiguousarray(sd["dec.weight"][:, 0, :])
     return {"params": tree}
+
+
+def _alt_block_tree(sd, p: str) -> Dict[str, Any]:
+    """One AltBlock (emotion2vec timm_modules.py:225): norm1/norm2,
+    attn.qkv/attn.proj, mlp.fc1/fc2."""
+    t: Dict[str, Any] = {}
+    _norm(sd, f"{p}.norm1", t, "norm1")
+    _norm(sd, f"{p}.norm2", t, "norm2")
+    _linear(sd, f"{p}.attn.qkv", t, "attn/qkv")
+    _linear(sd, f"{p}.attn.proj", t, "attn/proj")
+    _linear(sd, f"{p}.mlp.fc1", t, "fc1")
+    _linear(sd, f"{p}.mlp.fc2", t, "fc2")
+    return t
+
+
+def emotion2vec_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """emotion2vec / data2vec-2.0 audio (reference emotion2vec/model.py:35,
+    audio.py:23, base.py:29).  Maps the AUDIO modality encoder (conv
+    extractor + LN/Linear projection + grouped conv positional stack +
+    extra tokens + alibi scale + prenet blocks) plus the main blocks and
+    the SER ``proj`` head.  The pretraining decoder (Decoder1d) is
+    inference-dead and skipped."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    A = "modality_encoders.AUDIO"
+    tree: Dict[str, Any] = {}
+
+    le: Dict[str, Any] = {}
+    i = 0
+    while f"{A}.local_encoder.conv_layers.{i}.0.weight" in sd:
+        w = sd[f"{A}.local_encoder.conv_layers.{i}.0.weight"]  # (O, I, k)
+        le[f"conv{i}"] = {"kernel": np.ascontiguousarray(
+            np.transpose(w, (2, 1, 0)))}
+        _norm(sd, f"{A}.local_encoder.conv_layers.{i}.2.1", le, f"ln{i}")
+        i += 1
+    tree["local_encoder"] = le
+
+    _norm(sd, f"{A}.project_features.1", tree, "project_ln")
+    _linear(sd, f"{A}.project_features.2", tree, "project_proj")
+
+    i = 0
+    while f"{A}.relative_positional_encoder.{i + 1}.0.weight" in sd:
+        w = sd[f"{A}.relative_positional_encoder.{i + 1}.0.weight"]
+        tree[f"pos_conv{i}"] = {
+            "kernel": np.ascontiguousarray(np.transpose(w, (2, 1, 0))),
+            "bias": sd[f"{A}.relative_positional_encoder.{i + 1}.0.bias"],
+        }
+        i += 1
+
+    tree["extra_tokens"] = sd[f"{A}.extra_tokens"]
+    tree["alibi_scale"] = sd[f"{A}.alibi_scale"]
+
+    n_pre = _count_layers(sd, f"{A}.context_encoder.blocks")
+    tree["prenet_blocks"] = {"block": _stack_layers(
+        [_alt_block_tree(sd, f"{A}.context_encoder.blocks.{i}")
+         for i in range(n_pre)])}
+    _norm(sd, f"{A}.context_encoder.norm", tree, "context_norm")
+
+    n_main = _count_layers(sd, "blocks")
+    tree["blocks"] = {"block": _stack_layers(
+        [_alt_block_tree(sd, f"blocks.{i}") for i in range(n_main)])}
+
+    if "proj.weight" in sd:
+        _linear(sd, "proj", tree, "proj")
+    return {"params": tree}

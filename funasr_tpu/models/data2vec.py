@@ -37,7 +37,7 @@ class Data2Vec:
                  ffn: int = 3072, ema_decay: float = 0.999,
                  mask_prob: float = 0.65, **kwargs):
         self.module = Emotion2vecModule(dim=dim, depth=depth, n_head=n_head,
-                                        ffn=ffn, num_classes=1)
+                                        mlp_ratio=ffn / dim, num_classes=1)
         self.ema_decay = ema_decay
         self.mask_prob = mask_prob
 

@@ -37,11 +37,40 @@ def _stub(name, **attrs):
     return mod
 
 
+class _AttrConf:
+    """Minimal OmegaConf-like recursive attr/get container (enough for the
+    reference emotion2vec cfg access patterns)."""
+
+    def __init__(self, d):
+        self._d = {k: _AttrConf(v) if isinstance(v, dict) else v
+                   for k, v in d.items()}
+
+    def __getattr__(self, k):
+        if k.startswith("_"):
+            raise AttributeError(k)
+        try:
+            return self._d[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def get(self, k, default=None):
+        return self._d.get(k, default)
+
+    def __contains__(self, k):
+        return k in self._d
+
+
+class _OmegaConfStub:
+    @staticmethod
+    def create(obj=None):
+        return _AttrConf(dict(obj or {}))
+
+
 def install_stubs():
-    if "omegaconf" not in sys.modules or not hasattr(
-            sys.modules.get("omegaconf", None), "DictConfig"):
+    om = sys.modules.get("omegaconf")
+    if om is None or not hasattr(om, "MISSING"):
         _stub("omegaconf", DictConfig=dict, ListConfig=list,
-              OmegaConf=object)
+              OmegaConf=_OmegaConfStub, MISSING="???", II=lambda s: s)
     _stub("kaldiio")
     ta = _stub("torchaudio")
     ta.__path__ = []  # mark as package

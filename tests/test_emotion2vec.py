@@ -51,7 +51,9 @@ def test_ce_loss_and_grad(ser, rng):
 
 
 def test_ssl_loss(ser, rng):
-    module = Emotion2vecModule(num_classes=3, **TINY)
+    conf = {k: v for k, v in TINY.items() if k != "ffn"}
+    module = Emotion2vecModule(num_classes=3, mlp_ratio=TINY["ffn"]
+                               / TINY["dim"], **conf)
     wav = jnp.asarray(rng.standard_normal((1, 3200)), jnp.float32)
     lens = jnp.array([3200], jnp.int32)
     loss = ssl_loss(module, ser.params, ser.params, wav, lens,
