@@ -7,8 +7,9 @@ capability (the websocket `itn` flag / AutoModel `use_itn`) as readable
 rules per semiotic class (mirroring the reference's tagger set,
 fun_text_processing/inverse_text_normalization/*/taggers/): cardinal,
 decimal, percent/permille, fraction, ordinal, date, time, and money for
-Chinese; cardinal, decimal, percent, ordinal, and money for English;
-cardinals + percents for the other ten languages.  Unknown patterns pass
+Chinese and English (inline below), and cardinal + decimal + ordinal +
+date + time + money (+fraction where the reference has it) for the other
+ten languages via funasr_tpu.text.itn_classes.  Unknown patterns pass
 through unchanged.
 """
 
@@ -515,6 +516,37 @@ def _de_compound_to_int(word: str):
 
 
 def _itn_de(text: str) -> str:
+    # spaced number spans first ("zwei tausend dreizehn" -> 2013, the
+    # spoken form in the reference de/taggers/date.py examples): join
+    # consecutive numeral-parsable tokens into one compound
+    tokens = text.split(" ")
+    out: List[str] = []
+    i = 0
+    while i < len(tokens):
+        j = i
+        span: List[str] = []
+        while j < len(tokens):
+            low = tokens[j].lower()
+            if low == "und" or _de_compound_to_int(low) is not None:
+                span.append(low)
+                j += 1
+            else:
+                break
+        while span and span[0] == "und":
+            span.pop(0)
+            out.append(tokens[i])
+            i += 1
+        while span and span[-1] == "und":
+            span.pop()
+            j -= 1
+        if len(span) >= 2:
+            out.append(str(_de_compound_to_int("".join(span))))
+            i = j
+        else:
+            out.append(tokens[i])
+            i += 1
+    text = " ".join(out)
+
     def repl(m):
         v = _de_compound_to_int(m.group(0))
         return str(v) if v is not None and len(m.group(0)) > 4 else m.group(0)
@@ -619,8 +651,15 @@ def _make_positional_itn(digits, units, bigs, pct_phrases, connectors=(),
                     and (digits.get(meaningful[0], 0) >= 10
                          or meaningful[0] in units or meaningful[0] in bigs
                          or meaningful[0] in standalones)):
-                val = _positional_span_to_int(meaningful, digits, units,
-                                              bigs, standalones)
+                if (len(meaningful) >= 3
+                        and all(w in digits and digits[w] <= 9
+                                for w in meaningful)):
+                    # digit-sequence reading ("một chín chín chín" ->
+                    # 1999, reference vi year tagger)
+                    val = int("".join(str(digits[w]) for w in meaningful))
+                else:
+                    val = _positional_span_to_int(meaningful, digits,
+                                                  units, bigs, standalones)
                 suffix = ""
                 for ph in pct_phrases:
                     nxt = tuple(t.lower() for t in tokens[j: j + len(ph)])
@@ -688,28 +727,25 @@ def inverse_normalize(text: str, lang: str = "zh") -> str:
     positional parser.  Unknown languages pass through unchanged.
     """
     lang = lang.lower()
-    if lang.startswith("zh"):
-        return _itn_zh(text)
-    if lang.startswith("en"):
-        return _itn_en(text)
-    if lang.startswith("ja"):
-        return _itn_ja(text)
-    if lang.startswith("ko"):
-        return _itn_ko(text)
-    if lang.startswith("es"):
-        return _itn_es(text)
-    if lang.startswith("fr"):
-        return _itn_fr(text)
-    if lang.startswith("de"):
-        return _itn_de(text)
-    if lang.startswith("pt"):
-        return _itn_pt(text)
-    if lang.startswith("ru"):
-        return _itn_ru(text)
-    if lang.startswith("id"):
-        return _itn_id(text)
-    if lang.startswith("vi"):
-        return _itn_vi(text)
-    if lang.startswith("tl"):
-        return _itn_tl(text)
+    cardinal = {
+        "zh": _itn_zh, "en": _itn_en, "ja": _itn_ja, "ko": _itn_ko,
+        "es": _itn_es, "fr": _itn_fr, "de": _itn_de, "pt": _itn_pt,
+        "ru": _itn_ru, "id": _itn_id, "vi": _itn_vi, "tl": _itn_tl,
+    }
+    key = next((k for k in cardinal if lang.startswith(k)), None)
+    if key is None:
+        return text
+    # class rules (date/time/money/ordinal/decimal/fraction) around the
+    # cardinal pass: word-context pre-rules first, digit-context
+    # post-rules after (funasr_tpu.text.itn_classes; zh/en carry their
+    # class rules inline in _itn_zh/_itn_en)
+    from funasr_tpu.text import itn_classes
+
+    pre = itn_classes.PRE.get(key)
+    post = itn_classes.POST.get(key)
+    if pre is not None:
+        text = pre(text)
+    text = cardinal[key](text)
+    if post is not None:
+        text = post(text)
     return text

@@ -196,10 +196,270 @@ def normalize_en(text: str) -> str:
     return text
 
 
+
+
+# ---------------------------------------------------------------- German
+# (reference fun_text_processing/text_normalization/de/)
+
+_DE_ONES = ["null", "eins", "zwei", "drei", "vier", "fünf", "sechs",
+            "sieben", "acht", "neun", "zehn", "elf", "zwölf", "dreizehn",
+            "vierzehn", "fünfzehn", "sechzehn", "siebzehn", "achtzehn",
+            "neunzehn"]
+_DE_TENS = ["", "", "zwanzig", "dreißig", "vierzig", "fünfzig", "sechzig",
+            "siebzig", "achtzig", "neunzig"]
+
+
+def num_to_de(n: int) -> str:
+    if n < 0:
+        return "minus " + num_to_de(-n)
+    if n < 13:
+        return _DE_ONES[n]
+    if n < 20:
+        return _DE_ONES[n]
+    if n < 100:
+        tens = _DE_TENS[n // 10]
+        if n % 10 == 0:
+            return tens
+        one = "ein" if n % 10 == 1 else _DE_ONES[n % 10]
+        return f"{one}und{tens}"
+    if n < 1000:
+        head = ("ein" if n // 100 == 1 else _DE_ONES[n // 100]) + "hundert"
+        return head if n % 100 == 0 else head + num_to_de(n % 100)
+    if n < 10**6:
+        head = ("ein" if n // 1000 == 1
+                else num_to_de(n // 1000)) + "tausend"
+        return head if n % 1000 == 0 else head + num_to_de(n % 1000)
+    for scale, one, many in ((10**9, "eine milliarde", "milliarden"),
+                             (10**6, "eine million", "millionen")):
+        if n >= scale:
+            q = n // scale
+            head = one if q == 1 else f"{num_to_de(q)} {many}"
+            return head if n % scale == 0 \
+                else f"{head} {num_to_de(n % scale)}"
+    return str(n)
+
+
+def normalize_de(text: str) -> str:
+    def pct(m):
+        body = m.group(1).replace(",", ".")
+        if "." in body:
+            a, b = body.split(".", 1)
+            digits = " ".join(_DE_ONES[int(c)] for c in b)
+            return f"{num_to_de(int(a))} komma {digits} prozent"
+        return f"{num_to_de(int(body))} prozent"
+
+    text = re.sub(r"(\d+(?:[.,]\d+)?) ?%", pct, text)
+    # money: €11,04 / 11,04 € -> elf euro und vier cent
+    def money(m):
+        whole = num_to_de(int(m.group(1)))
+        frac = m.group(2)
+        if frac:
+            return f"{whole} euro und {num_to_de(int(frac))} cent"
+        return f"{whole} euro"
+
+    text = re.sub(r"€ ?(\d+)(?:,(\d{2}))?", money, text)
+    text = re.sub(r"(\d+)(?:,(\d{2}))? ?€", money, text)
+    # ordinals: "3." before a word -> "dritter"
+    _DE_ORD_IRREG = {1: "erster", 3: "dritter", 7: "siebter", 8: "achter"}
+
+    def ordinal(m):
+        n = int(m.group(1))
+        if n in _DE_ORD_IRREG:
+            return _DE_ORD_IRREG[n]
+        return num_to_de(n) + ("ster" if n >= 20 else "ter")
+
+    text = re.sub(r"\b(\d+)\.(?= [a-zäöüA-ZÄÖÜ])", ordinal, text)
+    # decimals: 11,2006 -> elf komma zwei null null sechs
+    text = re.sub(
+        r"(\d+),(\d+)",
+        lambda m: f"{num_to_de(int(m.group(1)))} komma "
+                  + " ".join(_DE_ONES[int(c)] for c in m.group(2)),
+        text)
+    text = re.sub(r"-(\d+)",
+                  lambda m: f"minus {num_to_de(int(m.group(1)))}", text)
+    text = re.sub(r"\d+", lambda m: num_to_de(int(m.group(0))), text)
+    return text
+
+
+# --------------------------------------------------------------- Spanish
+# (reference fun_text_processing/text_normalization/es/)
+
+_ES_ONES = ["cero", "uno", "dos", "tres", "cuatro", "cinco", "seis",
+            "siete", "ocho", "nueve", "diez", "once", "doce", "trece",
+            "catorce", "quince", "dieciséis", "diecisiete", "dieciocho",
+            "diecinueve", "veinte", "veintiuno", "veintidós", "veintitrés",
+            "veinticuatro", "veinticinco", "veintiséis", "veintisiete",
+            "veintiocho", "veintinueve"]
+_ES_TENS = ["", "", "", "treinta", "cuarenta", "cincuenta", "sesenta",
+            "setenta", "ochenta", "noventa"]
+_ES_HUNDREDS = ["", "ciento", "doscientos", "trescientos",
+                "cuatrocientos", "quinientos", "seiscientos",
+                "setecientos", "ochocientos", "novecientos"]
+
+
+def num_to_es(n: int) -> str:
+    if n < 0:
+        return "menos " + num_to_es(-n)
+    if n < 30:
+        return _ES_ONES[n]
+    if n < 100:
+        tens = _ES_TENS[n // 10]
+        return tens if n % 10 == 0 else f"{tens} y {_ES_ONES[n % 10]}"
+    if n == 100:
+        return "cien"
+    if n < 1000:
+        head = _ES_HUNDREDS[n // 100]
+        return head if n % 100 == 0 else f"{head} {num_to_es(n % 100)}"
+    if n < 10**6:
+        q = n // 1000
+        head = "mil" if q == 1 else f"{num_to_es(q)} mil"
+        return head if n % 1000 == 0 else f"{head} {num_to_es(n % 1000)}"
+    q = n // 10**6
+    head = "un millón" if q == 1 else f"{num_to_es(q)} millones"
+    return head if n % 10**6 == 0 else f"{head} {num_to_es(n % 10**6)}"
+
+
+def normalize_es(text: str) -> str:
+    def pct(m):
+        body = m.group(1).replace(",", ".")
+        if "." in body:
+            a, b = body.split(".", 1)
+            digits = " ".join(_ES_ONES[int(c)] for c in b)
+            return f"{num_to_es(int(a))} coma {digits} por ciento"
+        return f"{num_to_es(int(body))} por ciento"
+
+    text = re.sub(r"(\d+(?:[.,]\d+)?) ?%", pct, text)
+
+    def money(m):
+        whole = num_to_es(int(m.group(1)))
+        unit = "dólar" if int(m.group(1)) == 1 else "dólares"
+        frac = m.group(2)
+        if frac:
+            cu = "céntimo" if int(frac) == 1 else "céntimos"
+            return f"{whole} {unit} y {num_to_es(int(frac))} {cu}"
+        return f"{whole} {unit}"
+
+    text = re.sub(r"\$ ?(\d+)(?:[.,](\d{2}))?", money, text)
+    text = re.sub(
+        r"(\d+),(\d+)",
+        lambda m: f"{num_to_es(int(m.group(1)))} coma "
+                  + " ".join(_ES_ONES[int(c)] for c in m.group(2)),
+        text)
+    text = re.sub(
+        r"(\d+)\.(\d+)",
+        lambda m: f"{num_to_es(int(m.group(1)))} punto "
+                  + " ".join(_ES_ONES[int(c)] for c in m.group(2)),
+        text)
+    text = re.sub(r"-(\d+)",
+                  lambda m: f"menos {num_to_es(int(m.group(1)))}", text)
+    text = re.sub(r"\d+", lambda m: num_to_es(int(m.group(0))), text)
+    return text
+
+
+# --------------------------------------------------------------- Russian
+# (reference fun_text_processing/text_normalization/ru/)
+
+_RU_ONES = ["ноль", "один", "два", "три", "четыре", "пять", "шесть",
+            "семь", "восемь", "девять", "десять", "одиннадцать",
+            "двенадцать", "тринадцать", "четырнадцать", "пятнадцать",
+            "шестнадцать", "семнадцать", "восемнадцать", "девятнадцать"]
+_RU_TENS = ["", "", "двадцать", "тридцать", "сорок", "пятьдесят",
+            "шестьдесят", "семьдесят", "восемьдесят", "девяносто"]
+_RU_HUNDREDS = ["", "сто", "двести", "триста", "четыреста", "пятьсот",
+                "шестьсот", "семьсот", "восемьсот", "девятьсот"]
+
+
+def _ru_thousand_quant(q: int) -> str:
+    # тысяча agrees with the count: 1 тысяча, 2-4 тысячи, 5+ тысяч
+    words = num_to_ru(q).split(" ")
+    last = q % 10
+    if q % 100 in (11, 12, 13, 14):
+        unit = "тысяч"
+    elif last == 1:
+        words[-1] = "одна"
+        unit = "тысяча"
+    elif last == 2:
+        words[-1] = "две"
+        unit = "тысячи"
+    elif last in (3, 4):
+        unit = "тысячи"
+    else:
+        unit = "тысяч"
+    head = "" if q == 1 else " ".join(words) + " "
+    return ("одна " if q == 1 else head) + unit
+
+
+def num_to_ru(n: int) -> str:
+    if n < 0:
+        return "минус " + num_to_ru(-n)
+    if n < 20:
+        return _RU_ONES[n]
+    if n < 100:
+        tens = _RU_TENS[n // 10]
+        return tens if n % 10 == 0 else f"{tens} {_RU_ONES[n % 10]}"
+    if n < 1000:
+        head = _RU_HUNDREDS[n // 100]
+        return head if n % 100 == 0 else f"{head} {num_to_ru(n % 100)}"
+    if n < 10**6:
+        head = _ru_thousand_quant(n // 1000)
+        return head if n % 1000 == 0 else f"{head} {num_to_ru(n % 1000)}"
+    q = n // 10**6
+    if q % 10 == 1 and q % 100 != 11:
+        unit = "миллион"
+    elif q % 10 in (2, 3, 4) and q % 100 not in (12, 13, 14):
+        unit = "миллиона"
+    else:
+        unit = "миллионов"
+    head = f"{num_to_ru(q)} {unit}"
+    return head if n % 10**6 == 0 else f"{head} {num_to_ru(n % 10**6)}"
+
+
+def normalize_ru(text: str) -> str:
+    def pct(m):
+        body = m.group(1).replace(",", ".")
+        if "." in body:
+            a, b = body.split(".", 1)
+            digits = " ".join(_RU_ONES[int(c)] for c in b)
+            return f"{num_to_ru(int(a))} запятая {digits} процентов"
+        return f"{num_to_ru(int(body))} процентов"
+
+    text = re.sub(r"(\d+(?:[.,]\d+)?) ?%", pct, text)
+
+    def money(m):
+        n = int(m.group(1))
+        last = n % 10
+        if n % 100 in (11, 12, 13, 14):
+            unit = "рублей"
+        elif last == 1:
+            unit = "рубль"
+        elif last in (2, 3, 4):
+            unit = "рубля"
+        else:
+            unit = "рублей"
+        return f"{num_to_ru(n)} {unit}"
+
+    text = re.sub(r"(\d+) руб\.", money, text)
+    text = re.sub(
+        r"(\d+),(\d+)",
+        lambda m: f"{num_to_ru(int(m.group(1)))} запятая "
+                  + " ".join(_RU_ONES[int(c)] for c in m.group(2)),
+        text)
+    text = re.sub(r"-(\d+)",
+                  lambda m: f"минус {num_to_ru(int(m.group(1)))}", text)
+    text = re.sub(r"\d+", lambda m: num_to_ru(int(m.group(0))), text)
+    return text
+
+
 def normalize(text: str, lang: str = "zh") -> str:
     lang = lang.lower()
     if lang.startswith("zh"):
         return normalize_zh(text)
     if lang.startswith("en"):
         return normalize_en(text)
+    if lang.startswith("de"):
+        return normalize_de(text)
+    if lang.startswith("es"):
+        return normalize_es(text)
+    if lang.startswith("ru"):
+        return normalize_ru(text)
     return text

@@ -1,0 +1,144 @@
+"""Per-language semiotic class ITN fixtures.
+
+Expected outputs are derived from the reference grammar docstrings and
+data files (fun_text_processing/inverse_text_normalization/<lang>/
+taggers/*.py "e.g." lines, verbalizers, and data/*.tsv): date, time,
+money, ordinal, decimal and fraction coverage for the ten languages that
+previously only had cardinals+percents.
+"""
+
+import pytest
+
+from funasr_tpu.text.itn import inverse_normalize as inv
+
+CASES = [
+    # --- German (de/taggers/{date,time,money,decimal,fraction}.py)
+    ("de", "vierzehnter januar", "14. Jan."),
+    ("de", "vierundzwanzigster juli zwei tausend dreizehn", "24. Jul. 2013"),
+    ("de", "zweiter dritter", "02.03."),
+    ("de", "dritter", "3."),
+    ("de", "viertel vor zwölf", "11:45 Uhr"),
+    ("de", "viertel nach zwölf", "12:15 Uhr"),
+    ("de", "halb zwölf", "11:30 Uhr"),
+    ("de", "drei nach zwölf", "12:03 Uhr"),
+    ("de", "dreizehn uhr zehn", "13:10 Uhr"),
+    ("de", "acht uhr", "8 Uhr"),
+    ("de", "elf euro und vier cent", "€11,04"),
+    ("de", "elf komma zwei null null sechs", "11,2006"),
+    ("de", "ein halb", "1/2"),
+    ("de", "ein ein halb", "1 1/2"),
+    # --- Spanish (es/taggers/{date,time,money,ordinal,decimal}.py)
+    ("es", "primero de enero", "1 de enero"),
+    ("es", "segunda guerra mundial", "2.ª guerra mundial"),
+    ("es", "la una y diez", "la 1:10"),
+    ("es", "la una con diez", "la 1:10"),
+    ("es", "las dos menos cuarto", "la 1:45"),
+    ("es", "doce dólares y cinco céntimos", "$12,05"),
+    ("es", "uno coma dos seis", "1,26"),
+    ("es", "uno punto dos seis", "1.26"),
+    # --- French (fr/taggers/{date,ordinal,decimal,fraction}.py)
+    ("fr", "le vingt quatre juillet deux mille treize",
+     "le 24 juillet 2013"),
+    ("fr", "premier", "1er"),
+    ("fr", "troisième", "3ème"),
+    ("fr", "vingt-troisième", "23ème"),
+    ("fr", "trois heures vingt", "3 h 20"),
+    ("fr", "un virgule deux six", "1,26"),
+    ("fr", "un et demi", "1 1/2"),
+    ("fr", "demi", "1/2"),
+    # --- Portuguese (pt/taggers/{date,time,money,ordinal,decimal}.py)
+    ("pt", "primeiro de janeiro", "1 de janeiro"),
+    ("pt", "doze dólares e cinco centavos", "$12,05"),
+    ("pt", "um vírgula dois seis", "1,26"),
+    ("pt", "quinze pras duas", "1:45"),
+    ("pt", "quinze pro meio dia", "11:45"),
+    ("pt", "segunda", "2ª"),
+    # --- Russian (ru/taggers/{decimals,date,money,time,ordinal}.py)
+    ("ru", "три целых две десятых", "3,2"),
+    ("ru", "пятое января", "5 января"),
+    ("ru", "два часа пятнадцать минут", "02:15"),
+    ("ru", "два рубля", "2 руб."),
+    ("ru", "второй", "2"),
+    # --- Japanese (ja/data: currency.tsv ドル->$ etc.)
+    ("ja", "三時二十分", "3:20"),
+    ("ja", "三時半", "3:30"),
+    ("ja", "百二十円", "¥120"),
+    ("ja", "五ドル", "$5"),
+    ("ja", "第三", "第3"),
+    # --- Korean (ko/data/time/hours.tsv: native hours; currency.tsv)
+    ("ko", "두시 삼십분", "2:30"),
+    ("ko", "열두시 오분", "12:05"),
+    ("ko", "오만 원", "₩50000"),
+    ("ko", "두 번째", "2번째"),
+    # --- Indonesian
+    ("id", "kedua", "ke-2"),
+    ("id", "kedua puluh", "ke-20"),
+    ("id", "pertama", "ke-1"),
+    ("id", "jam dua lewat lima belas", "2:15"),
+    ("id", "setengah delapan", "7:30"),
+    ("id", "seratus rupiah", "Rp100"),
+    # --- Vietnamese (vi/taggers/{fraction,money}.py)
+    ("vi", "thứ hai", "thứ 2"),
+    ("vi", "thứ nhất", "thứ 1"),
+    ("vi", "ba giờ hai mươi phút", "3:20"),
+    ("vi", "ba giờ rưỡi", "3:30"),
+    ("vi", "hai phần ba", "2/3"),
+    ("vi", "một chín chín chín", "1999"),
+    ("vi", "mười hai đô la mỹ", "$12"),
+    # --- Tagalog
+    ("tl", "ikalawa", "ika-2"),
+    ("tl", "alas dos y medya", "2:30"),
+    ("tl", "alas tres", "3:00"),
+    ("tl", "sampu piso", "₱10"),
+]
+
+
+@pytest.mark.parametrize("lang,src,want", CASES,
+                         ids=[f"{l}-{s[:24]}" for l, s, _ in CASES])
+def test_itn_class(lang, src, want):
+    assert inv(src, lang) == want
+
+
+def test_passthrough_unknown():
+    assert inv("hello welt", "de") == "hello welt"
+    assert inv("x y z", "xx") == "x y z"
+
+
+# ------------------------------------------------------------ forward TN
+
+TN_CASES = [
+    ("de", "23", "dreiundzwanzig"),
+    ("de", "100", "einhundert"),
+    ("de", "1020", "eintausendzwanzig"),
+    ("de", "11,2006", "elf komma zwei null null sechs"),
+    ("de", "€11,04", "elf euro und vier cent"),
+    ("de", "3. januar", "dritter januar"),
+    ("es", "23", "veintitrés"),
+    ("es", "101", "ciento uno"),
+    ("es", "1001", "mil uno"),
+    ("es", "$12,05", "doce dólares y cinco céntimos"),
+    ("es", "1,26", "uno coma dos seis"),
+    ("ru", "23", "двадцать три"),
+    ("ru", "1001", "одна тысяча один"),
+    ("ru", "2000", "две тысячи"),
+    ("ru", "3,2", "три запятая два"),
+    ("ru", "2 руб.", "два рубля"),
+]
+
+
+@pytest.mark.parametrize("lang,src,want", TN_CASES,
+                         ids=[f"tn-{l}-{s[:16]}" for l, s, _ in TN_CASES])
+def test_tn(lang, src, want):
+    from funasr_tpu.text.tn import normalize
+
+    assert normalize(src, lang) == want
+
+
+@pytest.mark.parametrize("lang,written", [
+    ("de", "€11,04"), ("de", "11,2006"), ("es", "$12,05"),
+    ("ru", "2 руб."),
+])
+def test_tn_itn_roundtrip(lang, written):
+    from funasr_tpu.text.tn import normalize
+
+    assert inv(normalize(written, lang), lang) == written
