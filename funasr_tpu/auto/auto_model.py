@@ -597,20 +597,9 @@ class AutoModel:
                 texts.append(r["text"])
             all_ts.extend(r.get("timestamp", []))
             all_tokens.extend(r.get("raw_tokens", []))
-        # Per-boundary join with sentence_postprocess semantics (reference
-        # funasr/utils/postprocess_utils.py:144): an ascii word is preceded
-        # by a space, a CJK char is not — applied independently at every
-        # segment boundary so mixed CJK/English long audio joins correctly
-        # (a global one-bit heuristic mis-joins mixed content).
-        from funasr_tpu.utils.postprocess import _is_cjk
+        from funasr_tpu.utils.postprocess import join_segment_texts
 
-        text = ""
-        for t in texts:
-            if not t:
-                continue
-            if text and not _is_cjk(t[0]) and not text.endswith(" "):
-                text += " "
-            text += t
+        text = join_segment_texts(texts)
 
         result: Dict[str, Any] = {"key": key, "text": text}
         if with_timestamp:

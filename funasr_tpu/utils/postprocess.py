@@ -94,6 +94,21 @@ def sentence_postprocess(
     return text, words
 
 
+def join_segment_texts(texts: List[str]) -> str:
+    """Join per-VAD-segment texts with sentence_postprocess semantics
+    (reference postprocess_utils.py:144): an ascii word is preceded by a
+    space, a CJK char is not — decided independently at every boundary so
+    mixed CJK/English long audio joins correctly."""
+    out = ""
+    for t in texts:
+        if not t:
+            continue
+        if out and not _is_cjk(t[0]) and not out.endswith(" "):
+            out += " "
+        out += t
+    return out
+
+
 def format_str_v2(s: str) -> str:
     """One-language-span normalization (postprocess_utils.py:379)."""
     counts = {}

@@ -312,3 +312,45 @@ def test_contextual_engine_hotwords(rng):
     am = AutoModel(model=cfg)
     res = am.generate([_wav(rng, 1.5)], hotword="今天")
     assert "text" in res[0]
+
+
+def test_join_segment_texts_mixed():
+    """Per-boundary CJK/ascii join (reference sentence_postprocess
+    semantics, postprocess_utils.py:144): mixed long audio must not fall
+    into a single global space/empty-join decision."""
+    from funasr_tpu.utils.postprocess import join_segment_texts
+
+    assert join_segment_texts(["我们今天", "去公园"]) == "我们今天去公园"
+    assert join_segment_texts(["hello", "world"]) == "hello world"
+    # mixed: space only before the ascii segment
+    assert join_segment_texts(["我们今天", "ok go", "去公园"]) \
+        == "我们今天 ok go去公园"
+    assert join_segment_texts(["", "hello", "", "你好"]) == "hello你好"
+
+
+def test_sentence_info_survives_punc_mismatch(rng, monkeypatch):
+    """When the punc label count mismatches the token count the pipeline
+    must emit a best-effort sentence_info (reference always emits it on
+    the punc path, funasr/auto/auto_model.py:551-633) instead of silently
+    dropping the key."""
+    am = AutoModel(model=ASR_CFG, vad_model=VAD_CFG, punc_model=PUNC_CFG)
+    wav = np.concatenate([
+        np.zeros(8000, np.float32), _wav(rng, 2.0),
+        np.zeros(12000, np.float32), _wav(rng, 1.5),
+        np.zeros(8000, np.float32),
+    ])
+
+    real_punctuate = am.punc_engine.punctuate
+
+    def broken_punctuate(text, **kw):
+        out = real_punctuate(text, **kw)
+        out["punc_array"] = list(out["punc_array"])[:-1]  # force mismatch
+        return out
+
+    monkeypatch.setattr(am.punc_engine, "punctuate", broken_punctuate)
+    res = am.generate(wav, key=["long"])
+    r = res[0]
+    if r.get("text"):  # random weights may emit nothing at all
+        assert "sentence_info" in r
+        for s in r["sentence_info"]:
+            assert {"start", "end", "text"} <= set(s)
