@@ -82,3 +82,31 @@ if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
     cat "${model_dir}/decode_${split}/cer.txt"
   done
 fi
+
+if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
+  # Turnkey pretrained eval: ModelScope/HF snapshot dir -> convert ->
+  # AISHELL-1 decode -> CER (proves the <=1.94 north star the moment
+  # weights are reachable; reference flow examples/aishell/paraformer/
+  # run.sh infer stage + funasr/metrics/wer.py).
+  #   ./run.sh --stage 5 --stop-stage 5 \
+  #       --pretrained-dir /path/to/speech_paraformer-large_...-pytorch
+  : "${pretrained_dir:?--pretrained-dir <snapshot dir with model.pt + config.yaml + am.mvn + tokens> required}"
+  echo "stage 5: pretrained-weights eval from ${pretrained_dir}"
+  if [ ! -f "${pretrained_dir}/model.npz" ]; then
+    funasr-tpu-convert --input "${pretrained_dir}/model.pt" \
+      --output "${pretrained_dir}/model.npz"
+  fi
+  for split in ${test_sets}; do
+    out="${exp_dir}/pretrained_decode_${split}"
+    mkdir -p "${out}"
+    funasr-tpu \
+      --model "${pretrained_dir}" \
+      --input "${feats_dir}/${split}.jsonl" \
+      --output-dir "${out}" \
+      --batch-size "${inference_batch_size}"
+    python -m funasr_tpu.metrics.wer \
+      --ref "${feats_dir}/${split}.jsonl" \
+      --hyp "${out}/text" \
+      --cer | tee "${out}/cer.txt"
+  done
+fi

@@ -72,17 +72,9 @@ def _load_params(cfg: Dict) -> Optional[Dict]:
         return None
     data = dict(np.load(path, allow_pickle=False))
     if any("." in k for k in data):  # torch-layout names
-        if any(k.startswith(("in_linear1.", "fsmn.")) for k in data):
-            from funasr_tpu.convert import fsmn_vad_from_torch
+        from funasr_tpu.convert import convert_from_torch
 
-            return fsmn_vad_from_torch(data)
-        if "embed.weight" in data and "decoder.weight" in data:
-            from funasr_tpu.convert import ct_transformer_from_torch
-
-            return ct_transformer_from_torch(data)
-        from funasr_tpu.convert import paraformer_from_torch
-
-        return paraformer_from_torch(data)
+        return convert_from_torch(data, arch=cfg.get("arch", "auto"))
     # flat flax tree with '/'-joined keys
     tree: Dict[str, Any] = {}
     for k, v in data.items():

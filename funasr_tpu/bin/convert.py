@@ -23,6 +23,12 @@ def main(argv=None):
                     help="output .npz (default: alongside input)")
     ap.add_argument("--raw", action="store_true",
                     help="store raw torch-layout names (convert at load)")
+    ap.add_argument("--arch", default="auto",
+                    help="model family (auto fingerprints the state dict: "
+                         "paraformer/bicif/seaco/contextual/uniasr/scama/"
+                         "transducer/sense_voice/fsmn_vad/fsmn_kws/"
+                         "ct_transformer/campplus/eres2net/mossformer/"
+                         "emotion2vec/monotonic_aligner/conformer)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -40,9 +46,11 @@ def main(argv=None):
         print(f"wrote {len(arrays)} raw tensors to {out}")
         return
 
-    from funasr_tpu.convert import paraformer_from_torch
+    from funasr_tpu.convert import convert_from_torch, detect_arch
 
-    tree = paraformer_from_torch(arrays)
+    arch = args.arch if args.arch != "auto" else detect_arch(arrays)
+    tree = convert_from_torch(arrays, arch=arch)
+    print(f"arch: {arch}")
 
     flat = {}
 

@@ -872,3 +872,91 @@ def emotion2vec_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     if "proj.weight" in sd:
         _linear(sd, "proj", tree, "proj")
     return {"params": tree}
+
+
+def detect_arch(sd: Mapping[str, Any]) -> str:
+    """Infer the model family from reference state_dict key fingerprints
+    (the per-family module names are stable across published
+    checkpoints)."""
+    keys = sd.keys()
+
+    def has(prefix):
+        return any(k.startswith(prefix) for k in keys)
+
+    if has("seaco_decoder."):
+        return "seaco_paraformer"
+    if has("decoder.bias_decoder.") or has("bias_encoder.weight_ih_l0"):
+        return "contextual_paraformer"
+    if has("encoder2."):
+        return "uniasr"
+    if has("joint_network."):
+        return "transducer"
+    if has("modality_encoders."):
+        return "emotion2vec"
+    if has("mask_net."):
+        return "mossformer"
+    if has("encoder.tp_encoders."):
+        return "sense_voice"
+    if has("xvector."):
+        return "campplus"
+    if has("layer1_downsample") or has("fuse_mode12"):
+        return "eres2net"
+    if has("in_linear1.") or has("fsmn.0."):
+        return "fsmn_vad"
+    if has("encoder.in_linear1.") and has("ctc.ctc_lo"):
+        return "fsmn_kws"
+    if has("encoder.encoders.0.self_attn.linear_pos"):
+        return "conformer"
+    if "embed.weight" in keys and "decoder.weight" in keys:
+        return "ct_transformer"
+    if has("predictor.upsample_cnn.") and not has("decoder."):
+        return "monotonic_aligner"
+    if has("predictor.upsample_cnn."):
+        return "bicif_paraformer"
+    return "paraformer"
+
+
+def convert_from_torch(sd: Mapping[str, Any], arch: str = "auto",
+                       **kwargs) -> Dict[str, Any]:
+    """Dispatch a reference torch state_dict to the right family
+    converter.  ``arch='auto'`` fingerprints the keys (detect_arch)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if arch == "auto":
+        arch = detect_arch(sd)
+    table = {
+        "paraformer": paraformer_from_torch,
+        "scama": scama_from_torch,
+        "bicif_paraformer": bicif_paraformer_from_torch,
+        "seaco_paraformer": seaco_paraformer_from_torch,
+        "contextual_paraformer": contextual_paraformer_from_torch,
+        "monotonic_aligner": monotonic_aligner_from_torch,
+        "uniasr": uniasr_from_torch,
+        "sense_voice": sense_voice_from_torch,
+        "fsmn_vad": fsmn_vad_from_torch,
+        "fsmn_kws": fsmn_kws_from_torch,
+        "ct_transformer": ct_transformer_from_torch,
+        "campplus": campplus_from_torch,
+        "eres2net": eres2net_from_torch,
+        "mossformer": mossformer_from_torch,
+        "emotion2vec": emotion2vec_from_torch,
+    }
+    if arch == "transducer":
+        return transducer_from_torch(sd, kwargs.get("n_mels_after_conv", 19))
+    if arch == "conformer":
+        enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+                  if k.startswith("encoder.")}
+        out = conformer_from_torch(enc_sd,
+                                   kwargs.get("n_mels_after_conv", 19))
+        tree = {"params": {"encoder": out["params"]},
+                "batch_stats": {"encoder": out["batch_stats"]}}
+        if "ctc.ctc_lo.weight" in sd:
+            ctc: Dict[str, Any] = {}
+            _linear(sd, "ctc.ctc_lo", ctc, "ctc_lo")
+            tree["params"]["ctc_lo"] = ctc["ctc_lo"]
+        # (AR transformer decoder subtrees load via the hybrid engine's
+        # own mapping; CTC greedy covers the common deployment)
+        return tree
+    if arch not in table:
+        raise ValueError(f"unknown arch {arch!r}; one of "
+                         f"{sorted(table) + ['transducer', 'conformer']}")
+    return table[arch](sd)

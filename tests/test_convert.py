@@ -127,3 +127,35 @@ def test_convert_linear_transpose(rng):
     # scanned stack leaf: (L, ...) layout
     stack = converted["params"]["encoder"]["encoders"]["self_attn"]["linear_q_k_v"]["kernel"]
     assert stack.shape[0] == N_ENC - 1
+
+
+def test_detect_arch_fingerprints():
+    from funasr_tpu.convert import detect_arch
+
+    assert detect_arch({"seaco_decoder.after_norm.weight": 0}) \
+        == "seaco_paraformer"
+    assert detect_arch({"decoder.bias_decoder.norm3.weight": 0}) \
+        == "contextual_paraformer"
+    assert detect_arch({"encoder2.after_norm.weight": 0}) == "uniasr"
+    assert detect_arch({"joint_network.lin_enc.weight": 0}) == "transducer"
+    assert detect_arch({"modality_encoders.AUDIO.extra_tokens": 0}) \
+        == "emotion2vec"
+    assert detect_arch({"mask_net.conv1d_encoder.weight": 0}) == "mossformer"
+    assert detect_arch({"encoder.tp_encoders.0.norm1.weight": 0}) \
+        == "sense_voice"
+    assert detect_arch({"xvector.tdnn.linear.weight": 0}) == "campplus"
+    assert detect_arch({"layer1_downsample.weight": 0}) == "eres2net"
+    assert detect_arch({"in_linear1.linear.weight": 0}) == "fsmn_vad"
+    assert detect_arch({"encoder.in_linear1.linear.weight": 0,
+                        "ctc.ctc_lo.weight": 0}) == "fsmn_kws"
+    assert detect_arch({"embed.weight": 0, "decoder.weight": 0}) \
+        == "ct_transformer"
+    assert detect_arch({"predictor.upsample_cnn.weight": 0}) \
+        == "monotonic_aligner"
+    assert detect_arch({"predictor.upsample_cnn.weight": 0,
+                        "decoder.after_norm.weight": 0}) \
+        == "bicif_paraformer"
+    assert detect_arch({"encoder.encoders.0.self_attn.linear_q_k_v.weight":
+                        0}) == "paraformer"
+    assert detect_arch(
+        {"encoder.encoders.0.self_attn.linear_pos.weight": 0}) == "conformer"
