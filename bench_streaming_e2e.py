@@ -149,11 +149,23 @@ def main():
                + 0.02 * rng.standard_normal(n))
         chunks.append((np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes())
 
+    # warm the offline correction path (compile for the final-utterance
+    # bucket) so the measured 2pass-offline latency is steady-state
+    total_samples = n * (N_WARM + N_MEAS)
+    warm_wav = (np.clip(rng.standard_normal(total_samples) * 0.05, -1, 1)
+                .astype(np.float32))
+    t_warm = time.time()
+    am.generate(warm_wav, key=["warm"])
+    warm_offline_s = time.time() - t_warm
+
     async def run():
         import websockets
 
         async with websockets.serve(server.handle, "127.0.0.1", PORT,
                                     max_size=None):
+            # utterance 1 warms the online program; utterance 2 is measured
+            sync0: list = []
+            await _run_client(PORT, chunks[: N_WARM + 4], sync0)
             final_sync = []
             lats = await _run_client(PORT, chunks, final_sync)
             return lats, final_sync[0]
@@ -184,6 +196,7 @@ def main():
             "model": "paraformer-large-arch streaming [0,10,5]",
             "offline_correction": "flagship AutoModel (int8 serving path)",
             "build_s": round(build_s, 1),
+            "offline_warm_s": round(warm_offline_s, 1),
             "wall_s": round(total_s, 1),
         },
     }

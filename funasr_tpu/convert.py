@@ -960,3 +960,57 @@ def convert_from_torch(sd: Mapping[str, Any], arch: str = "auto",
         raise ValueError(f"unknown arch {arch!r}; one of "
                          f"{sorted(table) + ['transducer', 'conformer']}")
     return table[arch](sd)
+
+
+def data2vec_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """data2vec-1.0 encoder (reference data2vec/data2vec_encoder.py:30 over
+    fbank features): conv extractor (GroupNorm on layer 0), feature LN +
+    projection, mask_emb, weight-normed conv positional embedding
+    (reconstructed to a plain kernel: w = g * v / ||v|| over (out, in)
+    per tap), post-norm BERT layers, encoder LN, final_proj."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tree: Dict[str, Any] = {}
+
+    fe: Dict[str, Any] = {}
+    i = 0
+    while f"feature_extractor.conv_layers.{i}.0.weight" in sd:
+        w = sd[f"feature_extractor.conv_layers.{i}.0.weight"]  # (O, I, k)
+        fe[f"conv{i}"] = {"kernel": np.ascontiguousarray(
+            np.transpose(w, (2, 1, 0)))}
+        if i == 0 and "feature_extractor.conv_layers.0.2.weight" in sd:
+            fe["gn_scale"] = sd["feature_extractor.conv_layers.0.2.weight"]
+            fe["gn_bias"] = sd["feature_extractor.conv_layers.0.2.bias"]
+        i += 1
+    tree["feature_extractor"] = fe
+
+    _norm(sd, "layer_norm", tree, "layer_norm")
+    _linear(sd, "post_extract_proj", tree, "post_extract_proj")
+    tree["mask_emb"] = sd["mask_emb"]
+
+    g = sd["encoder.pos_conv.0.weight_g"]        # (1, 1, k)
+    v = sd["encoder.pos_conv.0.weight_v"]        # (C, C/g, k)
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=(0, 1),
+                          keepdims=True))
+    w = (g * v / np.maximum(norm, 1e-12)).astype(np.float32)
+    tree["pos_conv"] = {
+        "kernel": np.ascontiguousarray(np.transpose(w, (2, 1, 0))),
+        "bias": sd["encoder.pos_conv.0.bias"],
+    }
+
+    n = _count_layers(sd, "encoder.layers")
+    layers = []
+    for i in range(n):
+        p = f"encoder.layers.{i}"
+        lt: Dict[str, Any] = {}
+        for q in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _linear(sd, f"{p}.self_attn.{q}", lt, q)
+        _norm(sd, f"{p}.self_attn_layer_norm", lt, "self_attn_layer_norm")
+        _linear(sd, f"{p}.fc1", lt, "fc1")
+        _linear(sd, f"{p}.fc2", lt, "fc2")
+        _norm(sd, f"{p}.final_layer_norm", lt, "final_layer_norm")
+        layers.append({"layer": lt})
+    tree["layers"] = _stack_layers(layers)
+    _norm(sd, "encoder.layer_norm", tree, "encoder_norm")
+    if "final_proj.weight" in sd:
+        _linear(sd, "final_proj", tree, "final_proj")
+    return {"params": tree}
