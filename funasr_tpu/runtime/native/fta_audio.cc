@@ -232,3 +232,125 @@ double fta_queue_consumed_ms(const fta_queue *q) {
 void fta_free(void *p) { free(p); }
 
 }  /* extern "C" */
+
+/* ---------------------------------------------------------------- mp3
+ * MP3 decode via the system libmpg123 (dlopen'd at first use — the
+ * reference closes the same gap by linking ffmpeg into its C++ runtime,
+ * runtime/onnxruntime/src/audio.cpp).  Returns interleaved float mono
+ * (channels averaged) and the sample rate.  -1: no libmpg123; -2: decode
+ * error; 0: ok. */
+
+#include <dlfcn.h>
+
+namespace {
+
+typedef void mpg123_handle_t;
+
+struct Mpg123Api {
+  int (*init)(void);
+  mpg123_handle_t *(*make)(const char *, int *);
+  void (*del)(mpg123_handle_t *);
+  int (*open_feed)(mpg123_handle_t *);
+  int (*feed)(mpg123_handle_t *, const unsigned char *, size_t);
+  int (*read)(mpg123_handle_t *, unsigned char *, size_t, size_t *);
+  int (*getformat)(mpg123_handle_t *, long *, int *, int *);
+  int (*format_none)(mpg123_handle_t *);
+  int (*format)(mpg123_handle_t *, long, int, int);
+  bool ok = false;
+};
+
+Mpg123Api *mpg123_api() {
+  static Mpg123Api api;
+  static bool tried = false;
+  if (tried) return api.ok ? &api : nullptr;
+  tried = true;
+  void *h = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_GLOBAL);
+  if (!h) h = dlopen("libmpg123.so", RTLD_NOW | RTLD_GLOBAL);
+  if (!h) return nullptr;
+  api.init = (int (*)(void))dlsym(h, "mpg123_init");
+  api.make = (mpg123_handle_t * (*)(const char *, int *))
+      dlsym(h, "mpg123_new");
+  api.del = (void (*)(mpg123_handle_t *))dlsym(h, "mpg123_delete");
+  api.open_feed = (int (*)(mpg123_handle_t *))dlsym(h, "mpg123_open_feed");
+  api.feed = (int (*)(mpg123_handle_t *, const unsigned char *, size_t))
+      dlsym(h, "mpg123_feed");
+  api.read = (int (*)(mpg123_handle_t *, unsigned char *, size_t, size_t *))
+      dlsym(h, "mpg123_read");
+  api.getformat = (int (*)(mpg123_handle_t *, long *, int *, int *))
+      dlsym(h, "mpg123_getformat");
+  api.format_none = (int (*)(mpg123_handle_t *))
+      dlsym(h, "mpg123_format_none");
+  api.format = (int (*)(mpg123_handle_t *, long, int, int))
+      dlsym(h, "mpg123_format");
+  if (!api.init || !api.make || !api.del || !api.open_feed || !api.feed ||
+      !api.read || !api.getformat || !api.format_none || !api.format)
+    return nullptr;
+  if (api.init() != 0) return nullptr;
+  api.ok = true;
+  return &api;
+}
+
+constexpr int kMpgOk = 0;
+constexpr int kMpgNeedMore = -10;
+constexpr int kMpgNewFormat = -11;
+constexpr int kMpgDone = -12;
+constexpr int kEncSigned16 = 0xD0; /* MPG123_ENC_SIGNED_16 */
+
+}  // namespace
+
+extern "C" {
+
+int fta_mp3_available(void) { return mpg123_api() != nullptr; }
+
+int fta_mp3_decode(const uint8_t *bytes, size_t len, float **out_samples,
+                   int64_t *out_n, int32_t *out_rate) {
+  Mpg123Api *api = mpg123_api();
+  if (!api) return -1;
+  int err = 0;
+  mpg123_handle_t *mh = api->make(nullptr, &err);
+  if (!mh) return -2;
+  if (api->open_feed(mh) != kMpgOk) { api->del(mh); return -2; }
+  if (api->feed(mh, bytes, len) != kMpgOk) { api->del(mh); return -2; }
+
+  std::vector<float> mono;
+  long rate = 0;
+  int channels = 1, enc = 0;
+  std::vector<unsigned char> buf(65536);
+  bool saw_format = false;
+  for (;;) {
+    size_t got = 0;
+    int rc = api->read(mh, buf.data(), buf.size(), &got);
+    if (rc == kMpgNewFormat) {
+      api->getformat(mh, &rate, &channels, &enc);
+      /* lock the output to s16 at the stream rate */
+      api->format_none(mh);
+      api->format(mh, rate, channels, kEncSigned16);
+      saw_format = true;
+      continue;
+    }
+    if (got > 0) {
+      const int16_t *pcm = (const int16_t *)buf.data();
+      size_t frames = got / 2 / (channels > 0 ? channels : 1);
+      size_t base = mono.size();
+      mono.resize(base + frames);
+      for (size_t i = 0; i < frames; i++) {
+        float acc = 0.f;
+        for (int c = 0; c < channels; c++) acc += pcm[i * channels + c];
+        mono[base + i] = acc / (32768.0f * channels);
+      }
+    }
+    if (rc == kMpgDone || rc == kMpgNeedMore) break;
+    if (rc != kMpgOk && got == 0) break;
+  }
+  api->del(mh);
+  if (!saw_format || mono.empty()) return -2;
+  float *out = (float *)malloc(mono.size() * sizeof(float));
+  if (!out) return -2;
+  memcpy(out, mono.data(), mono.size() * sizeof(float));
+  *out_samples = out;
+  *out_n = (int64_t)mono.size();
+  *out_rate = (int32_t)rate;
+  return 0;
+}
+
+}  /* extern "C" */

@@ -173,3 +173,43 @@ class SampleQueue:
             self.close()
         except Exception:
             pass
+
+
+def mp3_available() -> bool:
+    """True when libfta_audio.so is built AND the system libmpg123 loads."""
+    lib = _load()
+    if lib is None:
+        return False
+    try:
+        lib.fta_mp3_available.restype = ctypes.c_int
+        return bool(lib.fta_mp3_available())
+    except AttributeError:
+        return False
+
+
+def mp3_decode(data: bytes) -> Tuple[np.ndarray, int]:
+    """MP3 bytes -> (float32 mono waveform, sample rate) via the system
+    libmpg123 (dlopen'd by the native runtime — the reference closes this
+    format gap by linking ffmpeg, runtime/onnxruntime/src/audio.cpp)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audio library unavailable")
+    lib.fta_mp3_decode.restype = ctypes.c_int
+    lib.fta_mp3_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+    ptr = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    rate = ctypes.c_int32()
+    rc = lib.fta_mp3_decode(data, len(data), ctypes.byref(ptr),
+                            ctypes.byref(n), ctypes.byref(rate))
+    if rc == -1:
+        raise RuntimeError("libmpg123 not available on this system")
+    if rc != 0:
+        raise ValueError(f"mp3 decode failed (code {rc})")
+    try:
+        out = np.ctypeslib.as_array(ptr, shape=(n.value,)).copy()
+    finally:
+        lib.fta_free(ptr)
+    return out, int(rate.value)

@@ -49,6 +49,20 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
     return data, fs
 
 
+def load_mp3(path: str) -> Tuple[np.ndarray, int]:
+    """Decode an MP3 via the native runtime's dlopen'd libmpg123 (the
+    reference handles compressed audio through ffmpeg,
+    funasr/utils/load_utils.py:28 / runtime/onnxruntime/src/audio.cpp)."""
+    from funasr_tpu.runtime import native_audio
+
+    if not native_audio.mp3_available():
+        raise RuntimeError(
+            "mp3 decode needs runtime/native/libfta_audio.so + system "
+            "libmpg123 (make -C funasr_tpu/runtime/native)")
+    with open(path, "rb") as f:
+        return native_audio.mp3_decode(f.read())
+
+
 def load_pcm(path: str, dtype="<i2") -> np.ndarray:
     data = np.fromfile(path, dtype=dtype).astype(np.float32) / 32768.0
     return data
@@ -87,9 +101,12 @@ def load_audio(
             wav, in_fs = load_wav(source)
         elif ext == ".pcm":
             wav, in_fs = load_pcm(source), (audio_fs or fs)
+        elif ext == ".mp3":
+            wav, in_fs = load_mp3(source)
         else:
             raise ValueError(
-                f"unsupported audio format {ext!r} (wav/pcm supported natively)"
+                f"unsupported audio format {ext!r} (wav/pcm/mp3 supported "
+                "natively)"
             )
     else:
         raise TypeError(f"cannot load audio from {type(source)}")

@@ -1,6 +1,7 @@
 """Native (C++) audio runtime: build, bind, golden-check vs NumPy."""
 
 import io
+import os
 import wave
 
 import numpy as np
@@ -90,3 +91,82 @@ def test_sample_queue_timeline(rng):
     assert q.available == 0
     assert q.consumed_ms == pytest.approx(120.0)
     q.close()
+
+
+# ------------------------------------------------------------------ mp3
+
+def _lame_encode(wav, fs=16000):
+    """Encode float mono -> mp3 bytes via the system libmp3lame (test
+    fixture generator only; serving only ever decodes)."""
+    import ctypes
+
+    lame = ctypes.CDLL("libmp3lame.so.0")
+    lame.lame_init.restype = ctypes.c_void_p
+    gfp = lame.lame_init()
+    lame.lame_set_in_samplerate(ctypes.c_void_p(gfp), fs)
+    lame.lame_set_num_channels(ctypes.c_void_p(gfp), 1)
+    lame.lame_set_mode(ctypes.c_void_p(gfp), 3)  # mono
+    lame.lame_set_brate(ctypes.c_void_p(gfp), 64)
+    assert lame.lame_init_params(ctypes.c_void_p(gfp)) >= 0
+    pcm = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+    nbuf = len(pcm) * 2 + 7200
+    buf = (ctypes.c_ubyte * nbuf)()
+    n1 = lame.lame_encode_buffer(
+        ctypes.c_void_p(gfp), pcm.ctypes.data_as(ctypes.c_void_p), None,
+        len(pcm), buf, nbuf)
+    assert n1 >= 0
+    buf2 = (ctypes.c_ubyte * 7200)()
+    n2 = lame.lame_encode_flush(ctypes.c_void_p(gfp), buf2, 7200)
+    lame.lame_close(ctypes.c_void_p(gfp))
+    return bytes(buf[:n1]) + bytes(buf2[:n2])
+
+
+@pytest.mark.skipif(not native_audio.mp3_available(),
+                    reason="libmpg123 not present")
+def test_mp3_roundtrip_fixture(tmp_path):
+    """sine -> libmp3lame encode -> native mpg123 decode: high correlation
+    and matched duration (lossy codec, so not bit-exact by nature)."""
+    fs = 16000
+    t = np.arange(fs * 2) / fs
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    mp3 = _lame_encode(wav, fs)
+    out, out_fs = native_audio.mp3_decode(mp3)
+    assert out_fs == fs
+    # codec adds padding; align by best lag and compare one second
+    best = -1.0
+    for lag in range(0, 4000, 10):
+        if lag + fs > len(out):
+            break
+        c = float(np.corrcoef(out[lag:lag + fs], wav[:fs])[0, 1])
+        best = max(best, c)
+    assert best > 0.98
+    assert abs(len(out) - len(wav)) < 5000  # within codec delay/padding
+
+    # the loader path handles .mp3 files end to end
+    from funasr_tpu.utils.audio import load_audio
+
+    p = tmp_path / "a.mp3"
+    p.write_bytes(mp3)
+    via_loader = load_audio(str(p), fs=16000)
+    assert via_loader.dtype == np.float32
+    assert len(via_loader) == len(out)
+
+
+@pytest.mark.skipif(not native_audio.mp3_available(),
+                    reason="libmpg123 not present")
+def test_mp3_decodes_reference_example():
+    """The reference repo's own mp3/wav pair: our decode matches the
+    pre-decoded wav nearly sample for sample (corr > 0.999, same length
+    and rate)."""
+    mp3_path = "/root/reference/runtime/funasr_api/asr_example.mp3"
+    wav_path = "/root/reference/runtime/funasr_api/asr_example.wav"
+    if not os.path.exists(mp3_path):
+        pytest.skip("reference example not present")
+    out, fs = native_audio.mp3_decode(open(mp3_path, "rb").read())
+    from funasr_tpu.utils.audio import load_wav
+
+    ref, rfs = load_wav(wav_path)
+    assert fs == rfs == 16000
+    assert len(out) == len(ref)
+    c = float(np.corrcoef(out[:80000], ref[:80000])[0, 1])
+    assert c > 0.999
