@@ -180,3 +180,61 @@ def test_2pass_ws_roundtrip(rng):
     assert "2pass-offline" in modes
     final = [m for m in msgs if m["mode"] == "2pass-offline"][-1]
     assert final["is_final"] and "text" in final
+
+
+@pytest.mark.slow
+def test_native_cpp_client_roundtrip(rng):
+    """The compiled C++ client (runtime/native/fta_ws_client.cc — the role
+    of the reference's go/java/c# clients) speaks the protocol against the
+    asyncio server: masked client frames, config/pcm/is_speaking flow,
+    final offline result received."""
+    import ctypes
+    import os
+    import threading
+
+    so = os.path.join(os.path.dirname(__file__), "..", "funasr_tpu",
+                      "runtime", "native", "libfta_ws_client.so")
+    if not os.path.exists(so):
+        pytest.skip("native client not built")
+    lib = ctypes.CDLL(so)
+    CB = ctypes.CFUNCTYPE(None, ctypes.c_char_p, ctypes.c_void_p)
+    lib.fta_ws_client_run.restype = ctypes.c_int
+    lib.fta_ws_client_run.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, CB, ctypes.c_void_p]
+
+    am = AutoModel(model=ASR_CFG)
+    server = AsrWebSocketServer(am, host="127.0.0.1", port=19097,
+                                max_batch=1)
+    loop_holder = {}
+    started = threading.Event()
+
+    def serve():
+        import websockets
+
+        async def run():
+            loop_holder["loop"] = asyncio.get_running_loop()
+            async with websockets.serve(server.handle, server.host,
+                                        server.port, max_size=None):
+                started.set()
+                await asyncio.Future()
+
+        try:
+            asyncio.run(run())
+        except RuntimeError:
+            pass
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    assert started.wait(10)
+
+    wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(16000) / 16000))
+    pcm = (wav * 32767).astype("<i2").tobytes()
+    results = []
+    cb = CB(lambda msg, _: results.append(json.loads(msg.decode())))
+    rc = lib.fta_ws_client_run(b"127.0.0.1", 19097, b"offline", pcm,
+                               len(pcm), 200, 16000, cb, None)
+    assert rc >= 1, f"client failed rc={rc}"
+    finals = [r for r in results if r.get("is_final")]
+    assert finals and finals[-1]["mode"] == "offline"
+    assert "text" in finals[-1]
