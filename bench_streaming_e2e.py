@@ -149,23 +149,18 @@ def main():
                + 0.02 * rng.standard_normal(n))
         chunks.append((np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes())
 
-    # warm the offline correction path (compile for the final-utterance
-    # bucket) so the measured 2pass-offline latency is steady-state
-    total_samples = n * (N_WARM + N_MEAS)
-    warm_wav = (np.clip(rng.standard_normal(total_samples) * 0.05, -1, 1)
-                .astype(np.float32))
-    t_warm = time.time()
-    am.generate(warm_wav, key=["warm"])
-    warm_offline_s = time.time() - t_warm
+    warm_offline_s = 0.0  # utterance 1 below warms the offline bucket
 
     async def run():
         import websockets
 
         async with websockets.serve(server.handle, "127.0.0.1", PORT,
                                     max_size=None):
-            # utterance 1 warms the online program; utterance 2 is measured
+            # utterance 1 (same chunk count -> same offline bucket) warms
+            # the online program AND the final-correction program;
+            # utterance 2 is measured
             sync0: list = []
-            await _run_client(PORT, chunks[: N_WARM + 4], sync0)
+            await _run_client(PORT, chunks, sync0)
             final_sync = []
             lats = await _run_client(PORT, chunks, final_sync)
             return lats, final_sync[0]
