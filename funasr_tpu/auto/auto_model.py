@@ -156,6 +156,12 @@ class AutoModel:
     # ------------------------------------------------------------- builders
     def _build_main(self, cfg: Dict):
         name = cfg.get("model", "Paraformer")
+        if name in ("CTTransformer", "CTTransformerStreaming"):
+            # punctuation as the MAIN model: reference
+            # AutoModel(model="ct-punc").generate(input=<text>)
+            # (funasr/auto/auto_model.py builds the punc model like any
+            # other main model; inference takes text)
+            return self._build_punc(cfg)
         cls = tables.get("model_classes", name)
         tokenizer = _build_tokenizer(cfg)
         frontend = _build_frontend(cfg)
@@ -380,6 +386,20 @@ class AutoModel:
         # load_utils.py:48 audio_fs semantics; every waveform is resampled
         # to the frontend's rate, which is what all downstream frame math
         # (25ms/10ms windows, VAD ms timeline) assumes.
+        if hasattr(self.engine, "punctuate"):
+            # text-in/text-out main model (ct-punc): input is a transcript
+            # or a list of transcripts, reference auto_model.py punc path
+            texts = [input] if isinstance(input, str) else list(input)
+            keys = key or [f"punc{i}" for i in range(len(texts))]
+            results = []
+            for k, t in zip(keys, texts):
+                out = self.engine.punctuate(t, **kwargs)
+                res = {"key": k}
+                res.update(out if isinstance(out, dict) else {"text": out})
+                results.append(res)
+            if output_dir:
+                self._write_results(results, output_dir)
+            return results
         target_fs = 16000
         for eng in (self.engine, self.vad_engine):
             fe = getattr(eng, "frontend", None)
