@@ -18,8 +18,9 @@ a ``safetensors``/npz mapping).  No torch import happens here.
 
 from __future__ import annotations
 
+import os
 import re
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -1014,3 +1015,100 @@ def data2vec_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     if "final_proj.weight" in sd:
         _linear(sd, "final_proj", tree, "final_proj")
     return {"params": tree}
+
+
+# --------------------------------------------------------------- whisper
+_OPENAI_WHISPER_RENAMES = (
+    # order matters: the *_ln and cross_attn forms must rewrite before the
+    # bare ``.attn.`` / projection names
+    (".cross_attn_ln.", ".encoder_attn_layer_norm."),
+    (".attn_ln.", ".self_attn_layer_norm."),
+    (".cross_attn.", ".encoder_attn."),
+    (".attn.", ".self_attn."),
+    (".query.", ".q_proj."),
+    (".key.", ".k_proj."),
+    (".value.", ".v_proj."),
+    (".out.", ".out_proj."),
+    (".mlp_ln.", ".final_layer_norm."),
+    (".mlp.0.", ".fc1."),
+    (".mlp.2.", ".fc2."),
+)
+
+
+def _openai_whisper_key_to_hf(k: str) -> Optional[str]:
+    """One openai-whisper state_dict key -> HF WhisperForConditionalGeneration
+    key (the naming transform of HF's convert_openai_to_hf recipe)."""
+    if k == "encoder.positional_embedding":
+        return "model.encoder.embed_positions.weight"
+    if k == "decoder.positional_embedding":
+        return "model.decoder.embed_positions.weight"
+    for pre, post in (("encoder.conv1.", "model.encoder.conv1."),
+                      ("encoder.conv2.", "model.encoder.conv2."),
+                      ("encoder.ln_post.", "model.encoder.layer_norm."),
+                      ("encoder.blocks.", "model.encoder.layers."),
+                      ("decoder.token_embedding.",
+                       "model.decoder.embed_tokens."),
+                      ("decoder.ln.", "model.decoder.layer_norm."),
+                      ("decoder.blocks.", "model.decoder.layers.")):
+        if k.startswith(pre):
+            k = post + k[len(pre):]
+            for a, b in _OPENAI_WHISPER_RENAMES:
+                k = k.replace(a, b)
+            return k
+    return None  # unknown/auxiliary key (e.g. alignment heads buffer)
+
+
+def whisper_from_openai_pt(ckpt, dtype=None):
+    """openai-whisper ``.pt`` checkpoint -> (WhisperConfig, flax params).
+
+    The reference runs Whisper through the openai-whisper package whose
+    ``whisper.load_model`` reads checkpoints of the form
+    ``{"dims": {...}, "model_state_dict": {...}}``; HF hosts the same
+    weights re-published, but ModelScope Whisper deliveries ship the
+    openai layout.  This renames to HF's WhisperForConditionalGeneration
+    naming and reuses transformers' torch->flax tensor transposes, so the
+    result drops into models/whisper/model.py:WhisperWrap.
+
+    ``ckpt``: path to the .pt file, or the loaded checkpoint dict.
+    Returns ``(config, params)`` for FlaxWhisperForConditionalGeneration.
+    """
+    import jax.numpy as jnp
+    from transformers import WhisperConfig
+    from transformers.modeling_flax_pytorch_utils import (
+        convert_pytorch_state_dict_to_flax,
+    )
+    from transformers.models.whisper.modeling_flax_whisper import (
+        FlaxWhisperForConditionalGeneration,
+    )
+
+    if isinstance(ckpt, (str, os.PathLike)):
+        import torch
+
+        ckpt = torch.load(ckpt, map_location="cpu", weights_only=False)
+    dims = ckpt["dims"]
+    sd = ckpt.get("model_state_dict", ckpt.get("state_dict", ckpt))
+    d = int(dims["n_audio_state"])
+    config = WhisperConfig(
+        vocab_size=int(dims["n_vocab"]),
+        num_mel_bins=int(dims["n_mels"]),
+        d_model=d,
+        encoder_layers=int(dims["n_audio_layer"]),
+        encoder_attention_heads=int(dims["n_audio_head"]),
+        decoder_layers=int(dims["n_text_layer"]),
+        decoder_attention_heads=int(dims["n_text_head"]),
+        encoder_ffn_dim=4 * d,
+        decoder_ffn_dim=4 * d,
+        max_source_positions=int(dims["n_audio_ctx"]),
+        max_target_positions=int(dims["n_text_ctx"]),
+    )
+    hf_sd = {}
+    for k, v in sd.items():
+        hk = _openai_whisper_key_to_hf(k)
+        if hk is not None:
+            hf_sd[hk] = v
+    # convert_pytorch_state_dict_to_flax consults flax_model.params for
+    # shape/layout decisions, so the holder must be initialized
+    flax_model = FlaxWhisperForConditionalGeneration(
+        config, dtype=dtype or jnp.float32, _do_init=True)
+    params = convert_pytorch_state_dict_to_flax(hf_sd, flax_model)
+    return config, params

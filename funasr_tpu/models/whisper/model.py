@@ -54,7 +54,18 @@ class WhisperWrap:
             FlaxWhisperForConditionalGeneration,
         )
 
-        if model_path:
+        if model_path and str(model_path).endswith(".pt"):
+            # openai-whisper checkpoint layout ({"dims", "model_state_dict"})
+            # — what the reference loads via whisper.load_model and what
+            # ModelScope Whisper deliveries ship (convert.py does the
+            # renaming + torch->flax transposes)
+            from funasr_tpu.convert import whisper_from_openai_pt
+
+            self.config, self.params = whisper_from_openai_pt(
+                model_path, dtype=dtype)
+            self.model = FlaxWhisperForConditionalGeneration(
+                self.config, dtype=dtype, _do_init=False)
+        elif model_path:
             self.model = FlaxWhisperForConditionalGeneration.from_pretrained(
                 model_path, dtype=dtype)
             self.params = self.model.params
