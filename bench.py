@@ -44,8 +44,9 @@ def main():
 
     # int8 dynamic quantization (ops/quant.py + ops/ffn_pallas.py): default
     # on, mirroring the reference serving default (funasr-wss-server.cpp:54
-    # "--quantize true (Default)"; int8 keeps CER at 1.95,
-    # benchmark_onnx_cpp.md:63-81).  FUNASR_TPU_INT8=0 opts out.
+    # "--quantize true (Default)").  Accuracy of OUR int8 path is measured
+    # by bench_int8_accuracy.py: 99.65% greedy token agreement vs bf16 at
+    # flagship shape (BENCH_INT8_ACCURACY.json).  FUNASR_TPU_INT8=0 opts out.
     use_int8 = os.environ.get("FUNASR_TPU_INT8", "1") == "1"
     quant.enable(use_int8)
 

@@ -19,6 +19,7 @@ CER drift achievable from quantization alone.
 Prints ONE JSON line; writes BENCH_INT8_ACCURACY.json.
 """
 
+import functools
 import json
 import os
 import sys
@@ -71,21 +72,23 @@ def main():
                                    method=model.inference_logits)
     )(jax.random.PRNGKey(0), x0, l0)
 
-    @jax.jit
-    def logits_fn(params, wav, lens):
-        x, xl = features(wav, lens)
-        return model.apply(params, x, xl, max_tokens=max_tokens,
-                           method=model.inference_logits)
+    # quant.enabled() is read at TRACE time, so it must be a static arg:
+    # one jit cache entry per setting (re-jitting the same callable would
+    # silently reuse the first trace and compare bf16 against itself)
+    @functools.partial(jax.jit, static_argnames=("use_int8",))
+    def logits_fn(params, wav, lens, use_int8):
+        with quant.quantized(use_int8):
+            x, xl = features(wav, lens)
+            return model.apply(params, x, xl, max_tokens=max_tokens,
+                               method=model.inference_logits)
 
     # bf16 reference pass
-    quant.enable(False)
-    lp_fp, n_fp, _ = jax.jit(logits_fn)(params, wav_d, len_d)
+    lp_fp, n_fp, _ = logits_fn(params, wav_d, len_d, use_int8=False)
     lp_fp = np.asarray(lp_fp, np.float32)
     n_fp = np.asarray(n_fp)
 
     # int8 fused serving pass (same params, same program shape)
-    quant.enable(True)
-    lp_q, n_q, _ = jax.jit(logits_fn)(params, wav_d, len_d)
+    lp_q, n_q, _ = logits_fn(params, wav_d, len_d, use_int8=True)
     lp_q = np.asarray(lp_q, np.float32)
     n_q = np.asarray(n_q)
     setup_s = time.time() - t0
@@ -110,6 +113,10 @@ def main():
         flips += int((d_at > margin).sum())
         margin_checked += n
     deltas = np.concatenate([d.ravel() for d in deltas])
+    if float(deltas.max()) == 0.0:
+        raise RuntimeError(
+            "int8 and bf16 logits are bit-identical — the int8 program "
+            "was not actually traced (stale jit cache?); measurement void")
 
     agree = 100.0 * tok_same / max(tok_total, 1)
     out = {

@@ -62,6 +62,14 @@ def _install_rotary_stub():
 def _build_reference(in_ch, out_ch, num_blocks, kernel, num_spks,
                      group_size, qk_dim, expansion):
     _install_rotary_stub()
+    # an earlier test may have imported the reference package (its model
+    # registry pulls in mossformer_encoder transitively) BEFORE the stub
+    # existed; that cached module swallowed the ImportError and lacks
+    # RotaryEmbedding — evict it so it re-imports against the stub
+    enc_name = "funasr.models.mossformer.mossformer_encoder"
+    cached = sys.modules.get(enc_name)
+    if cached is not None and not hasattr(cached, "RotaryEmbedding"):
+        del sys.modules[enc_name]
     from reference_torch import load_reference
 
     enc_m = load_reference("funasr.models.mossformer.mossformer_encoder")
