@@ -445,6 +445,25 @@ class AutoModel:
         return results
 
     # ------------------------------------------------------------- export
+    def warmup(self, batch_sizes=(1,), seconds=(15,), fs: int = 16000):
+        """Pre-compile the decode programs for a bucket grid.
+
+        A cold jit of the flagship offline program takes minutes (and even
+        a persistent-cache load takes seconds) — unacceptable mid-session.
+        The reference's C++ server pays its model-load cost entirely at
+        startup (funasr-wss-server.cpp loads and initializes all ONNX
+        sessions before accepting connections); this is the TPU analogue:
+        run one silent utterance through every (batch, seconds) bucket the
+        server expects so live traffic only ever hits warm programs.
+        """
+        import numpy as np
+
+        for b in batch_sizes:
+            for s in seconds:
+                wavs = [np.zeros(int(s * fs), np.float32)] * int(b)
+                self.generate(wavs, fs=fs, batch_size=max(
+                    int(b), 1))
+
     def export(self, output_dir: str, batch_sizes=(1, 8), seconds=(15,),
                platforms=None) -> Dict:
         """Export the main engine as a StableHLO servable bundle (reference

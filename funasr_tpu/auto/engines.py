@@ -28,6 +28,21 @@ from funasr_tpu.utils.timestamp_tools import (
 
 
 def quantize(n: int, step: int = 2000, minimum: int = 4000) -> int:
+    """Pad a sample count to a bucket boundary.
+
+    Graduated: fine 0.125 s steps up to 16 s keep short-utterance padding
+    negligible; past that the step grows with length (1 s to 60 s, 4 s to
+    4 min, 15 s beyond), so padding waste stays under ~7% while the
+    number of distinct compiled programs a long-audio server can ever see
+    is bounded — a cold flagship compile is minutes, so an unbounded
+    bucket set (one per 0.125 s of utterance length) is a serving hazard.
+    """
+    if n > 240 * 16000:
+        step = 240000        # 15 s
+    elif n > 60 * 16000:
+        step = 64000         # 4 s
+    elif n > 16 * 16000:
+        step = 16000         # 1 s
     return max(minimum, step * ((n + step - 1) // step))
 
 

@@ -184,6 +184,22 @@ class AsrWebSocketServer:
         except Exception:  # pragma: no cover - connection teardown
             log.exception("websocket session error")
 
+    def warmup(self, seconds=(15, 30, 60), batch_sizes=(1,)):
+        """Pre-compile the offline decode buckets before accepting traffic.
+
+        The reference C++ server finishes all model/session initialization
+        before listening (funasr-wss-server.cpp); a cold flagship jit here
+        is minutes, so a live connection must never be the first to touch
+        a bucket.  Warms each (batch, seconds) offline bucket; the
+        streaming chunk programs are warmed by the first chunk of the
+        first connection (~100 ms amortized, acceptable) or by passing a
+        few seconds through generate_chunk at startup by the caller.
+        """
+        log.info("warming offline buckets: %s s x batch %s",
+                 seconds, batch_sizes)
+        self.auto_model.warmup(batch_sizes=batch_sizes, seconds=seconds)
+        log.info("warmup done")
+
     async def serve(self):
         import websockets
 
@@ -192,7 +208,9 @@ class AsrWebSocketServer:
             log.info("ASR websocket server on ws://%s:%d", self.host, self.port)
             await asyncio.Future()
 
-    def run(self):
+    def run(self, warmup_seconds=None):
+        if warmup_seconds:
+            self.warmup(seconds=warmup_seconds)
         asyncio.run(self.serve())
 
 
@@ -247,6 +265,9 @@ def main(argv=None):  # CLI: funasr-tpu-server
                          "modes (online falls back to offline without it)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=10095)
+    ap.add_argument("--warmup-seconds", type=int, nargs="*", default=[15],
+                    help="offline bucket lengths (s) to pre-compile before "
+                         "accepting connections; empty disables")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -258,7 +279,8 @@ def main(argv=None):  # CLI: funasr-tpu-server
     streaming = (build_streaming_model(load_config(args.streaming_model))
                  if args.streaming_model else None)
     AsrWebSocketServer(am, streaming_model=streaming,
-                       host=args.host, port=args.port).run()
+                       host=args.host, port=args.port).run(
+        warmup_seconds=tuple(args.warmup_seconds))
 
 
 if __name__ == "__main__":

@@ -19,7 +19,10 @@ import re
 from typing import List
 
 _ZH_DIGITS = {"零": 0, "一": 1, "二": 2, "两": 2, "三": 3, "四": 4, "五": 5,
-              "六": 6, "七": 7, "八": 8, "九": 9}
+              "六": 6, "七": 7, "八": 8, "九": 9,
+              # 幺 is the spoken 1 of digit sequences (phone numbers,
+              # zh taggers/telephone.py reads 幺 -> 1)
+              "幺": 1}
 _ZH_UNITS = {"十": 10, "百": 100, "千": 1000}
 _ZH_BIG = {"万": 10**4, "亿": 10**8}
 _ZH_NUM_CHARS = "".join(_ZH_DIGITS) + "".join(_ZH_UNITS) + "".join(_ZH_BIG)
@@ -68,6 +71,11 @@ def _zh_number_repl(m: re.Match) -> str:
 
 
 def _itn_zh(text: str) -> str:
+    from funasr_tpu.text.itn_semiotic import (
+        apply_electronic_zh, apply_measure_zh, apply_whitelist)
+
+    text = apply_whitelist(text)
+    text = apply_electronic_zh(text)
     num = f"[{_ZH_NUM_CHARS}]+"
     digits = "".join(_ZH_DIGITS)
     # permille / percent: 千分之X -> X‰, 百分之X -> X% (sign folds in:
@@ -131,7 +139,7 @@ def _itn_zh(text: str) -> str:
             return s
         return _zh_number_repl(m)
     text = re.sub(num, card, text)
-    return text
+    return apply_measure_zh(text)
 
 
 def _fmt_zh_value(s: str) -> str:
@@ -194,6 +202,15 @@ def _en_words_to_int(words: List[str]) -> int:
 
 
 def _itn_en(text: str) -> str:
+    from funasr_tpu.text.itn_semiotic import (
+        apply_electronic_en, apply_measure_en, apply_telephone_en,
+        apply_time_en, apply_whitelist, apply_year_en)
+
+    text = apply_whitelist(text)
+    text = apply_electronic_en(text)
+    text = apply_telephone_en(text)
+    text = apply_time_en(text)
+    text = apply_year_en(text)
     # hyphenated tens-ones compounds ("twenty-one", "forty-second") split
     # into their word parts; anything else ("fifty-fifty", "one-two") is
     # an idiom, not a numeral, and stays joined
@@ -238,6 +255,13 @@ def _itn_en(text: str) -> str:
         ord_word = (tokens[jo].lower()
                     if jo < len(tokens) and tokens[jo].lower() in _EN_ORDS
                     else None)
+        # an ordinal-ONES tail only compounds with a tens/scale head
+        # ("twenty first" -> 21st, "hundred and second" -> 102nd); after a
+        # ones/teens head it is its own word ("one second" is a duration,
+        # not 3rd)
+        if (ord_word and ord_word in _EN_ORD_ONES and meaningful
+                and meaningful[-1] in _EN_ONES):
+            ord_word = None
         if ord_word and (meaningful
                          or _EN_ORDS[ord_word] >= 20):
             val = _en_words_to_int(span) if span else 0
@@ -255,8 +279,12 @@ def _itn_en(text: str) -> str:
         # -> 5%, "three point one four" -> 3.14
         cue = False
         if len(meaningful) == 1 and j < len(tokens):
+            from funasr_tpu.text.itn_semiotic import _en_unit_abbr
+
             nxt = tokens[j].lower()
             cue = (nxt == "percent" or nxt in _EN_CURRENCY
+                   or nxt in ("degree", "degrees")
+                   or _en_unit_abbr(nxt) is not None
                    or (nxt == "point" and j + 1 < len(tokens)
                        and tokens[j + 1].lower() in _EN_ONES
                        and _EN_ONES[tokens[j + 1].lower()] <= 9))
@@ -316,7 +344,7 @@ def _itn_en(text: str) -> str:
         else:
             out.append(tokens[i])
             i += 1
-    return " ".join(out)
+    return apply_measure_en(" ".join(out))
 
 
 # --------------------------------------------------------------- Japanese

@@ -1,0 +1,399 @@
+"""Measure / telephone / electronic / whitelist ITN classes for zh and en.
+
+The reference's flagship-language grammars carry four semiotic classes
+beyond the date/time/money/ordinal/decimal set implemented in itn.py /
+itn_classes.py:
+
+- measure  (inverse_text_normalization/{en,zh}/taggers/measure.py:
+  "minus twelve kilograms" -> "-12 kg"; zh units map through
+  data/measurements_en.tsv, e.g. 摄氏度 -> °C)
+- telephone (taggers/telephone.py: digit-word runs incl. double/triple
+  and o/oh for 0; 10-digit US numbers group 123-123-5678, "dot" makes IPs)
+- electronic (taggers/electronic.py + data/electronic/*: spelled
+  user "at" server "dot" domain -> user@server.domain)
+- whitelist (taggers/whitelist.py + data/whitelist.tsv inverted:
+  "misses" -> "mrs.", "a t m" -> "ATM"; highest classify priority)
+
+These run as pre-passes (word-level classes, before cardinal spans merge)
+and post-passes (measure, after numbers are digits) from itn._itn_en /
+itn._itn_zh.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ------------------------------------------------------------- whitelist
+# data/whitelist.tsv (written<TAB>spoken), inverted for ITN: spoken ->
+# written.  zh shares the en table verbatim (zh/data/whitelist.tsv).
+_WHITELIST = [
+    ("for example", "e.g."),
+    ("mister", "mr."),
+    ("misses", "mrs."),
+    ("a s a p", "ASAP"),
+    ("a t and t", "AT&T"),
+    ("a t m", "ATM"),
+    ("s and p", "S&P"),
+    ("seven eleven", "7-eleven"),
+    ("e s three", "es3"),
+    ("l l p", "LLP"),
+]
+_WHITELIST_RE = [
+    (re.compile(rf"\b{re.escape(sp)}\b", re.IGNORECASE), wr)
+    for sp, wr in _WHITELIST
+]
+
+
+def apply_whitelist(text: str) -> str:
+    for pat, written in _WHITELIST_RE:
+        text = pat.sub(written, text)
+    return text
+
+
+# ------------------------------------------------------------- telephone
+_TEL_DIGIT = {"zero": "0", "oh": "0", "o": "0", "one": "1", "two": "2",
+              "three": "3", "four": "4", "five": "5", "six": "6",
+              "seven": "7", "eight": "8", "nine": "9"}
+_TEL_MULT = {"double": 2, "triple": 3}
+
+
+def _tel_span_digits(tokens, i):
+    """Consume a digit-word run starting at i; returns (digits, next_i,
+    saw_dot).  Supports double/triple X and 'dot' separators (IPs)."""
+    digits = []
+    dots = []  # positions (in digits) where a '.' goes
+    j = i
+    while j < len(tokens):
+        w = tokens[j].lower()
+        if w in _TEL_MULT and j + 1 < len(tokens) \
+                and tokens[j + 1].lower() in _TEL_DIGIT:
+            digits.append(_TEL_DIGIT[tokens[j + 1].lower()] * _TEL_MULT[w])
+            j += 2
+        elif w in _TEL_DIGIT:
+            digits.append(_TEL_DIGIT[w])
+            j += 1
+        elif w == "dot" and digits and j + 1 < len(tokens) and (
+                tokens[j + 1].lower() in _TEL_DIGIT
+                or tokens[j + 1].lower() in _TEL_MULT):
+            dots.append(len("".join(digits)))
+            j += 1
+        else:
+            break
+    return "".join(digits), j, dots
+
+
+def apply_telephone_en(text: str) -> str:
+    """Digit-word runs -> digit strings (reference telephone.py).
+
+    10 digits group US-style 123-123-5678; a run with 'dot' separators
+    becomes a dotted number (IP); other runs of >= 7 digits concatenate.
+    Shorter pure-digit runs are left for the cardinal grammar ("twenty
+    one" etc. must not be eaten here).
+    """
+    tokens = text.split(" ")
+    out = []
+    i = 0
+    while i < len(tokens):
+        w = tokens[i].lower()
+        if w in _TEL_DIGIT or (w in _TEL_MULT and i + 1 < len(tokens)
+                               and tokens[i + 1].lower() in _TEL_DIGIT):
+            digits, j, dots = _tel_span_digits(tokens, i)
+            # 'o'/'oh' alone are words, not zeros: require a real digit
+            has_real = any(tokens[k].lower() in _TEL_DIGIT
+                           and tokens[k].lower() not in ("o", "oh")
+                           for k in range(i, j))
+            if dots and len(digits) >= 3 and has_real:
+                s, prev = "", 0
+                for p in dots:
+                    s += digits[prev:p] + "."
+                    prev = p
+                out.append(s + digits[prev:])
+                i = j
+                continue
+            if len(digits) == 10 and has_real:
+                out.append(f"{digits[:3]}-{digits[3:6]}-{digits[6:]}")
+                i = j
+                continue
+            if len(digits) >= 7 and has_real:
+                out.append(digits)
+                i = j
+                continue
+        out.append(tokens[i])
+        i += 1
+    return " ".join(out)
+
+
+# ------------------------------------------------------------ electronic
+_EN_SERVERS = {"g mail": "gmail", "gmail": "gmail", "n vidia": "nvidia",
+               "nvidia": "nvidia", "outlook": "outlook",
+               "hotmail": "hotmail", "yahoo": "yahoo", "aol": "aol",
+               "gmx": "gmx", "msn": "msn", "live": "live",
+               "yandex": "yandex"}
+_DOMAINS = ("com", "net", "org", "edu", "gov", "io", "ai", "cn", "uk",
+            "de", "fr", "ru", "in", "br", "it", "co")
+
+_EMAIL_RE = re.compile(
+    r"\b((?:[a-z0-9] )*[a-z0-9]) at ((?:[a-z0-9]+ )*[a-z0-9]+)"
+    r"((?: dot (?:" + "|".join(_DOMAINS) + r"))+)\b", re.IGNORECASE)
+_URL_RE = re.compile(
+    r"\b(w w w|www)((?: dot (?:[a-z0-9]+))+ dot (?:"
+    + "|".join(_DOMAINS) + r"))\b", re.IGNORECASE)
+
+
+def _collapse_dots(s: str) -> str:
+    return s.replace(" dot ", ".").replace(" ", "")
+
+
+def apply_electronic_en(text: str) -> str:
+    """Spelled emails/URLs (reference electronic.py + data/electronic/):
+    "j o h n at g mail dot com" -> john@gmail.com,
+    "w w w dot example dot com" -> www.example.com."""
+    def email(m):
+        user = m.group(1).replace(" ", "")
+        server = m.group(2).lower()
+        server = _EN_SERVERS.get(server, server.replace(" ", ""))
+        return f"{user}@{server}{_collapse_dots(m.group(3))}"
+
+    text = _EMAIL_RE.sub(email, text)
+    text = _URL_RE.sub(
+        lambda m: "www" + _collapse_dots(m.group(2)), text)
+    return text
+
+
+_ZH_URL_RE = re.compile(
+    r"([A-Za-z0-9]+)((?:点(?:[A-Za-z0-9]+))*点(?:"
+    + "|".join(_DOMAINS) + r"))(?![A-Za-z])")
+
+
+def apply_electronic_zh(text: str) -> str:
+    """zh electronic: 点 between latin labels is the spoken '.'
+    (zh/data/electronic/symbols.tsv '.'->点): baidu点com -> baidu.com."""
+    return _ZH_URL_RE.sub(
+        lambda m: m.group(1) + m.group(2).replace("点", "."), text)
+
+
+# --------------------------------------------------------------- measure
+# en: data/measurements.tsv (abbr<TAB>spoken singular), inverted; output
+# "<N> <abbr>" (verbalizers/measure.py inserts the space).  Plurals fold
+# via get_singulars.
+_EN_UNITS = {
+    "kilogram": "kg", "gram": "g", "milligram": "mg", "ton": "t",
+    "tonne": "t", "kilometer": "km", "kilometre": "km", "meter": "m",
+    "metre": "m", "centimeter": "cm", "centimetre": "cm",
+    "millimeter": "mm", "millimetre": "mm", "nanometer": "nm",
+    "micrometer": "μm", "mile": "mi", "foot": "ft", "feet": "ft",
+    "hectare": "ha", "hertz": "hz", "kilohertz": "khz",
+    "megahertz": "mhz", "gigahertz": "ghz", "kilowatt": "kw",
+    "megawatt": "mw", "horsepower": "hp", "volt": "v", "millivolt": "mv",
+    "ampere": "a", "second": "s", "minute": "min", "hour": "h",
+    "terabyte": "tb", "gigabyte": "gb", "megabyte": "mb",
+    "liter": "l", "litre": "l", "milliliter": "ml", "millilitre": "ml",
+    "bar": "bar", "decibel": "db",
+}
+_EN_DEGREE = {"celsius": "°C", "fahrenheit": "°F"}
+
+
+def _en_unit_abbr(word: str):
+    w = word.lower()
+    if w in _EN_UNITS:
+        return _EN_UNITS[w]
+    if w.endswith("s") and w[:-1] in _EN_UNITS:
+        return _EN_UNITS[w[:-1]]
+    if w == "feet":
+        return "ft"
+    return None
+
+
+_EN_MEASURE_RE = re.compile(r"(-?\d+(?:\.\d+)?) ([a-zA-Z]+)"
+                            r"(?: per ([a-zA-Z]+))?")
+_EN_DEGREE_RE = re.compile(
+    r"(-?\d+(?:\.\d+)?) degrees? (celsius|fahrenheit)", re.IGNORECASE)
+
+
+def apply_measure_en(text: str) -> str:
+    """Post-pass (numbers already digits): "12 kilograms" -> "12 kg",
+    "100 kilometers per hour" -> "100 km/h", "35 degrees celsius" ->
+    "35 °C" (taggers/measure.py unit_misc handles the 'per' compound)."""
+    text = _EN_DEGREE_RE.sub(
+        lambda m: f"{m.group(1)} {_EN_DEGREE[m.group(2).lower()]}", text)
+
+    def repl(m):
+        abbr = _en_unit_abbr(m.group(2))
+        if abbr is None:
+            return m.group(0)
+        if m.group(3):
+            per = _en_unit_abbr(m.group(3))
+            if per is None:
+                return f"{m.group(1)} {abbr} per {m.group(3)}"
+            if abbr == "mi" and per == "h":
+                return f"{m.group(1)} mph"
+            return f"{m.group(1)} {abbr}/{per}"
+        return f"{m.group(1)} {abbr}"
+
+    return _EN_MEASURE_RE.sub(repl, text)
+
+
+# zh: data/measurements_en.tsv maps the zh unit word to the latin abbr
+# (摄氏度 -> °C); the zh verbalizer emits no space before the unit.
+_ZH_UNITS = {
+    "摄氏度": "°C", "华氏度": "°F", "千克": "kg", "公斤": "kg", "克": "g",
+    "毫克": "mg", "千米": "km", "公里": "km", "厘米": "cm", "毫米": "mm",
+    "纳米": "nm", "微米": "μm", "平方米": "m²", "立方米": "m³",
+    "平方千米": "km²", "平方公里": "km²", "公顷": "ha", "赫兹": "hz",
+    "千瓦": "kw", "兆瓦": "mw", "马力": "hp", "伏特": "v", "安培": "a",
+    "分贝": "db", "毫升": "ml", "升": "l", "巴": "bar", "吨": "t",
+}
+_ZH_MEASURE_RE = re.compile(
+    r"(-?\d+(?:\.\d+)?)("
+    + "|".join(sorted(_ZH_UNITS, key=len, reverse=True)) + r")")
+
+
+def apply_measure_zh(text: str) -> str:
+    """Post-pass: 35摄氏度 -> 35°C, 3.5千克 -> 3.5kg (zh taggers/measure.py
+    via measurements_en.tsv)."""
+    return _ZH_MEASURE_RE.sub(
+        lambda m: f"{m.group(1)}{_ZH_UNITS[m.group(2)]}", text)
+
+
+# ------------------------------------------------------------ time / year
+# en/taggers/time.py: "twelve thirty" -> 12:30, "two o eight" -> 2:08,
+# "half past two" -> 2:30, "quarter to two" -> 1:45, "quarter past two"
+# -> 2:15, am/pm suffixes.  en/taggers/date.py year graph: "twenty
+# twenty" -> 2020, "nineteen eighty four" -> 1984, "twenty oh nine" ->
+# 2009, "nineteen hundred" -> 1900.
+_HOURS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
+          "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
+          "twelve": 12}
+_MIN_TENS = {"twenty": 20, "thirty": 30, "forty": 40, "fifty": 50}
+_ONES = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
+         "seven": 7, "eight": 8, "nine": 9}
+_TEENS = {"ten": 10, "eleven": 11, "twelve": 12, "thirteen": 13,
+          "fourteen": 14, "fifteen": 15, "sixteen": 16, "seventeen": 17,
+          "eighteen": 18, "nineteen": 19}
+
+
+def _minutes_at(tokens, i):
+    """Parse a minutes group at i -> (value, next_i) or None."""
+    if i >= len(tokens):
+        return None
+    w = tokens[i].lower()
+    if w in _MIN_TENS:
+        if i + 1 < len(tokens) and tokens[i + 1].lower() in _ONES:
+            return _MIN_TENS[w] + _ONES[tokens[i + 1].lower()], i + 2
+        return _MIN_TENS[w], i + 1
+    if w in ("fifteen", "sixteen", "seventeen", "eighteen", "nineteen",
+             "thirteen", "fourteen"):
+        return _TEENS[w], i + 1
+    if w in ("o", "oh") and i + 1 < len(tokens) \
+            and tokens[i + 1].lower() in _ONES:
+        return _ONES[tokens[i + 1].lower()], i + 2
+    return None
+
+
+def _ampm_at(tokens, i):
+    if i + 1 < len(tokens) and tokens[i].lower() in ("a", "p") \
+            and tokens[i + 1].lower() in ("m", "m."):
+        return (" a.m." if tokens[i].lower() == "a" else " p.m."), i + 2
+    return "", i
+
+
+def apply_time_en(text: str) -> str:
+    """Spoken clock times -> H:MM (reference en/taggers/time.py).  Runs
+    BEFORE the cardinal span merge, which would otherwise read "five
+    thirty" as the (invalid) cardinal 35."""
+    tokens = text.split(" ")
+    out = []
+    i = 0
+    while i < len(tokens):
+        w = tokens[i].lower()
+        # half/quarter past|to H
+        if w in ("half", "quarter") and i + 2 < len(tokens) \
+                and tokens[i + 1].lower() in ("past", "to") \
+                and tokens[i + 2].lower() in _HOURS:
+            h = _HOURS[tokens[i + 2].lower()]
+            rel = tokens[i + 1].lower()
+            if rel == "past":
+                m = 30 if w == "half" else 15
+            else:
+                if w == "half":  # "half to" is not a time reading
+                    out.append(tokens[i]); i += 1; continue
+                h, m = (h - 1) or 12, 45
+            suf, j = _ampm_at(tokens, i + 3)
+            out.append(f"{h}:{m:02d}{suf}")
+            i = j
+            continue
+        # M past H ("twelve past one" -> 1:12)
+        mm = _minutes_at(tokens, i) or (
+            (w in _ONES and (_ONES[w], i + 1))
+            or (w in _TEENS and (_TEENS[w], i + 1)) or None)
+        if mm and mm[1] < len(tokens) \
+                and tokens[mm[1]].lower() == "past" \
+                and mm[1] + 1 < len(tokens) \
+                and tokens[mm[1] + 1].lower() in _HOURS:
+            h = _HOURS[tokens[mm[1] + 1].lower()]
+            suf, j = _ampm_at(tokens, mm[1] + 2)
+            out.append(f"{h}:{mm[0]:02d}{suf}")
+            i = j
+            continue
+        # H MM ("five thirty [p m]" -> 5:30 [p.m.])
+        if w in _HOURS:
+            got = _minutes_at(tokens, i + 1)
+            if got is not None:
+                suf, j = _ampm_at(tokens, got[1])
+                # require am/pm OR a tens/oh minutes form; "five fifteen"
+                # without suffix stays ambiguous with cardinals? the
+                # reference tags it as time — follow the reference
+                out.append(f"{_HOURS[w]}:{got[0]:02d}{suf}")
+                i = j
+                continue
+        out.append(tokens[i])
+        i += 1
+    return " ".join(out)
+
+
+_YEAR_HEADS = {**{k: v for k, v in _TEENS.items() if v >= 13},
+               "twenty": 20}
+
+
+def apply_year_en(text: str) -> str:
+    """Two-group year readings (en/taggers/date.py year graph):
+    "nineteen eighty four" -> 1984, "twenty twenty" -> 2020, "twenty oh
+    nine" -> 2009, "nineteen hundred" -> 1900.  Runs after the time pass
+    (so "twelve thirty" is already 12:30) and before cardinal spans."""
+    tokens = text.split(" ")
+    out = []
+    i = 0
+    while i < len(tokens):
+        w = tokens[i].lower()
+        head = _YEAR_HEADS.get(w)
+        if head is not None and i + 1 < len(tokens):
+            nxt = tokens[i + 1].lower()
+            if nxt == "hundred":
+                out.append(str(head * 100))
+                i += 2
+                continue
+            if nxt in ("o", "oh") and i + 2 < len(tokens) \
+                    and tokens[i + 2].lower() in _ONES:
+                out.append(str(head * 100 + _ONES[tokens[i + 2].lower()]))
+                i += 3
+                continue
+            if nxt in _MIN_TENS or (nxt in _TEENS and _TEENS[nxt] >= 13) \
+                    or nxt in ("twenty", "thirty", "forty", "fifty",
+                               "sixty", "seventy", "eighty", "ninety"):
+                tens = {"sixty": 60, "seventy": 70, "eighty": 80,
+                        "ninety": 90, **_MIN_TENS}.get(nxt)
+                if tens is not None:
+                    if i + 2 < len(tokens) and tokens[i + 2].lower() in _ONES:
+                        out.append(str(head * 100 + tens
+                                       + _ONES[tokens[i + 2].lower()]))
+                        i += 3
+                    else:
+                        out.append(str(head * 100 + tens))
+                        i += 2
+                    continue
+                out.append(str(head * 100 + _TEENS[nxt]))
+                i += 2
+                continue
+        out.append(tokens[i])
+        i += 1
+    return " ".join(out)

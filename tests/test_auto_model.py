@@ -354,3 +354,30 @@ def test_sentence_info_survives_punc_mismatch(rng, monkeypatch):
         assert "sentence_info" in r
         for s in r["sentence_info"]:
             assert {"start", "end", "text"} <= set(s)
+
+
+def test_bucket_quantize_graduated():
+    """Graduated wav buckets: bounded padding waste AND a bounded program
+    count (a cold flagship compile is minutes; one bucket per 0.125 s of
+    long-utterance length would be a serving hazard)."""
+    from funasr_tpu.auto.engines import quantize
+
+    prev = 0
+    buckets = set()
+    for n in range(1, 16000 * 600, 1600):
+        q = quantize(n)
+        assert q >= n and q >= 4000
+        assert q >= prev  # monotonic
+        prev = q
+        buckets.add(q)
+        if n > 16000 * 16:
+            assert (q - n) / n < 0.07  # waste bound past the fine range
+    # 10 minutes of audio span under ~300 distinct programs
+    assert len(buckets) < 300
+
+
+def test_automodel_warmup_prebuilds_buckets(rng):
+    am = AutoModel(model=ASR_CFG)
+    am.warmup(batch_sizes=(1,), seconds=(1, 2))
+    out = am.generate(_wav(rng, 1.5))
+    assert out and "text" in out[0]

@@ -12,6 +12,45 @@ import pytest
 from funasr_tpu.text.itn import inverse_normalize as inv
 
 CASES = [
+    # --- en/zh measure (taggers/measure.py + data/measurements*.tsv)
+    ("en", "minus twelve kilograms", "-12 kg"),
+    ("en", "one hundred kilometers per hour", "100 km/h"),
+    ("en", "thirty five degrees celsius", "35 °C"),
+    ("en", "five minutes later", "5 min later"),
+    ("zh", "今天三十五摄氏度", "今天35°C"),
+    ("zh", "负五摄氏度", "-5°C"),
+    ("zh", "三点五千克", "3.5kg"),
+    # --- en/zh telephone (taggers/telephone.py: docstring examples)
+    ("en", "one two three one two three five six seven eight",
+     "123-123-5678"),
+    ("en", "one two three dot one double three dot o dot four o",
+     "123.133.0.40"),
+    ("zh", "我的电话是幺三八零零幺三八零零零", "我的电话是13800138000"),
+    # --- en/zh electronic (taggers/electronic.py + data/electronic/)
+    ("en", "j o h n at g mail dot com", "john@gmail.com"),
+    ("en", "w w w dot example dot com", "www.example.com"),
+    ("zh", "网址是baidu点com", "网址是baidu.com"),
+    # --- en time (taggers/time.py docstring examples)
+    ("en", "twelve thirty", "12:30"),
+    ("en", "five thirty p m", "5:30 p.m."),
+    ("en", "two o eight", "2:08"),
+    ("en", "half past two", "2:30"),
+    ("en", "quarter to two", "1:45"),
+    ("en", "quarter past two", "2:15"),
+    ("en", "twelve past one", "1:12"),
+    # --- en year (taggers/date.py year graph)
+    ("en", "nineteen eighty four", "1984"),
+    ("en", "twenty twenty", "2020"),
+    ("en", "twenty oh nine", "2009"),
+    ("en", "nineteen hundred", "1900"),
+    ("en", "two thousand twenty three", "2023"),
+    # --- whitelist (data/whitelist.tsv inverted; shared zh/en)
+    ("en", "misses smith met mister jones", "mrs. smith met mr. jones"),
+    ("en", "call me a s a p", "call me ASAP"),
+    # ordinal-ones tails only compound with tens/scale heads
+    ("en", "one second please", "1 s please"),
+    ("en", "twenty second place", "22nd place"),
+    ("en", "wait a second", "wait a second"),
     # --- German (de/taggers/{date,time,money,decimal,fraction}.py)
     ("de", "vierzehnter januar", "14. Jan."),
     ("de", "vierundzwanzigster juli zwei tausend dreizehn", "24. Jul. 2013"),
