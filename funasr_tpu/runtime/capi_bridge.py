@@ -91,6 +91,18 @@ def online_init(asr_handle: int, json_cfg: str) -> int:
                       "tokenizer": tok})
 
 
+def tpass_init(asr_handle: int, json_cfg: str) -> int:
+    """FunTpassInit equivalent: a 2pass session — online partials per
+    chunk through the streaming model, offline re-decode of the whole
+    utterance at input_finished (reference tpass-stream.cpp:144 +
+    FunTpassInferBuffer)."""
+    h = online_init(asr_handle, json_cfg)
+    ent = _get(h)
+    ent["kind"] = "asr_2pass"
+    ent["buffer"] = bytearray()
+    return h
+
+
 def infer(handle: int, pcm: bytes, fs: int, wav_format: str,
           is_final: bool, json_kwargs: str) -> str:
     """FunASRInferBuffer / FunOfflineInferBuffer.
@@ -125,15 +137,27 @@ def infer(handle: int, pcm: bytes, fs: int, wav_format: str,
             out = res[0] if res else {"text": ""}
             out.pop("timestamp_raw", None)
             return json.dumps(_jsonable(out))
-        # online: feed the chunk through the streaming session
+        # online / 2pass: feed the chunk through the streaming session
         sm = ent["model"]
         toks = sm.generate_chunk(ent["cache"], wav, is_final=bool(is_final))
         tok = ent.get("tokenizer")
         text = tok.decode(toks) if tok is not None \
             else " ".join(map(str, toks))
+        out: Dict[str, Any] = {"text": text, "is_final": bool(is_final),
+                               "mode": "2pass-online"
+                               if ent["kind"] == "asr_2pass" else "online"}
+        if ent["kind"] == "asr_2pass":
+            ent["buffer"] += pcm
+            if is_final:
+                full = np.frombuffer(bytes(ent["buffer"]),
+                                     dtype="<i2").astype(np.float32) / 32768.0
+                ent["buffer"] = bytearray()
+                res = _get(ent["base"])["model"].generate(full, fs=fs, **kw)
+                out["mode"] = "2pass-offline"
+                out["text"] = (res[0].get("text", "") if res else "")
         if is_final:
             ent["cache"] = sm.init_cache()
-        return json.dumps({"text": text, "is_final": bool(is_final)})
+        return json.dumps(_jsonable(out))
     except Exception as e:  # noqa: BLE001 — the ABI reports, never throws
         return _err(e)
 

@@ -116,6 +116,24 @@ FTA_API long FtaOnlineInit(long asr_handle, const char* json_cfg) {
   return h;
 }
 
+// 2pass session sharing an offline handle (FunTpassInit): online partials
+// per chunk, offline re-decode at input_finished (mode "2pass-offline").
+FTA_API long FtaTpassInit(long asr_handle, const char* json_cfg) {
+  ensure_interpreter();
+  Gil gil;
+  PyObject* mod = bridge();
+  if (!mod) return -1;
+  PyObject* r = PyObject_CallMethod(mod, "tpass_init", "ls", asr_handle,
+                                    json_cfg ? json_cfg : "");
+  if (!r) {
+    PyErr_Print();
+    return -1;
+  }
+  long h = PyLong_AsLong(r);
+  Py_DECREF(r);
+  return h;
+}
+
 // FunASRInferBuffer / FunOfflineInferBuffer.  buf: PCM16LE bytes when
 // wav_format=="pcm", else full file bytes ("wav", "mp3", ...).  Returns a
 // malloc'd JSON string {"text": ...} — free with FtaFreeResult.

@@ -185,19 +185,30 @@ class AsrWebSocketServer:
             log.exception("websocket session error")
 
     def warmup(self, seconds=(15, 30, 60), batch_sizes=(1,)):
-        """Pre-compile the offline decode buckets before accepting traffic.
+        """Pre-compile every program a live connection can touch.
 
         The reference C++ server finishes all model/session initialization
         before listening (funasr-wss-server.cpp); a cold flagship jit here
         is minutes, so a live connection must never be the first to touch
-        a bucket.  Warms each (batch, seconds) offline bucket; the
-        streaming chunk programs are warmed by the first chunk of the
-        first connection (~100 ms amortized, acceptable) or by passing a
-        few seconds through generate_chunk at startup by the caller.
+        a program.  Warms each (batch, seconds) offline bucket, and — when
+        a streaming model is attached — the online chunk step plus its
+        final-flush variant (the two programs a 2pass session runs).
         """
         log.info("warming offline buckets: %s s x batch %s",
                  seconds, batch_sizes)
         self.auto_model.warmup(batch_sizes=batch_sizes, seconds=seconds)
+        if self.streaming_model is not None:
+            import numpy as np
+
+            log.info("warming streaming chunk programs")
+            sm = self.streaming_model
+            cache = sm.init_cache()
+            fs = getattr(getattr(sm, "frontend", None), "fs", 16000)
+            chunk = np.zeros(int(0.6 * fs), np.float32)
+            sm.generate_chunk(cache, chunk, is_final=False)
+            sm.generate_chunk(cache, chunk, is_final=False)
+            # a shorter tail exercises the padded final-chunk program
+            sm.generate_chunk(cache, chunk[: int(0.3 * fs)], is_final=True)
         log.info("warmup done")
 
     async def serve(self):

@@ -144,3 +144,63 @@ def test_capi_standalone_c_embedder(tmp_path):
     assert r.returncode == 0, (r.stdout, r.stderr)
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert "text" in out and "error" not in out
+
+
+def test_capi_2pass_handle():
+    """FtaTpassInit + FtaInferBuffer: per-chunk 2pass-online partials,
+    offline re-decode at input_finished (reference FunTpassInferBuffer,
+    tpass-stream.cpp:144)."""
+    import jax
+    import jax.numpy as jnp
+
+    lib = _lib()
+    lib.FtaTpassInit.argtypes = [ctypes.c_long, ctypes.c_char_p]
+    lib.FtaTpassInit.restype = ctypes.c_long
+
+    h = lib.FtaOfflineInit(json.dumps(ASR_CFG).encode())
+    assert h > 0
+
+    # inject a tiny streaming model (a real config would pass
+    # streaming_config with init_param weights; the handle logic is the
+    # same either way)
+    from funasr_tpu.frontends.streaming import StreamingFrontend
+    from funasr_tpu.models.paraformer.model import Paraformer
+    from funasr_tpu.models.paraformer_streaming.model import (
+        ParaformerStreaming,
+    )
+    from funasr_tpu.runtime import capi_bridge
+
+    tiny = dict(
+        vocab_size=32, input_size=24,
+        encoder_conf=dict(output_size=16, attention_heads=2,
+                          linear_units=32, num_blocks=3, kernel_size=5,
+                          dropout_rate=0.0),
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=2,
+                          att_layer_num=2, kernel_size=5, dropout_rate=0.0),
+        predictor_conf=dict(idim=16, tail_threshold=0.45, dropout=0.0),
+    )
+    model = Paraformer(**tiny)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key}, jax.random.normal(key, (1, 30, 24)),
+                        jnp.array([30]), max_tokens=16,
+                        method=model.greedy_decode)
+    sm = ParaformerStreaming(
+        params, input_size=24, d_model=16, n_head=2, enc_kernel=5,
+        dec_kernel=5, n_enc_layers=3, n_dec_layers=2, chunk_size=(0, 6, 3),
+        encoder_chunk_look_back=2,
+        frontend=StreamingFrontend(n_mels=8, lfr_m=3, lfr_n=2))
+    capi_bridge._get(h)["streaming_model"] = sm
+
+    h2 = lib.FtaTpassInit(h, b"{}")
+    assert h2 > 0
+
+    pcm = _pcm(0.6)
+    out1 = json.loads(_take(lib, lib.FtaInferBuffer(
+        h2, pcm, len(pcm), 16000, b"pcm", 0, None)))
+    assert out1["mode"] == "2pass-online" and not out1["is_final"]
+    out2 = json.loads(_take(lib, lib.FtaInferBuffer(
+        h2, pcm, len(pcm), 16000, b"pcm", 1, None)))
+    assert out2["mode"] == "2pass-offline" and out2["is_final"]
+    assert "text" in out2  # offline re-decode of both chunks
+    lib.FtaUninit(h2)
+    lib.FtaUninit(h)
