@@ -46,6 +46,45 @@ def _honor_jax_platforms_env() -> None:
 
 _honor_jax_platforms_env()
 
+
+def _default_compilation_cache() -> None:
+    """Turn on jax's persistent compilation cache by default.
+
+    A cold flagship-program compile is minutes; the persistent cache cuts
+    a process restart to seconds (the reference's ONNX runtime gets this
+    for free — sessions deserialize precompiled graphs).  Respects an
+    explicit user setting: the standard JAX env var wins, and
+    FUNASR_TPU_NO_COMP_CACHE=1 opts out entirely.
+    """
+    if _os.environ.get("FUNASR_TPU_NO_COMP_CACHE") == "1":
+        return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user already chose a location
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return  # configured programmatically (e.g. by bench scripts)
+    platforms = (jax.config.jax_platforms
+                 or _os.environ.get("JAX_PLATFORMS") or "")
+    if platforms.split(",")[0] == "cpu":
+        # XLA:CPU AOT cache entries pin host machine features and can
+        # SIGILL across feature-detection differences; CPU runs here are
+        # tests/dev, where compiles are cheap anyway — skip the cache
+        return
+    cache = _os.path.join(
+        _os.environ.get("XDG_CACHE_HOME")
+        or _os.path.join(_os.path.expanduser("~"), ".cache"),
+        "funasr_tpu", "jax_cache")
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except (OSError, RuntimeError):
+        pass  # read-only home or locked config: run without the cache
+
+
+_default_compilation_cache()
+
 from funasr_tpu.registry import tables  # noqa: F401
 
 
