@@ -483,15 +483,31 @@ def _make_western_itn(vocab, scale, pct_words, connectors=()):
                 span.pop()
                 j -= 1
             meaningful = [w for w in span if w not in connectors]
+            # a percent tail licenses even a lone small cardinal
+            # ("doze por cento" -> 12%), like the en cue policy
+            pct_cue = False
+            if len(meaningful) == 1 and j < len(tokens):
+                one = tokens[j].lower()
+                two = (one + " " + tokens[j + 1].lower()
+                       if j + 1 < len(tokens) else "")
+                pct_cue = one in pct_words or two in pct_words
             if len(meaningful) >= 2 or (
                     len(meaningful) == 1
                     and (vocab.get(meaningful[0], 0) >= 20
-                         or meaningful[0] in scale)):
+                         or meaningful[0] in scale or pct_cue)):
                 val = _western_span_to_int(
                     [w for w in span if w not in connectors],
                     vocab, scale)
                 suffix = ""
-                if j < len(tokens) and tokens[j].lower() in pct_words:
+                # multiword percent phrases ("por ciento", "por cento")
+                # must consume BOTH tokens — a bare first word would leave
+                # the tail ("ciento" = 100) to be re-parsed as a number
+                pair = (tokens[j].lower() + " " + tokens[j + 1].lower()
+                        if j + 1 < len(tokens) else "")
+                if pair and pair in pct_words:
+                    suffix = "%"
+                    j += 2
+                elif j < len(tokens) and tokens[j].lower() in pct_words:
                     suffix = "%"
                     j += 1
                 out.append(str(val) + suffix)
@@ -505,7 +521,7 @@ def _make_western_itn(vocab, scale, pct_words, connectors=()):
 
 
 _itn_es = _make_western_itn(_ES_VOCAB, _ES_SCALE,
-                            {"porciento", "por", "percent"},
+                            {"porciento", "por ciento", "por cien", "percent"},
                             connectors={"y"})
 _itn_fr = _make_western_itn(_FR_VOCAB, _FR_SCALE, {"pourcent"},
                             connectors={"et"})
@@ -613,7 +629,8 @@ _RU_VOCAB = {
 _RU_SCALE = {"тысяча": 1000, "тысячи": 1000, "тысяч": 1000,
              "миллион": 10**6, "миллиона": 10**6, "миллионов": 10**6}
 
-_itn_pt = _make_western_itn(_PT_VOCAB, _PT_SCALE, {"porcento"},
+_itn_pt = _make_western_itn(_PT_VOCAB, _PT_SCALE,
+                            {"porcento", "por cento"},
                             connectors={"e"})
 _itn_ru = _make_western_itn(_RU_VOCAB, _RU_SCALE,
                             {"процент", "процента", "процентов"})
@@ -767,13 +784,24 @@ def inverse_normalize(text: str, lang: str = "zh") -> str:
     # cardinal pass: word-context pre-rules first, digit-context
     # post-rules after (funasr_tpu.text.itn_classes; zh/en carry their
     # class rules inline in _itn_zh/_itn_en)
-    from funasr_tpu.text import itn_classes
+    from funasr_tpu.text import itn_classes, itn_semiotic
 
+    if key not in ("zh", "en"):
+        # telephone/electronic word-level classes (zh/en run theirs
+        # inline); measure runs after digits exist
+        text = itn_semiotic.secondary_pre(key, text)
     pre = itn_classes.PRE.get(key)
     post = itn_classes.POST.get(key)
     if pre is not None:
         text = pre(text)
+    if key not in ("zh", "en"):
+        # word-level measure AFTER the time/money/date classes (the
+        # reference classify weights put time above measure: "два часа
+        # пятнадцать минут" is a clock, not 2 ч + 15 мин)
+        text = itn_semiotic.secondary_measure_words(key, text)
     text = cardinal[key](text)
     if post is not None:
         text = post(text)
+    if key not in ("zh", "en"):
+        text = itn_semiotic.secondary_post(key, text)
     return text

@@ -133,7 +133,7 @@ _DOMAINS = ("com", "net", "org", "edu", "gov", "io", "ai", "cn", "uk",
             "de", "fr", "ru", "in", "br", "it", "co")
 
 _EMAIL_RE = re.compile(
-    r"\b((?:[a-z0-9] )*[a-z0-9]) at ((?:[a-z0-9]+ )*[a-z0-9]+)"
+    r"\b((?:[a-z0-9]+ )*[a-z0-9]+) at ((?:[a-z0-9]+ )*[a-z0-9]+)"
     r"((?: dot (?:" + "|".join(_DOMAINS) + r"))+)\b", re.IGNORECASE)
 _URL_RE = re.compile(
     r"\b(w w w|www)((?: dot (?:[a-z0-9]+))+ dot (?:"
@@ -397,3 +397,349 @@ def apply_year_en(text: str) -> str:
         out.append(tokens[i])
         i += 1
     return " ".join(out)
+
+
+# ----------------------------------------- secondary-language classes
+# The reference carries measure/telephone/electronic taggers for every
+# language dir (inverse_text_normalization/<lang>/taggers/).  These
+# generic passes are parameterized by each language's word tables
+# (unit tables from the per-language data/measurements*.tsv).
+
+# telephone digit words (0-9 only; runs of >=7 digits concatenate — the
+# US 3-3-4 grouping is en-specific)
+SECONDARY_TEL_DIGITS = {
+    "de": {"null": "0", "eins": "1", "zwei": "2", "zwo": "2", "drei": "3",
+           "vier": "4", "fünf": "5", "sechs": "6", "sieben": "7",
+           "acht": "8", "neun": "9"},
+    "es": {"cero": "0", "uno": "1", "una": "1", "dos": "2", "tres": "3",
+           "cuatro": "4", "cinco": "5", "seis": "6", "siete": "7",
+           "ocho": "8", "nueve": "9"},
+    "fr": {"zéro": "0", "zero": "0", "un": "1", "une": "1", "deux": "2",
+           "trois": "3", "quatre": "4", "cinq": "5", "six": "6",
+           "sept": "7", "huit": "8", "neuf": "9"},
+    "pt": {"zero": "0", "um": "1", "uma": "1", "dois": "2", "duas": "2",
+           "três": "3", "tres": "3", "quatro": "4", "cinco": "5",
+           "seis": "6", "meia": "6", "sete": "7", "oito": "8", "nove": "9"},
+    "ru": {"ноль": "0", "нуль": "0", "один": "1", "одна": "1", "два": "2",
+           "две": "2", "три": "3", "четыре": "4", "пять": "5",
+           "шесть": "6", "семь": "7", "восемь": "8", "девять": "9"},
+    "id": {"nol": "0", "kosong": "0", "satu": "1", "dua": "2", "tiga": "3",
+           "empat": "4", "lima": "5", "enam": "6", "tujuh": "7",
+           "delapan": "8", "sembilan": "9"},
+    "vi": {"không": "0", "một": "1", "mốt": "1", "hai": "2", "ba": "3",
+           "bốn": "4", "tư": "4", "năm": "5", "lăm": "5", "sáu": "6",
+           "bảy": "7", "tám": "8", "chín": "9"},
+    "tl": {"zero": "0", "siyero": "0", "isa": "1", "dalawa": "2",
+           "tatlo": "3", "apat": "4", "lima": "5", "anim": "6",
+           "pito": "7", "walo": "8", "siyam": "9"},
+}
+
+# electronic: per-language spoken "." and "@" (taggers/electronic.py +
+# data/electronic/symbols.tsv per dir)
+SECONDARY_ELECTRONIC = {
+    "de": ("punkt", ("at",)),
+    "es": ("punto", ("arroba",)),
+    "fr": ("point", ("arobase", "arrobase")),
+    "pt": ("ponto", ("arroba",)),
+    "ru": ("точка", ("собака",)),
+    "id": ("titik", ("at",)),
+    "vi": ("chấm", ("a còng",)),
+    "tl": ("tuldok", ("at",)),
+    "ja": ("ドット", ("アットマーク", "アット")),
+    "ko": ("점", ("골뱅이",)),
+}
+
+# measure unit words -> abbreviations (reference data/measurements*.tsv
+# per language; latin languages fold plural 's'/'es' via the matcher,
+# other declensions are listed explicitly)
+SECONDARY_UNITS = {
+    "de": {"kilometer": "km", "meter": "m", "zentimeter": "cm",
+           "millimeter": "mm", "mikrometer": "μm", "kilogramm": "kg",
+           "gramm": "g", "milligramm": "mg", "tonne": "t", "tonnen": "t",
+           "hektar": "ha", "liter": "l", "milliliter": "ml",
+           "sekunde": "s", "sekunden": "s", "minute": "min",
+           "minuten": "min", "stunde": "h", "stunden": "h",
+           "grad celsius": "°C", "grad fahrenheit": "°F",
+           "kilowatt": "kw", "hertz": "hz", "prozent": "%"},
+    "es": {"centímetro": "cm", "gramo": "g", "hora": "h", "kilo": "kg",
+           "kilogramo": "kg", "kilómetro": "km",
+           "kilómetro cuadrado": "km²", "litro": "l", "metro": "m",
+           "metro cuadrado": "m²", "metro cubico": "m³",
+           "milla por hora": "mph", "mililitro": "ml", "milímetro": "mm",
+           "milisegundo": "ms", "minuto": "min", "segundo": "s",
+           "grado celsius": "°C", "grados celsius": "°C"},
+    "fr": {"mètre": "m", "mètre carré": "m²", "mètre cube": "m³",
+           "seconde": "s", "minute": "min", "heure": "h",
+           "degré celsius": "°C", "degrés celsius": "°C", "gramme": "g",
+           "litre": "l", "kilo": "kg", "kilogramme": "kg",
+           "kilomètre": "km", "centimètre": "cm", "millimètre": "mm",
+           "livre": "lb", "tonne": "t"},
+    "pt": {"hora": "h", "minuto": "min", "segundo": "s",
+           "milissegundo": "ms", "tonelada": "t", "quilo": "kg",
+           "quilograma": "kg", "grama": "g", "miligrama": "mg",
+           "micrômetro": "μm", "milímetro": "mm", "centímetro": "cm",
+           "centímetro quadrado": "cm²", "metro": "m",
+           "metro quadrado": "m²", "metro cúbico": "m³",
+           "quilômetro": "km", "quilômetro quadrado": "km²",
+           "hectare": "ha", "litro": "l", "mililitro": "ml",
+           "grau celsius": "°C", "graus celsius": "°C"},
+    "ru": {"килограмм": "кг", "килограмма": "кг", "килограммов": "кг",
+           "грамм": "г", "грамма": "г", "граммов": "г",
+           "километр": "км", "километра": "км", "километров": "км",
+           "метр": "м", "метра": "м", "метров": "м",
+           "сантиметр": "см", "сантиметра": "см", "сантиметров": "см",
+           "миллиметр": "мм", "миллиметра": "мм", "миллиметров": "мм",
+           "тонна": "т", "тонны": "т", "тонн": "т",
+           "литр": "л", "литра": "л", "литров": "л",
+           "секунда": "с", "секунды": "с", "секунд": "с",
+           "минута": "мин", "минуты": "мин", "минут": "мин",
+           "час": "ч", "часа": "ч", "часов": "ч",
+           "градус цельсия": "°C", "градуса цельсия": "°C",
+           "градусов цельсия": "°C"},
+    "id": {"kilometer": "km", "meter": "m", "sentimeter": "cm",
+           "milimeter": "mm", "hektar": "ha", "mil": "mi",
+           "meter persegi": "m²", "kilometer persegi": "km²",
+           "kaki": "ft", "kilogram": "kg", "gram": "g", "liter": "l",
+           "detik": "s", "menit": "min", "jam": "h",
+           "derajat celsius": "°C"},
+    "tl": {"kilometer": "km", "meter": "m", "centimeter": "cm",
+           "millimeter": "mm", "hectare": "ha", "kilogram": "kg",
+           "gramo": "g", "litro": "l", "segundo": "s", "minuto": "min",
+           "oras": "h"},
+    "vi": {"kilomet": "km", "ki lô met": "km", "ki lô mét": "km",
+           "kilô mét": "km", "kilo mét": "km", "met": "m", "mét": "m",
+           "centimet": "cm", "cen ti mét": "cm", "xen ti mét": "cm",
+           "xăng ti mét": "cm", "millimet": "mm", "mi li mét": "mm",
+           "mili mét": "mm", "hecta": "ha", "héc ta": "ha",
+           "kilogam": "kg", "ki lô gam": "kg", "gam": "g", "lít": "l",
+           "giây": "s", "phút": "min", "giờ": "h", "độ c": "°C",
+           "độ f": "°F"},
+    "ja": {"キロメートル": "km", "メートル": "m", "センチメートル": "cm",
+           "ミリメートル": "mm", "ヘクタール": "ha", "マイル": "mi",
+           "平方メートル": "m²", "平方キロメートル": "km²",
+           "ヘルツ": "hz", "キロワット": "kw", "キログラム": "kg",
+           "グラム": "g", "リットル": "l", "ミリリットル": "ml",
+           "秒": "s", "分": "min", "時間": "h", "摂氏": "°C", "度": "°"},
+    "ko": {"마이크로미터": "μm", "밀리미터": "mm", "센치미터": "cm",
+           "센티미터": "cm", "킬로미터": "km", "미터": "m",
+           "평방밀리미터": "mm²", "평방센치미터": "cm²",
+           "평방미터": "m²", "평방킬로미터": "km²", "킬로그램": "kg",
+           "그램": "g", "리터": "l", "밀리리터": "ml", "헥타르": "ha",
+           "초": "s", "분": "min", "시간": "h", "퍼센트": "%"},
+}
+
+# CJK output attaches the unit directly; latin keeps the space
+_NO_SPACE_LANGS = {"ja", "ko"}
+
+# ko telephone digit readings (공일이... runs; zh/ja kanji runs are
+# handled by the shared positional engine already)
+_KO_TEL = {"공": "0", "영": "0", "일": "1", "이": "2", "삼": "3",
+           "사": "4", "오": "5", "육": "6", "칠": "7", "팔": "8",
+           "구": "9"}
+_KO_TEL_RE = re.compile("[" + "".join(_KO_TEL) + "]{7,}")
+
+
+def _make_tel_pass(table):
+    words = set(table)
+
+    def run(text: str) -> str:
+        tokens = text.split(" ")
+        out, i = [], 0
+        while i < len(tokens):
+            j = i
+            while j < len(tokens) and tokens[j].lower() in words:
+                j += 1
+            if j - i >= 7:
+                out.append("".join(table[tokens[k].lower()]
+                                   for k in range(i, j)))
+                i = j
+            else:
+                out.append(tokens[i])
+                i += 1
+        return " ".join(out)
+
+    return run
+
+
+_TEL_PASSES = {k: _make_tel_pass(v) for k, v in SECONDARY_TEL_DIGITS.items()}
+
+
+def _make_electronic_pass(dot_word, at_words):
+    dom = "|".join(_DOMAINS)
+    url = re.compile(
+        rf"\b([a-z0-9]+)((?: {dot_word} [a-z0-9]+)* {dot_word} (?:{dom}))\b",
+        re.IGNORECASE)
+    ats = "|".join(re.escape(a) for a in at_words)
+    email = re.compile(
+        rf"\b((?:[a-z0-9]+ )*[a-z0-9]+) (?:{ats}) ((?:[a-z0-9]+ )*[a-z0-9]+)"
+        rf"((?: {dot_word} (?:{dom}))+)\b", re.IGNORECASE)
+    cjk_url = re.compile(
+        rf"([A-Za-z0-9]+)((?:{dot_word}[A-Za-z0-9]+)*{dot_word}(?:{dom}))"
+        rf"(?![A-Za-z])")
+
+    def collapse(s):
+        return s.replace(f" {dot_word} ", ".").replace(dot_word, ".") \
+            .replace(" ", "")
+
+    def run(text: str) -> str:
+        text = email.sub(
+            lambda m: (m.group(1).replace(" ", "") + "@"
+                       + m.group(2).replace(" ", "")
+                       + collapse(m.group(3))), text)
+        text = url.sub(lambda m: m.group(1) + collapse(m.group(2)), text)
+        if not dot_word.isascii():
+            text = cjk_url.sub(
+                lambda m: m.group(1) + m.group(2).replace(dot_word, "."),
+                text)
+        return text
+
+    return run
+
+
+_ELECTRONIC_PASSES = {k: _make_electronic_pass(d, a)
+                      for k, (d, a) in SECONDARY_ELECTRONIC.items()}
+
+
+def _make_measure_pass(units, spaced: bool):
+    # longest-first so multiword units win ("metro cuadrado" before "metro")
+    alt = "|".join(re.escape(u) for u in sorted(units, key=len,
+                                                reverse=True))
+    sep = " " if spaced else ""
+    if spaced:
+        pat = re.compile(rf"(-?\d+(?:[.,]\d+)?) ({alt})(e?s)?\b",
+                         re.IGNORECASE)
+    else:
+        pat = re.compile(rf"(-?\d+(?:[.,]\d+)?)({alt})")
+
+    def repl(m):
+        unit = units.get(m.group(2).lower() if spaced else m.group(2))
+        if unit is None:
+            return m.group(0)
+        return f"{m.group(1)}{sep}{unit}"
+
+    def run(text: str) -> str:
+        return pat.sub(repl, text)
+
+    return run
+
+
+_MEASURE_PASSES = {
+    k: _make_measure_pass(v, spaced=(k not in _NO_SPACE_LANGS))
+    for k, v in SECONDARY_UNITS.items()
+}
+
+
+def secondary_pre(lang: str, text: str) -> str:
+    """Word-level classes (telephone, electronic) for the non-zh/en
+    languages; runs before the cardinal pass."""
+    e = _ELECTRONIC_PASSES.get(lang)
+    if e is not None:
+        text = e(text)
+    t = _TEL_PASSES.get(lang)
+    if t is not None:
+        text = t(text)
+    if lang == "ko":
+        text = _KO_TEL_RE.sub(
+            lambda m: "".join(_KO_TEL[c] for c in m.group(0)), text)
+    return text
+
+
+def secondary_measure_words(lang: str, text: str) -> str:
+    """Word-level measure for the conservative western cardinal engines;
+    runs after the time/money/date classes (their readings win)."""
+    wm = _word_measure(lang)
+    return wm(text) if wm is not None else text
+
+
+def secondary_post(lang: str, text: str) -> str:
+    """Digit-context classes (measure) after the cardinal pass."""
+    p = _MEASURE_PASSES.get(lang)
+    return p(text) if p is not None else text
+
+
+_MINUS_WORDS = {"de": {"minus"}, "es": {"menos"}, "fr": {"moins"},
+                "pt": {"menos"}, "ru": {"минус"}}
+
+
+def _word_measure_tables(lang):
+    """(parse_span, units) for the western languages whose cardinal pass
+    is conservative about lone small numbers — the unit word is the
+    conversion cue (reference measure taggers compose cardinal+unit in
+    one grammar, so "doce kilómetros" converts even though bare "doce"
+    would not)."""
+    from funasr_tpu.text import itn
+
+    if lang == "de":
+        from funasr_tpu.text.itn import _de_compound_to_int
+
+        def parse(words):
+            if len(words) != 1:
+                return None
+            return _de_compound_to_int(words[0])
+    else:
+        vocab, scale = {
+            "es": (itn._ES_VOCAB, itn._ES_SCALE),
+            "fr": (itn._FR_VOCAB, itn._FR_SCALE),
+            "pt": (itn._PT_VOCAB, itn._PT_SCALE),
+            "ru": (itn._RU_VOCAB, itn._RU_SCALE),
+        }[lang]
+
+        def parse(words):
+            keys = set(vocab) | set(scale)
+            if not words or any(w not in keys for w in words):
+                return None
+            return itn._western_span_to_int(words, vocab, scale)
+    return parse, SECONDARY_UNITS[lang]
+
+
+def _make_measure_word_pass(lang):
+    parse, units = _word_measure_tables(lang)
+    unit_seqs = {tuple(k.split()): v for k, v in units.items()}
+    max_ul = max(len(k) for k in unit_seqs)
+    minus = _MINUS_WORDS.get(lang, set())
+
+    def lookup_unit(tokens, j):
+        for L in range(min(max_ul, len(tokens) - j), 0, -1):
+            seq = tuple(t.lower() for t in tokens[j:j + L])
+            if seq in unit_seqs:
+                return unit_seqs[seq], L
+            last = seq[-1]
+            for suf in ("es", "s"):
+                if last.endswith(suf):
+                    folded = seq[:-1] + (last[: -len(suf)],)
+                    if folded in unit_seqs:
+                        return unit_seqs[folded], L
+        return None, 0
+
+    def run(text: str) -> str:
+        tokens = text.split(" ")
+        out, i = [], 0
+        while i < len(tokens):
+            neg = tokens[i].lower() in minus
+            base = i + 1 if neg else i
+            hit = False
+            for L in range(min(6, len(tokens) - base), 0, -1):
+                val = parse([t.lower() for t in tokens[base:base + L]])
+                if val is None:
+                    continue
+                abbr, ul = lookup_unit(tokens, base + L)
+                if ul:
+                    out.append(f"{'-' if neg else ''}{val} {abbr}")
+                    i = base + L + ul
+                    hit = True
+                break  # longest number span decides; shorter re-parses alias
+            if not hit:
+                out.append(tokens[i])
+                i += 1
+        return " ".join(out)
+
+    return run
+
+
+_WORD_MEASURE_CACHE = {}
+
+
+def _word_measure(lang):
+    if lang not in _WORD_MEASURE_CACHE and lang in _MINUS_WORDS:
+        _WORD_MEASURE_CACHE[lang] = _make_measure_word_pass(lang)
+    return _WORD_MEASURE_CACHE.get(lang)

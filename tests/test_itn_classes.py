@@ -51,6 +51,27 @@ CASES = [
     ("en", "one second please", "1 s please"),
     ("en", "twenty second place", "22nd place"),
     ("en", "wait a second", "wait a second"),
+    # --- secondary-language measure/telephone/electronic
+    # (inverse_text_normalization/<lang>/taggers/{measure,telephone,
+    # electronic}.py + data/measurements*.tsv)
+    ("de", "minus elf kilogramm", "-11 kg"),
+    ("de", "drei stunden", "3 h"),
+    ("de", "null eins sieben sechs drei drei drei vier vier", "017633344"),
+    ("de", "beispiel punkt de", "beispiel.de"),
+    ("es", "doce kilómetros", "12 km"),
+    ("es", "juan arroba gmail punto com", "juan@gmail.com"),
+    ("es", "veinte por ciento", "20%"),
+    ("es", "doce por ciento", "12%"),
+    ("fr", "douze kilogrammes", "12 kg"),
+    ("fr", "exemple point fr", "exemple.fr"),
+    ("pt", "doze quilômetros", "12 km"),
+    ("pt", "doze por cento", "12%"),
+    ("ru", "два килограмма", "2 кг"),
+    ("ru", "пять километров", "5 км"),
+    ("id", "dua belas kilometer", "12 km"),
+    ("vi", "mười hai ki lô mét", "12 km"),
+    ("ja", "三十五キロメートル", "35km"),
+    ("ko", "공일공일이삼사오육칠팔", "01012345678"),
     # --- German (de/taggers/{date,time,money,decimal,fraction}.py)
     ("de", "vierzehnter januar", "14. Jan."),
     ("de", "vierundzwanzigster juli zwei tausend dreizehn", "24. Jul. 2013"),
