@@ -66,10 +66,12 @@ def _default_compilation_cache() -> None:
         return  # configured programmatically (e.g. by bench scripts)
     platforms = (jax.config.jax_platforms
                  or _os.environ.get("JAX_PLATFORMS") or "")
-    if platforms.split(",")[0] == "cpu":
+    if platforms.split(",")[0] != "tpu" and "axon" not in platforms:
+        # only enable for explicitly-selected accelerator platforms:
         # XLA:CPU AOT cache entries pin host machine features and can
-        # SIGILL across feature-detection differences; CPU runs here are
-        # tests/dev, where compiles are cheap anyway — skip the cache
+        # SIGILL across feature-detection differences, and an unset
+        # platform string may auto-select CPU — CPU compiles are cheap
+        # anyway, so default off unless we know we're on the accelerator
         return
     cache = _os.path.join(
         _os.environ.get("XDG_CACHE_HOME")

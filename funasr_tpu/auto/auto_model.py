@@ -453,16 +453,32 @@ class AutoModel:
         The reference's C++ server pays its model-load cost entirely at
         startup (funasr-wss-server.cpp loads and initializes all ONNX
         sessions before accepting connections); this is the TPU analogue:
-        run one silent utterance through every (batch, seconds) bucket the
-        server expects so live traffic only ever hits warm programs.
+        compile every engine's program for the bucket grid so live traffic
+        only ever hits warm programs.
+
+        Each engine warms DIRECTLY (not through ``generate``): with a
+        vad_model attached, silence produces zero segments and the VAD
+        pipeline would return before ever touching the ASR program.
         """
         import numpy as np
 
         for b in batch_sizes:
             for s in seconds:
                 wavs = [np.zeros(int(s * fs), np.float32)] * int(b)
-                self.generate(wavs, fs=fs, batch_size=max(
-                    int(b), 1))
+                if self.engine is not None and hasattr(self.engine,
+                                                       "transcribe"):
+                    self.engine.transcribe(wavs)
+                if self.vad_engine is not None:
+                    self.vad_engine.transcribe(wavs)
+        if self.punc_engine is not None:
+            self.punc_engine.punctuate("warmup")
+        if self.spk_engine is not None and hasattr(self.spk_engine,
+                                                   "embed"):
+            try:
+                self.spk_engine.embed(
+                    [np.zeros(int(seconds[0] * fs), np.float32)])
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
 
     def export(self, output_dir: str, batch_sizes=(1, 8), seconds=(15,),
                platforms=None) -> Dict:

@@ -1088,8 +1088,20 @@ def whisper_from_openai_pt(ckpt, dtype=None):
     dims = ckpt["dims"]
     sd = ckpt.get("model_state_dict", ckpt.get("state_dict", ckpt))
     d = int(dims["n_audio_state"])
+    n_vocab = int(dims["n_vocab"])
+    # special-token layout depends on the tokenizer: multilingual vocabs
+    # (51865 for v1/v2, 51866 for large-v3) put <|endoftext|> at 50257 and
+    # <|startoftranscript|> at 50258; English-only (51864) uses 50256 /
+    # 50257 — which happen to be HF's WhisperConfig defaults.  Getting
+    # this wrong makes greedy_decode seed from <|endoftext|> and stop on
+    # the wrong eos.
+    if n_vocab >= 51865:
+        tok_ids = dict(bos_token_id=50257, eos_token_id=50257,
+                       pad_token_id=50257, decoder_start_token_id=50258)
+    else:
+        tok_ids = {}
     config = WhisperConfig(
-        vocab_size=int(dims["n_vocab"]),
+        vocab_size=n_vocab,
         num_mel_bins=int(dims["n_mels"]),
         d_model=d,
         encoder_layers=int(dims["n_audio_layer"]),
@@ -1100,6 +1112,7 @@ def whisper_from_openai_pt(ckpt, dtype=None):
         decoder_ffn_dim=4 * d,
         max_source_positions=int(dims["n_audio_ctx"]),
         max_target_positions=int(dims["n_text_ctx"]),
+        **tok_ids,
     )
     hf_sd = {}
     for k, v in sd.items():

@@ -49,6 +49,40 @@ def _err(msg: str) -> str:
     return json.dumps({"error": str(msg)})
 
 
+
+def _decode_wav(pcm: bytes, fs: int, wav_format: str = "pcm"):
+    """Bytes -> float32 mono waveform at 16 kHz.
+
+    "pcm"/"raw" buffers are little-endian int16 at ``fs`` (resampled like
+    websocket_server._pcm_to_wave — every downstream engine assumes 16 k);
+    anything else is full file bytes routed through utils.audio.load_audio
+    (RIFF/mp3/... with its own rate header).
+    """
+    import numpy as np
+
+    if wav_format in ("pcm", "raw"):
+        wav = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+        if fs != 16000:
+            from funasr_tpu.utils.audio import resample_linear
+
+            wav = resample_linear(wav, fs, 16000)
+        return wav
+    import tempfile
+
+    from funasr_tpu.utils.audio import load_audio
+
+    with tempfile.NamedTemporaryFile(suffix=f".{wav_format}") as f:
+        f.write(pcm)
+        f.flush()
+        return load_audio(f.name, fs=16000)
+
+
+def _tokens_to_text(ent, toks) -> str:
+    tok = ent.get("tokenizer")
+    return tok.decode(toks) if tok is not None \
+        else " ".join(map(str, toks))
+
+
 # --------------------------------------------------------------------- ASR
 def init(json_cfg: str) -> int:
     """FunOfflineInit/FunASRInit: build an AutoModel from a JSON config.
@@ -99,7 +133,7 @@ def tpass_init(asr_handle: int, json_cfg: str) -> int:
     h = online_init(asr_handle, json_cfg)
     ent = _get(h)
     ent["kind"] = "asr_2pass"
-    ent["buffer"] = bytearray()
+    ent["buffer"] = []  # decoded 16 kHz float chunks
     return h
 
 
@@ -117,42 +151,28 @@ def infer(handle: int, pcm: bytes, fs: int, wav_format: str,
     try:
         ent = _get(handle)
         kw = json.loads(json_kwargs) if json_kwargs else {}
-        if wav_format in ("pcm", "raw"):
-            wav = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
-        else:
-            # full file bytes (wav/mp3/...): write-through load_audio,
-            # which resamples to 16k and handles RIFF/mp3 natively
-            import tempfile
-
-            from funasr_tpu.utils.audio import load_audio
-
-            with tempfile.NamedTemporaryFile(
-                    suffix=f".{wav_format}") as f:
-                f.write(pcm)
-                f.flush()
-                wav = load_audio(f.name, fs=16000)
-            fs = 16000
+        wav = _decode_wav(pcm, fs, wav_format)  # 16 kHz float32 always
         if ent["kind"] == "asr":
-            res = ent["model"].generate(wav, fs=fs, **kw)
+            res = ent["model"].generate(wav, **kw)
             out = res[0] if res else {"text": ""}
             out.pop("timestamp_raw", None)
             return json.dumps(_jsonable(out))
         # online / 2pass: feed the chunk through the streaming session
         sm = ent["model"]
         toks = sm.generate_chunk(ent["cache"], wav, is_final=bool(is_final))
-        tok = ent.get("tokenizer")
-        text = tok.decode(toks) if tok is not None \
-            else " ".join(map(str, toks))
-        out: Dict[str, Any] = {"text": text, "is_final": bool(is_final),
+        out: Dict[str, Any] = {"text": _tokens_to_text(ent, toks),
+                               "is_final": bool(is_final),
                                "mode": "2pass-online"
                                if ent["kind"] == "asr_2pass" else "online"}
         if ent["kind"] == "asr_2pass":
-            ent["buffer"] += pcm
+            # accumulate DECODED audio: raw file bytes (headers) or
+            # non-16k pcm must not be reinterpreted as samples at final
+            ent["buffer"].append(wav)
             if is_final:
-                full = np.frombuffer(bytes(ent["buffer"]),
-                                     dtype="<i2").astype(np.float32) / 32768.0
-                ent["buffer"] = bytearray()
-                res = _get(ent["base"])["model"].generate(full, fs=fs, **kw)
+                full = np.concatenate(ent["buffer"]) if ent["buffer"] \
+                    else np.zeros(0, np.float32)
+                ent["buffer"] = []
+                res = _get(ent["base"])["model"].generate(full, **kw)
                 out["mode"] = "2pass-offline"
                 out["text"] = (res[0].get("text", "") if res else "")
         if is_final:
@@ -174,12 +194,10 @@ def vad_init(json_cfg: str) -> int:
 
 
 def vad_infer(handle: int, pcm: bytes, fs: int, is_final: bool) -> str:
-    import numpy as np
-
     try:
         ent = _get(handle)
-        wav = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
-        res = ent["model"].generate(wav, fs=fs)
+        wav = _decode_wav(pcm, fs)
+        res = ent["model"].generate(wav)
         segs = res[0].get("value", []) if res else []
         return json.dumps({"segments": _jsonable(segs)})
     except Exception as e:  # noqa: BLE001

@@ -69,6 +69,11 @@ char* steal_to_cstr(PyObject* s) {
     return strdup("{\"error\": \"internal python error\"}");
   }
   const char* utf8 = PyUnicode_AsUTF8(s);
+  if (!utf8) {
+    // clear the pending exception: a leftover error indicator would make
+    // every subsequent CallMethod raise SystemError
+    PyErr_Print();
+  }
   char* out = strdup(utf8 ? utf8 : "{\"error\": \"non-utf8 result\"}");
   Py_DECREF(s);
   return out;

@@ -363,12 +363,21 @@ def apply_year_en(text: str) -> str:
     tokens = text.split(" ")
     out = []
     i = 0
+    # words that continue a cardinal phrase: "nineteen hundred and eighty
+    # four" is the single number 1984, not the year 1900 + "and 84" — the
+    # hundred-branch must yield to the cardinal grammar in that case
+    cardinal_cont = (set(_ONES) | set(_TEENS)
+                     | {"twenty", "thirty", "forty", "fifty", "sixty",
+                        "seventy", "eighty", "ninety", "hundred",
+                        "thousand", "million", "billion", "and"})
     while i < len(tokens):
         w = tokens[i].lower()
         head = _YEAR_HEADS.get(w)
         if head is not None and i + 1 < len(tokens):
             nxt = tokens[i + 1].lower()
-            if nxt == "hundred":
+            if nxt == "hundred" and (
+                    i + 2 >= len(tokens)
+                    or tokens[i + 2].lower() not in cardinal_cont):
                 out.append(str(head * 100))
                 i += 2
                 continue
@@ -684,8 +693,9 @@ def _word_measure_tables(lang):
             "ru": (itn._RU_VOCAB, itn._RU_SCALE),
         }[lang]
 
+        keys = frozenset(vocab) | frozenset(scale)
+
         def parse(words):
-            keys = set(vocab) | set(scale)
             if not words or any(w not in keys for w in words):
                 return None
             return itn._western_span_to_int(words, vocab, scale)

@@ -381,3 +381,24 @@ def test_automodel_warmup_prebuilds_buckets(rng):
     am.warmup(batch_sizes=(1,), seconds=(1, 2))
     out = am.generate(_wav(rng, 1.5))
     assert out and "text" in out[0]
+
+
+def test_warmup_reaches_asr_engine_despite_vad(monkeypatch):
+    """Silence produces no VAD segments, so generate()-based warmup never
+    compiled the ASR program; warmup must call each engine directly."""
+    am = AutoModel(model=ASR_CFG, vad_model=VAD_CFG, punc_model=PUNC_CFG)
+    calls = {"asr": 0, "vad": 0, "punc": 0}
+    orig = am.engine.transcribe
+    monkeypatch.setattr(am.engine, "transcribe",
+                        lambda *a, **k: calls.__setitem__(
+                            "asr", calls["asr"] + 1) or orig(*a, **k))
+    orig_v = am.vad_engine.transcribe
+    monkeypatch.setattr(am.vad_engine, "transcribe",
+                        lambda *a, **k: calls.__setitem__(
+                            "vad", calls["vad"] + 1) or orig_v(*a, **k))
+    orig_p = am.punc_engine.punctuate
+    monkeypatch.setattr(am.punc_engine, "punctuate",
+                        lambda *a, **k: calls.__setitem__(
+                            "punc", calls["punc"] + 1) or orig_p(*a, **k))
+    am.warmup(batch_sizes=(1,), seconds=(1,))
+    assert calls["asr"] >= 1 and calls["vad"] >= 1 and calls["punc"] >= 1

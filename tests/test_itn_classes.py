@@ -202,3 +202,15 @@ def test_tn_itn_roundtrip(lang, written):
     from funasr_tpu.text.tn import normalize
 
     assert inv(normalize(written, lang), lang) == written
+
+
+@pytest.mark.parametrize("src,want", [
+    # the year pass must yield to cardinal phrases continuing past
+    # "hundred" (regression: '1900 and 84')
+    ("nineteen hundred and eighty four", "1984"),
+    ("nineteen hundred fifty", "1950"),
+    ("nineteen hundred and fifty dollars", "$1950"),
+    ("nineteen hundred", "1900"),
+])
+def test_en_year_vs_cardinal_boundary(src, want):
+    assert inv(src, "en") == want

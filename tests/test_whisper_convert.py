@@ -141,3 +141,35 @@ def test_whisper_wrap_loads_openai_pt(tmp_path):
     assert enc.shape == (1, DIMS["n_audio_ctx"], DIMS["n_audio_state"])
     toks = w.greedy_decode(feats, max_tokens=3)
     assert np.asarray(toks).shape == (1, 3)
+
+
+def test_multilingual_vocab_gets_multilingual_token_ids(tmp_path):
+    """Multilingual openai vocabs put <|startoftranscript|> at 50258 /
+    <|endoftext|> at 50257; HF's English-only defaults (50257/50256) would
+    seed greedy decode from <|endoftext|> on converted v2/v3 checkpoints."""
+    from funasr_tpu.convert import whisper_from_openai_pt
+
+    dims = dict(DIMS, n_vocab=51865)
+    tm = _tiny_torch_model()  # weights don't matter for the config check
+    sd = {}
+    for k, v in tm.state_dict().items():
+        ok = _hf_key_to_openai(k)
+        if ok is not None and not ok.endswith("key.bias"):
+            sd[ok] = v
+    # resize the vocab-sized tensors to the multilingual vocab
+    emb = torch.zeros(51865, DIMS["n_text_state"])
+    emb[: DIMS["n_vocab"]] = sd["decoder.token_embedding.weight"]
+    sd["decoder.token_embedding.weight"] = emb
+    pt = tmp_path / "multi.pt"
+    torch.save({"dims": dims, "model_state_dict": sd}, pt)
+
+    config, _ = whisper_from_openai_pt(str(pt))
+    assert config.decoder_start_token_id == 50258
+    assert config.eos_token_id == 50257
+
+    # English-only layout keeps HF defaults
+    pt2 = tmp_path / "tiny.pt"
+    sd["decoder.token_embedding.weight"] = emb[: DIMS["n_vocab"]]
+    torch.save({"dims": dict(DIMS), "model_state_dict": sd}, pt2)
+    config2, _ = whisper_from_openai_pt(str(pt2))
+    assert config2.decoder_start_token_id == 50257
