@@ -639,8 +639,11 @@ _MEASURE_PASSES = {
 
 
 def secondary_pre(lang: str, text: str) -> str:
-    """Word-level classes (telephone, electronic) for the non-zh/en
-    languages; runs before the cardinal pass."""
+    """Word-level classes (whitelist, telephone, electronic) for the
+    non-zh/en languages; runs before the cardinal pass."""
+    # every reference language grammar carries the whitelist tagger, and
+    # each <lang>/data/whitelist.tsv mirrors the en table
+    text = apply_whitelist(text)
     e = _ELECTRONIC_PASSES.get(lang)
     if e is not None:
         text = e(text)

@@ -214,3 +214,10 @@ def test_tn_itn_roundtrip(lang, written):
 ])
 def test_en_year_vs_cardinal_boundary(src, want):
     assert inv(src, "en") == want
+
+
+def test_whitelist_applies_in_secondary_languages():
+    # every reference grammar carries the whitelist tagger with the same
+    # (English-abbreviation) table
+    assert inv("mister schmidt hat elf kilogramm", "de") \
+        == "mr. schmidt hat 11 kg"
