@@ -70,6 +70,7 @@ def _zh_digits(s: str) -> str:
 
 
 def normalize_zh(text: str) -> str:
+    text = _tn_measure_zh(text)
     # percents: 45.5% -> 百分之四十五点五
     def pct(m):
         body = m.group(1)
@@ -141,6 +142,7 @@ def num_to_en(n: int) -> str:
 
 
 def normalize_en(text: str) -> str:
+    text = _tn_measure_latin(text, _EN_MEASURE_RE, _EN_MEASURE)
     def pct(m):
         body = m.group(1)
         if "." in body:
@@ -240,6 +242,7 @@ def num_to_de(n: int) -> str:
 
 
 def normalize_de(text: str) -> str:
+    text = _tn_measure_latin(text, _DE_MEASURE_RE, _DE_MEASURE)
     def pct(m):
         body = m.group(1).replace(",", ".")
         if "." in body:
@@ -320,6 +323,7 @@ def num_to_es(n: int) -> str:
 
 
 def normalize_es(text: str) -> str:
+    text = _tn_measure_latin(text, _ES_MEASURE_RE, _ES_MEASURE)
     def pct(m):
         body = m.group(1).replace(",", ".")
         if "." in body:
@@ -415,6 +419,7 @@ def num_to_ru(n: int) -> str:
 
 
 def normalize_ru(text: str) -> str:
+    text = _tn_measure_ru(text)
     def pct(m):
         body = m.group(1).replace(",", ".")
         if "." in body:
@@ -448,6 +453,118 @@ def normalize_ru(text: str) -> str:
                   lambda m: f"минус {num_to_ru(int(m.group(1)))}", text)
     text = re.sub(r"\d+", lambda m: num_to_ru(int(m.group(0))), text)
     return text
+
+
+
+
+# --------------------------------------------------------------- measure
+# Forward measure verbalization (reference text_normalization/*/taggers/
+# measure.py): the unit token is rewritten to its spoken noun and the
+# number is left for the language's existing cardinal/decimal passes
+# ("12 kg" -> "12 kilograms" -> "twelve kilograms").
+_EN_MEASURE = {  # abbr -> (singular, plural)
+    "kg": ("kilogram", "kilograms"), "km": ("kilometer", "kilometers"),
+    "cm": ("centimeter", "centimeters"), "mm": ("millimeter",
+                                                "millimeters"),
+    "mg": ("milligram", "milligrams"), "ha": ("hectare", "hectares"),
+    "hz": ("hertz", "hertz"), "kw": ("kilowatt", "kilowatts"),
+    "hp": ("horsepower", "horsepower"), "min": ("minute", "minutes"),
+    "ml": ("milliliter", "milliliters"), "db": ("decibel", "decibels"),
+    "mi": ("mile", "miles"), "ft": ("foot", "feet"),
+    "°C": ("degree celsius", "degrees celsius"),
+    "°F": ("degree fahrenheit", "degrees fahrenheit"),
+    "km/h": ("kilometer per hour", "kilometers per hour"),
+    "mph": ("mile per hour", "miles per hour"),
+    "g": ("gram", "grams"), "t": ("ton", "tons"), "l": ("liter", "liters"),
+    "s": ("second", "seconds"), "h": ("hour", "hours"),
+    "m": ("meter", "meters"),
+}
+_ZH_MEASURE = {"°C": "摄氏度", "°F": "华氏度", "kg": "千克", "km": "千米",
+               "cm": "厘米", "mm": "毫米", "mg": "毫克", "ha": "公顷",
+               "m²": "平方米", "m³": "立方米", "ml": "毫升", "g": "克",
+               "t": "吨", "l": "升", "m": "米"}
+_DE_MEASURE = {"kg": ("kilogramm", "kilogramm"),
+               "km": ("kilometer", "kilometer"),
+               "cm": ("zentimeter", "zentimeter"),
+               "mm": ("millimeter", "millimeter"),
+               "g": ("gramm", "gramm"), "t": ("tonne", "tonnen"),
+               "l": ("liter", "liter"), "m": ("meter", "meter"),
+               "h": ("stunde", "stunden"), "min": ("minute", "minuten"),
+               "s": ("sekunde", "sekunden"),
+               "°C": ("grad celsius", "grad celsius")}
+_ES_MEASURE = {"kg": ("kilogramo", "kilogramos"),
+               "km": ("kilómetro", "kilómetros"),
+               "cm": ("centímetro", "centímetros"),
+               "g": ("gramo", "gramos"), "l": ("litro", "litros"),
+               "m": ("metro", "metros"), "h": ("hora", "horas"),
+               "min": ("minuto", "minutos"), "s": ("segundo", "segundos"),
+               "°C": ("grado celsius", "grados celsius")}
+_RU_MEASURE = {  # abbr -> (1, 2-4, 5+) declensions
+    "кг": ("килограмм", "килограмма", "килограммов"),
+    "км": ("километр", "километра", "километров"),
+    "см": ("сантиметр", "сантиметра", "сантиметров"),
+    "мм": ("миллиметр", "миллиметра", "миллиметров"),
+    "г": ("грамм", "грамма", "граммов"),
+    "т": ("тонна", "тонны", "тонн"),
+    "л": ("литр", "литра", "литров"),
+    "м": ("метр", "метра", "метров"),
+    "ч": ("час", "часа", "часов"),
+    "мин": ("минута", "минуты", "минут"),
+    "с": ("секунда", "секунды", "секунд"),
+}
+
+
+def _measure_pattern(units):
+    alt = "|".join(re.escape(u) for u in sorted(units, key=len,
+                                                reverse=True))
+    return re.compile(rf"(\d+(?:[.,]\d+)?) ?({alt})(?![a-zA-Z°²³/])")
+
+
+_EN_MEASURE_RE = _measure_pattern(_EN_MEASURE)
+_ZH_MEASURE_RE = _measure_pattern(_ZH_MEASURE)
+_DE_MEASURE_RE = _measure_pattern(_DE_MEASURE)
+_ES_MEASURE_RE = _measure_pattern(_ES_MEASURE)
+_RU_MEASURE_RE = re.compile(
+    r"(\d+(?:[.,]\d+)?) ?("
+    + "|".join(re.escape(u) for u in sorted(_RU_MEASURE, key=len,
+                                            reverse=True))
+    + r")(?![а-яa-zA-Z])")
+
+
+def _tn_measure_latin(text, pat, units):
+    def repl(m):
+        num = m.group(1)
+        sing, plur = units[m.group(2)]
+        one = num == "1"
+        return f"{num} {sing if one else plur}"
+
+    return pat.sub(repl, text)
+
+
+def _tn_measure_zh(text):
+    return _ZH_MEASURE_RE.sub(
+        lambda m: f"{m.group(1)}{_ZH_MEASURE[m.group(2)]}", text)
+
+
+def _tn_measure_ru(text):
+    def repl(m):
+        num = m.group(1)
+        forms = _RU_MEASURE[m.group(2)]
+        if "," in num or "." in num:
+            word = forms[1]  # decimals read the 2-4 form (две целых ...)
+        else:
+            n = int(num)
+            if n % 100 in (11, 12, 13, 14):
+                word = forms[2]
+            elif n % 10 == 1:
+                word = forms[0]
+            elif n % 10 in (2, 3, 4):
+                word = forms[1]
+            else:
+                word = forms[2]
+        return f"{num} {word}"
+
+    return _RU_MEASURE_RE.sub(repl, text)
 
 
 def normalize(text: str, lang: str = "zh") -> str:

@@ -221,3 +221,38 @@ def test_whitelist_applies_in_secondary_languages():
     # (English-abbreviation) table
     assert inv("mister schmidt hat elf kilogramm", "de") \
         == "mr. schmidt hat 11 kg"
+
+
+TN_MEASURE_CASES = [
+    # forward measure (text_normalization/*/taggers/measure.py): unit
+    # verbalized, number through the existing cardinal/decimal passes
+    ("en", "12 kg", "twelve kilograms"),
+    ("en", "1 kg", "one kilogram"),
+    ("en", "35 °C", "thirty five degrees celsius"),
+    ("en", "100 km/h", "one hundred kilometers per hour"),
+    ("zh", "35°C", "三十五摄氏度"),
+    ("zh", "3.5千克", "三点五千克"),
+    ("de", "11 kg", "elf kilogramm"),
+    ("de", "3 h", "drei stunden"),
+    ("es", "12 km", "doce kilómetros"),
+    ("ru", "2 кг", "два килограмма"),
+    ("ru", "21 км", "двадцать один километр"),  # 1-declension
+    ("ru", "5 км", "пять километров"),
+]
+
+
+@pytest.mark.parametrize("lang,src,want", TN_MEASURE_CASES,
+                         ids=[f"tnm-{l}-{s}" for l, s, _ in TN_MEASURE_CASES])
+def test_tn_measure(lang, src, want):
+    from funasr_tpu.text.tn import normalize
+
+    assert normalize(src, lang) == want
+
+
+@pytest.mark.parametrize("lang,written", [
+    ("en", "12 kg"), ("en", "35 °C"), ("de", "11 kg"), ("ru", "5 км"),
+])
+def test_tn_measure_itn_roundtrip(lang, written):
+    from funasr_tpu.text.tn import normalize
+
+    assert inv(normalize(written, lang), lang) == written
