@@ -82,6 +82,11 @@ def sp_cif_local(hidden, alphas, lengths, max_tokens: int,
         jnp.einsum("but,btd->bud", w, hidden.astype(jnp.float32),
                    preferred_element_type=jnp.float32), axis)
     token_num = lax.psum(total, axis)
+    if tail_threshold:
+        # inference contract (cif_tail / reference tail_process_fn,
+        # cif_predictor.py:346): token_num is FLOORED, so downstream
+        # round()s can't exceed the embeds valid-mask by one.
+        token_num = jnp.floor(token_num)
 
     n_fired = jnp.floor(token_num + 1e-4)
     valid = (grid[..., 0] < n_fired[:, None]).astype(jnp.float32)[:, :, None]

@@ -297,6 +297,18 @@ def _ampm_at(tokens, i):
     return "", i
 
 
+# spans followed by one of these belong to the money/percent grammar
+# (itn.py _EN_CURRENCY branch) — the reference classify weights rank
+# money above date/time, so the time/year pre-passes must not steal
+# "two fifteen dollars" / "nineteen hundred dollars" style spans.
+_MONEY_CUES = {"dollar", "dollars", "euro", "euros", "pound", "pounds",
+               "yuan", "cent", "cents", "penny", "pence", "percent"}
+
+
+def _money_cue_at(tokens, j) -> bool:
+    return j < len(tokens) and tokens[j].lower() in _MONEY_CUES
+
+
 def apply_time_en(text: str) -> str:
     """Spoken clock times -> H:MM (reference en/taggers/time.py).  Runs
     BEFORE the cardinal span merge, which would otherwise read "five
@@ -319,6 +331,8 @@ def apply_time_en(text: str) -> str:
                     out.append(tokens[i]); i += 1; continue
                 h, m = (h - 1) or 12, 45
             suf, j = _ampm_at(tokens, i + 3)
+            if not suf and _money_cue_at(tokens, j):
+                out.append(tokens[i]); i += 1; continue
             out.append(f"{h}:{m:02d}{suf}")
             i = j
             continue
@@ -332,6 +346,8 @@ def apply_time_en(text: str) -> str:
                 and tokens[mm[1] + 1].lower() in _HOURS:
             h = _HOURS[tokens[mm[1] + 1].lower()]
             suf, j = _ampm_at(tokens, mm[1] + 2)
+            if not suf and _money_cue_at(tokens, j):
+                out.append(tokens[i]); i += 1; continue
             out.append(f"{h}:{mm[0]:02d}{suf}")
             i = j
             continue
@@ -342,7 +358,11 @@ def apply_time_en(text: str) -> str:
                 suf, j = _ampm_at(tokens, got[1])
                 # require am/pm OR a tens/oh minutes form; "five fifteen"
                 # without suffix stays ambiguous with cardinals? the
-                # reference tags it as time — follow the reference
+                # reference tags it as time — follow the reference.
+                # EXCEPT when a currency/percent word follows: money
+                # outranks time ("two fifteen dollars" is not 2:15).
+                if not suf and _money_cue_at(tokens, j):
+                    out.append(tokens[i]); i += 1; continue
                 out.append(f"{_HOURS[w]}:{got[0]:02d}{suf}")
                 i = j
                 continue
@@ -377,7 +397,10 @@ def apply_year_en(text: str) -> str:
             nxt = tokens[i + 1].lower()
             if nxt == "hundred" and (
                     i + 2 >= len(tokens)
-                    or tokens[i + 2].lower() not in cardinal_cont):
+                    or tokens[i + 2].lower() not in cardinal_cont) \
+                    and not _money_cue_at(tokens, i + 2):
+                # money outranks date: "nineteen hundred dollars" stays
+                # for the cardinal+money grammar -> $1900
                 out.append(str(head * 100))
                 i += 2
                 continue

@@ -216,6 +216,23 @@ def test_en_year_vs_cardinal_boundary(src, want):
     assert inv(src, "en") == want
 
 
+@pytest.mark.parametrize("src,want", [
+    # money outranks date/time (reference classify weights): the year and
+    # time pre-passes must not steal spans a currency word follows
+    ("nineteen hundred dollars", "$1900"),
+    ("nineteen hundred percent", "1900%"),
+    ("two fifteen p m", "2:15 p.m."),   # explicit am/pm stays a time
+    ("five thirty p m", "5:30 p.m."),
+])
+def test_en_money_outranks_time_and_year(src, want):
+    assert inv(src, "en") == want
+
+
+def test_en_bare_time_before_currency_not_time():
+    # "two fifteen dollars" must not become "2:15 dollars"
+    assert ":" not in inv("two fifteen dollars", "en")
+
+
 def test_whitelist_applies_in_secondary_languages():
     # every reference grammar carries the whitelist tagger with the same
     # (English-abbreviation) table

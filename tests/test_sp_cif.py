@@ -43,7 +43,7 @@ def test_sp_cif_tail_matches_cif_tail(rng):
     the first pad slot, which carries a zero hidden either way)."""
     hidden, alphas, lengths = _inputs(rng)
     U = 48
-    h2, a2, _ = C.cif_tail(hidden, alphas, lengths, 0.45)
+    h2, a2, tok_floor = C.cif_tail(hidden, alphas, lengths, 0.45)
     want = C.cif(h2, a2, U)
     mesh = make_mesh(data=1, model=8)
     with mesh:
@@ -53,14 +53,22 @@ def test_sp_cif_tail_matches_cif_tail(rng):
     np.testing.assert_allclose(np.asarray(got.embeds),
                                np.asarray(want.embeds), atol=1e-5,
                                rtol=1e-5)
+    # inference contract: token_num is the FLOORED total (predictor.py:99)
     np.testing.assert_allclose(np.asarray(got.token_num),
-                               np.asarray(want.token_num), atol=1e-5)
+                               np.asarray(tok_floor), atol=1e-5)
 
 
-def test_sp_paraformer_greedy_full_chain(rng):
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 5])
+def test_sp_paraformer_greedy_full_chain(seed):
     """Flagship-shaped-but-tiny full SP inference: encoder -> predictor ->
     CIF -> decoder sharded over 8 devices must reproduce
-    Paraformer.greedy_decode exactly (tokens, lengths, scores)."""
+    Paraformer.greedy_decode exactly (tokens, lengths, scores).
+
+    Parametrized over seeds: the tail token_num floor (sp_cif vs round)
+    only diverges when the fractional alpha mass lands >= 0.5, which
+    seed 0 alone never hits.
+    """
+    rng = np.random.default_rng(seed)
     from funasr_tpu.models.paraformer.model import Paraformer
     from funasr_tpu.parallel.sp_cif import sp_paraformer_greedy
     from funasr_tpu.ops import quant
