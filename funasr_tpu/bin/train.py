@@ -14,6 +14,38 @@ import os
 import numpy as np
 
 
+def iter_split_batches(sampler, n_items: int, data_split_num: int,
+                       epoch: int, start_step: int = 0):
+    """Yield ``(indices, pad_source_len, pad_target_len)`` batches; with
+    ``data_split_num > 1`` the dataset index range is processed in N
+    contiguous slices per epoch, re-batched to full batch shapes within
+    each slice (reference dataloader_entry.py:83 memory-bounded loading —
+    same semantics as datasets/dataloader.py ``Dataloader.build_iter``)."""
+    if data_split_num <= 1:
+        sampler.set_epoch(epoch, start_step)
+        for b in sampler:
+            yield list(b.indices), b.pad_source_len, b.pad_target_len
+        return
+    for split_i in range(data_split_num):
+        sampler.set_epoch(epoch * data_split_num + split_i, start_step)
+        lo = n_items * split_i // data_split_num
+        hi = n_items * (split_i + 1) // data_split_num
+        pending, psrc, ptgt = [], 0, 0
+        for b in sampler:
+            idx = [i for i in b.indices if lo <= i < hi]
+            if not idx:
+                continue
+            pending.extend(idx)
+            psrc = max(psrc, b.pad_source_len or 0)
+            ptgt = max(ptgt, b.pad_target_len or 0)
+            target = len(b.indices)
+            while len(pending) >= target:
+                take, pending = pending[:target], pending[target:]
+                yield take, psrc, ptgt
+        if pending:
+            yield pending, psrc, ptgt
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="funasr-tpu-train")
     ap.add_argument("--config", required=True, help="model/train yaml")
@@ -147,17 +179,21 @@ def main(argv=None):
     bsh = batch_sharding(mesh)
     dp = mesh.shape["data"]
 
+    # dataset_conf.data_split_num: split each epoch's dataset into N
+    # slices loaded/batched in turn (reference dataloader_entry.py:83
+    # memory-bounded loading; datasets/dataloader.py implements the
+    # slice re-batching)
+    data_split_num = max(1, int(ds_conf.get("data_split_num", 1)))
+
     def build_iter(epoch, start_step):
-        sampler.set_epoch(epoch, start_step)
-        for b in sampler:
-            idx = list(b.indices)
+        for idx, psrc, ptgt in iter_split_batches(
+                sampler, len(ds), data_split_num, epoch, start_step):
             # data-parallel sharding needs batch % dp == 0; pad by repeating
             # (same weighting effect as DistributedSampler's sample padding)
+            idx = list(idx)
             while len(idx) % dp:
                 idx.append(idx[-1])
-            batch = featurize(ds.collate(
-                [ds[i] for i in idx], b.pad_source_len, b.pad_target_len
-            ))
+            batch = featurize(ds.collate([ds[i] for i in idx], psrc, ptgt))
             yield jax.device_put(batch, bsh)
 
     valid_iter = None

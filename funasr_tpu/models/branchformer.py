@@ -38,13 +38,12 @@ Dtype = Any
 
 
 def _depthwise_conv1d(x, kernel, bias=None):
-    """(B, T, C) same-padded depthwise conv."""
+    """(B, T, C) same-padded depthwise conv (SPMD-safe grad,
+    ops/dwconv.py)."""
+    from funasr_tpu.ops.dwconv import depthwise_conv1d
+
     pad = (kernel.shape[0] - 1) // 2
-    out = lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), (1,), [(pad, pad)],
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=x.shape[-1],
-    )
+    out = depthwise_conv1d(x, kernel, pad, pad)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

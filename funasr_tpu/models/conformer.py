@@ -129,11 +129,9 @@ class ConvolutionModule(nn.Module):
                             self.param_dtype)
         dw_bias = self.param("depthwise_conv_bias", nn.initializers.zeros,
                              (self.channels,), self.param_dtype)
-        h = lax.conv_general_dilated(
-            h, kernel.astype(h.dtype), (1,), [(pad, pad)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=self.channels,
-        ) + dw_bias.astype(h.dtype)
+        from funasr_tpu.ops.dwconv import depthwise_conv1d
+
+        h = depthwise_conv1d(h, kernel, pad, pad) + dw_bias.astype(h.dtype)
         h = nn.BatchNorm(
             use_running_average=deterministic, name="norm",
             dtype=jnp.float32, param_dtype=self.param_dtype,

@@ -193,11 +193,14 @@ class Data2VecEncoder(nn.Module):
         # embedding (even kernel: SamePad trims the trailing element,
         # wav2vec2.py:101-116)
         x = jnp.where(key_mask[:, :, None], x, 0.0)
-        pos = nn.Conv(self.encoder_embed_dim, (self.conv_pos,),
-                      padding=((self.conv_pos // 2, self.conv_pos // 2),),
-                      feature_group_count=self.conv_pos_groups,
-                      name="pos_conv", dtype=self.dtype,
-                      param_dtype=self.param_dtype)(x)
+        from funasr_tpu.ops.dwconv import GroupedConv1d
+
+        pos = GroupedConv1d(self.encoder_embed_dim, self.conv_pos,
+                            padding=((self.conv_pos // 2,
+                                      self.conv_pos // 2),),
+                            feature_group_count=self.conv_pos_groups,
+                            name="pos_conv", dtype=self.dtype,
+                            param_dtype=self.param_dtype)(x)
         pos = nn.gelu(pos[:, :T], approximate=False)
         x = x + pos
         # encoder-level LN runs BEFORE the stack when layer_norm_first is

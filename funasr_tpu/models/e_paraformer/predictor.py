@@ -61,12 +61,10 @@ class PifPredictor(nn.Module):
             (self.l_order + self.r_order + 1, 1, D), self.param_dtype)
         conv_bias = self.param("cif_conv1d_bias", nn.initializers.zeros,
                                (D,), self.param_dtype)
-        q = lax.conv_general_dilated(
-            h, kernel.astype(jnp.float32), (1,),
-            [(self.l_order, self.r_order)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=D,
-        ) + conv_bias
+        from funasr_tpu.ops.dwconv import depthwise_conv1d
+
+        q = depthwise_conv1d(h.astype(jnp.float32), kernel,
+                             self.l_order, self.r_order) + conv_bias
         q = q + h  # residual
         q = nn.Dropout(self.dropout)(q, deterministic=deterministic)
         q = nn.relu(q)

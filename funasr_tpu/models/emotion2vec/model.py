@@ -274,10 +274,12 @@ class Emotion2vecModule(nn.Module):
         k = max(3, self.conv_pos_width // self.conv_pos_depth)
         pos = x
         for i in range(self.conv_pos_depth):
-            pos = nn.Conv(self.dim, (k,), padding="SAME",
-                          feature_group_count=self.conv_pos_groups,
-                          name=f"pos_conv{i}", dtype=self.dtype,
-                          param_dtype=self.param_dtype)(pos)
+            from funasr_tpu.ops.dwconv import GroupedConv1d
+
+            pos = GroupedConv1d(self.dim, k, padding="SAME",
+                                feature_group_count=self.conv_pos_groups,
+                                name=f"pos_conv{i}", dtype=self.dtype,
+                                param_dtype=self.param_dtype)(pos)
             pf = pos.astype(jnp.float32)
             mean = jnp.mean(pf, axis=-1, keepdims=True)
             var = jnp.var(pf, axis=-1, keepdims=True)

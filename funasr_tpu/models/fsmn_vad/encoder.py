@@ -49,13 +49,10 @@ class FsmnBasicBlock(nn.Module):
             "conv_left", nn.initializers.lecun_normal(),
             (self.lorder, 1, self.proj_dim), self.param_dtype,
         )
-        mem = lax.conv_general_dilated(
-            ctx, kernel_l.astype(p.dtype), (1,),
-            padding=[(pad_left, 0)],
-            rhs_dilation=(self.lstride,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=self.proj_dim,
-        )
+        from funasr_tpu.ops.dwconv import conv1d_grouped
+
+        mem = conv1d_grouped(ctx.astype(p.dtype), kernel_l, pad_left, 0,
+                             self.proj_dim, self.lstride)
         out = p + mem
         if self.rorder > 0:
             kernel_r = self.param(
@@ -65,13 +62,8 @@ class FsmnBasicBlock(nn.Module):
             # right context: frames t+rstride .. t+rorder*rstride
             shifted = jnp.pad(p, ((0, 0), (0, self.rorder * self.rstride), (0, 0)))
             shifted = shifted[:, self.rstride:, :]
-            mem_r = lax.conv_general_dilated(
-                shifted, kernel_r.astype(p.dtype), (1,),
-                padding=[(0, 0)],
-                rhs_dilation=(self.rstride,),
-                dimension_numbers=("NHC", "HIO", "NHC"),
-                feature_group_count=self.proj_dim,
-            )
+            mem_r = conv1d_grouped(shifted.astype(p.dtype), kernel_r,
+                                   0, 0, self.proj_dim, self.rstride)
             out = out + mem_r[:, : out.shape[1], :]
         h = nn.Dense(self.linear_dim, name="affine",
                      dtype=self.dtype, param_dtype=self.param_dtype)(out)

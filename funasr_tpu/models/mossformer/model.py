@@ -141,10 +141,12 @@ class FFConvM(nn.Module):
         h = nn.Dense(self.dim_out, name="proj", dtype=self.dtype,
                      param_dtype=self.param_dtype)(h)
         h = nn.silu(h)
-        conv = nn.Conv(self.dim_out, (self.kernel,), padding="SAME",
-                       feature_group_count=self.dim_out, use_bias=False,
-                       name="conv", dtype=self.dtype,
-                       param_dtype=self.param_dtype)(h)
+        from funasr_tpu.ops.dwconv import GroupedConv1d
+
+        conv = GroupedConv1d(self.dim_out, self.kernel, padding="SAME",
+                             feature_group_count=self.dim_out,
+                             use_bias=False, name="conv", dtype=self.dtype,
+                             param_dtype=self.param_dtype)(h)
         h = h + conv
         return nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
 

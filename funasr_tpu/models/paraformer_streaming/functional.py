@@ -53,12 +53,10 @@ def layer_norm(p, x, eps=1e-12):
 
 
 def depthwise_conv(x, kernel, left: int, right: int):
-    """x (B,T,D), kernel (K,1,D)."""
-    return lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), (1,), [(left, right)],
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=x.shape[-1],
-    )
+    """x (B,T,D), kernel (K,1,D) (SPMD-safe grad, ops/dwconv.py)."""
+    from funasr_tpu.ops.dwconv import depthwise_conv1d
+
+    return depthwise_conv1d(x, kernel, left, right)
 
 
 # ------------------------------------------------------------ encoder chunk

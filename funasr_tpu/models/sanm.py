@@ -40,6 +40,36 @@ from funasr_tpu.registry import tables
 Dtype = Any
 
 
+def ln_f32(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+           eps: float = 1e-12) -> jnp.ndarray:
+    """LayerNormF32 core on raw weights: f32 stats, torch eps, f32 out.
+
+    SHARED by the ``LayerNormF32`` module and the sequence-parallel path
+    (parallel/sp_encoder.py / sp_decoder.py) so the norm math cannot
+    drift between them.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def fsmn_conv(v: jnp.ndarray, kernel: jnp.ndarray, padding) -> jnp.ndarray:
+    """The FSMN depthwise conv itself (no residual/mask): v (B, T, D),
+    kernel (K, 1, D), ``padding`` = [(left, right)] or "VALID".
+
+    SHARED by ``fsmn_memory`` (padded, single device) and the
+    sequence-parallel halo-exchange path (pre-concatenated halos, VALID).
+    Routed through ops/dwconv.py for the SPMD-safe kernel gradient (the
+    forward is the identical XLA conv).
+    """
+    from funasr_tpu.ops.dwconv import depthwise_conv1d
+
+    left, right = (0, 0) if padding == "VALID" else padding[0]
+    return depthwise_conv1d(v, kernel, left, right)
+
+
 def fsmn_memory(
     v: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -55,14 +85,7 @@ def fsmn_memory(
     if mask is not None:
         mask = mask.astype(v.dtype)
         v = v * mask
-    out = lax.conv_general_dilated(
-        v,
-        kernel.astype(v.dtype),
-        window_strides=(1,),
-        padding=[(left_padding, right_padding)],
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=v.shape[-1],
-    )
+    out = fsmn_conv(v, kernel, [(left_padding, right_padding)])
     out = out + v
     if mask is not None:
         out = out * mask
@@ -324,12 +347,7 @@ class LayerNormF32(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (d,), self.param_dtype)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return y.astype(self.dtype)
+        return ln_f32(x, scale, bias, self.epsilon).astype(self.dtype)
 
 
 class EncoderLayerSANM(nn.Module):
@@ -516,6 +534,69 @@ class SANMEncoder(nn.Module):
                 return h, None
 
             x, _ = jax.lax.scan(body, x, lw)
+            if self.normalize_before:
+                x = LayerNormF32(self.dtype, self.param_dtype,
+                                 name="after_norm")(x)
+            return x, lengths
+
+        from funasr_tpu.parallel import pp as PP
+
+        if (n_rest > 0 and PP.enabled()
+                and not isinstance(mask, (tuple, list))
+                and n_rest % PP.config()["mesh"].shape[
+                    PP.config()["axis"]] == 0
+                and B % PP.config()["n_micro"] == 0):
+            # pipeline-parallel stack: layer axis sharded over the pp mesh
+            # axis, GPipe microbatch schedule (parallel/pipeline.py).  The
+            # stacked params are declared by the same holder the int8 path
+            # uses, so the tree is identical to the nn.scan stack and the
+            # unmodified train step / checkpoints work; the layer math is
+            # EncoderLayerSANM.apply itself — no duplication.
+            cfg = PP.config()
+            from funasr_tpu.parallel.pipeline import pipeline_apply
+
+            ParamStack = nn.scan(
+                _SANMLayerParams,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=n_rest,
+                in_axes=(nn.broadcast,),
+            )
+            _, stacked = ParamStack(
+                self.output_size, self.linear_units, self.kernel_size,
+                self.param_dtype, name="encoders",
+            )(0.0, None)
+            (ln1s, ln1b, wqkv, bqkv, fsmn, wout, bout,
+             ln2s, ln2b, w1, b1, w2, b2) = stacked
+            tree = {
+                "norm1": {"scale": ln1s, "bias": ln1b},
+                "self_attn": {
+                    "linear_q_k_v": {"kernel": wqkv, "bias": bqkv},
+                    "fsmn_block": fsmn,
+                    "linear_out": {"kernel": wout, "bias": bout},
+                },
+                "norm2": {"scale": ln2s, "bias": ln2b},
+                "feed_forward": {"w_1": {"kernel": w1, "bias": b1},
+                                 "w_2": {"kernel": w2, "bias": b2}},
+            }
+            layer = EncoderLayerSANM(
+                self.output_size, self.output_size, self.attention_heads,
+                self.linear_units, self.kernel_size, self.sanm_shift,
+                self.dropout_rate, self.attention_dropout_rate,
+                self.dtype, self.param_dtype)
+            need_rng = (not deterministic) and (
+                self.dropout_rate > 0 or self.attention_dropout_rate > 0)
+            drop_rng = self.make_rng("dropout") if need_rng else None
+
+            def layer_fn(p, h, m, rng=None):
+                rngs = {"dropout": rng} if rng is not None else None
+                return layer.apply({"params": p}, h, m, deterministic,
+                                   rngs=rngs)[0]
+
+            x = pipeline_apply(
+                layer_fn, tree, x, n_micro=cfg["n_micro"],
+                mesh=cfg["mesh"], axis=cfg["axis"], extras=mask,
+                batch_axis=cfg["batch_axis"], rng=drop_rng)
             if self.normalize_before:
                 x = LayerNormF32(self.dtype, self.param_dtype,
                                  name="after_norm")(x)

@@ -288,11 +288,10 @@ class LightweightConvolution(nn.Module):
         # channel c uses head kernel c % H (torch view(-1, H, T) grouping)
         kern = w.T[:, None, :]  # (k, 1, H)
         kern = jnp.tile(kern, (1, 1, C // H)).reshape(k, 1, C)
-        y = lax.conv_general_dilated(
-            h.astype(jnp.float32), kern, (1,), [(k // 2, k // 2)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=C,
-        )[:, :T]
+        from funasr_tpu.ops.dwconv import depthwise_conv1d
+
+        y = depthwise_conv1d(h.astype(jnp.float32), kern,
+                             k // 2, k // 2)[:, :T]
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (C,),
                                self.param_dtype)

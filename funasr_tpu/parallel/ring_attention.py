@@ -36,7 +36,11 @@ def _block(q, k, v, kmask, m, l, o):
     q: (B, Tq, H, Dh); k/v: (B, Tk, H, Dh); kmask: (B, Tk) True=valid.
     m/l: (B, Tq, H) running max / denominator; o: (B, Tq, H, Dh).
     """
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k)  # (B, H, Tq, Tk)
+    # scores and the online-softmax state are fp32 regardless of the
+    # input dtype (masked_softmax recipe, models/sanm.py): bf16 inputs
+    # keep MXU-rate matmuls while the softmax math stays exact
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)  # (B, H, Tq, Tk)
     s = jnp.where(kmask[:, None, None, :], s, NEG_INF)
     m_blk = jnp.max(s, axis=-1)                        # (B, H, Tq)
     m_new = jnp.maximum(m, m_blk.transpose(0, 2, 1))   # (B, Tq, H)
@@ -46,7 +50,8 @@ def _block(q, k, v, kmask, m, l, o):
     scale = jnp.exp(m - m_new)                         # (B, Tq, H)
     l_new = l * scale + jnp.sum(p, axis=-1).transpose(0, 2, 1)
     o_new = o * scale[..., None] + jnp.einsum(
-        "bhqk,bkhd->bqhd", p, v)
+        "bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32)
     return m_new, l_new, o_new
 
 
@@ -64,10 +69,10 @@ def ring_self_attention(q, k, v, kmask, axis_name: str = "model"):
     q = q * (dh ** -0.5)
     # initial accumulators derive from q so they carry q's varying mesh
     # axes (shard_map rejects an unvarying scan carry joined with a
-    # varying output)
-    m = jnp.full_like(q[..., 0], NEG_INF)
-    l = jnp.zeros_like(q[..., 0])
-    o = jnp.zeros_like(q)
+    # varying output); state is fp32 (see _block)
+    m = jnp.full_like(q[..., 0], NEG_INF, dtype=jnp.float32)
+    l = jnp.zeros_like(q[..., 0], dtype=jnp.float32)
+    o = jnp.zeros_like(q, dtype=jnp.float32)
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 

@@ -182,12 +182,16 @@ def sp_cif_alphas(pred_params, enc, lengths, mesh: Mesh, *,
 def sp_paraformer_greedy(variables, speech, speech_lengths, mesh: Mesh, *,
                          enc_conf, dec_conf, pred_conf=None,
                          max_tokens: int = 128, blank_id: int = 0,
-                         seq_axis: str = "model"):
+                         seq_axis: str = "model", dtype=jnp.float32):
     """Full Paraformer greedy decode with the frame axis sharded end to
     end: sp_encoder -> sp predictor/CIF -> sp_decoder (memory never
     gathered).  Consumes the unmodified Paraformer param tree
     (models/paraformer/model.py); mirrors Paraformer.greedy_decode
-    (model.py:265) -> (tokens, token_lengths, scores)."""
+    (model.py:265) -> (tokens, token_lengths, scores).
+
+    ``dtype=jnp.bfloat16`` runs the encoder/decoder matmul path in bf16
+    with fp32 norms/softmax (the single-chip serving recipe); the CIF
+    alpha/prefix-sum math stays fp32 either way."""
     from funasr_tpu.parallel.sp_decoder import sp_sanm_decoder
     from funasr_tpu.parallel.sp_encoder import sp_sanm_encoder
 
@@ -195,7 +199,7 @@ def sp_paraformer_greedy(variables, speech, speech_lengths, mesh: Mesh, *,
     pred_conf = dict(pred_conf or {})
     enc, enc_lens = sp_sanm_encoder(
         {"params": params["encoder"]}, speech, speech_lengths, mesh,
-        seq_axis=seq_axis,
+        seq_axis=seq_axis, dtype=dtype,
         output_size=enc_conf["output_size"],
         attention_heads=enc_conf["attention_heads"],
         linear_units=enc_conf["linear_units"],
@@ -216,7 +220,7 @@ def sp_paraformer_greedy(variables, speech, speech_lengths, mesh: Mesh, *,
                              0, max_tokens)
     logits = sp_sanm_decoder(
         {"params": params["decoder"]}, enc, enc_lens,
-        out.embeds, token_lengths, mesh, seq_axis=seq_axis,
+        out.embeds, token_lengths, mesh, seq_axis=seq_axis, dtype=dtype,
         attention_heads=dec_conf["attention_heads"],
         kernel_size=dec_conf.get("kernel_size", 11),
         sanm_shift=dec_conf.get("sanm_shfit",

@@ -82,6 +82,7 @@ class Trainer:
 
         rng = jax.random.PRNGKey(self.seed)
         speed = SpeedStats()
+        last_val_step, val = -1, None
         for epoch in range(self.start_epoch, self.max_epoch):
             step_in_epoch = self.start_step if epoch == self.start_epoch else 0
             t_last = time.time()
@@ -108,11 +109,21 @@ class Trainer:
                     )
                     if self.metrics_logger is not None:
                         self.metrics_logger.log(gstep, stats)
+                # validation runs on its OWN interval (reference
+                # trainer.py:497), independent of checkpointing
+                if (
+                    self.validate_interval
+                    and gstep % self.validate_interval == 0
+                ):
+                    val = self._validate(state, valid_iter)
+                    last_val_step = gstep
                 if (
                     self.ckpt is not None
                     and gstep % self.save_checkpoint_interval == 0
                 ):
-                    val = self._validate(state, valid_iter)
+                    if last_val_step != gstep:
+                        val = self._validate(state, valid_iter)
+                        last_val_step = gstep
                     self.ckpt.save(
                         gstep, state._asdict(),
                         extra={"epoch": epoch, "step_in_epoch": step_in_epoch},

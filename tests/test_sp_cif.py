@@ -58,6 +58,49 @@ def test_sp_cif_tail_matches_cif_tail(rng):
                                np.asarray(tok_floor), atol=1e-5)
 
 
+def test_sp_paraformer_greedy_bf16_token_agreement():
+    """bf16 SP chain vs the bf16 single-device Paraformer: same
+    mixed-precision recipe (bf16 matmuls, fp32 norms/softmax/CIF).
+    Token lengths are exact; token agreement is thresholded (ring vs
+    full attention reassociate bf16 sums, so near-tie argmaxes can flip
+    — the same bound the int8 accuracy artifact uses)."""
+    from funasr_tpu.models.paraformer.model import Paraformer
+    from funasr_tpu.parallel.sp_cif import sp_paraformer_greedy
+    from funasr_tpu.ops import quant
+
+    quant.enable(False)
+    rng = np.random.default_rng(0)
+    ENC = dict(output_size=16, attention_heads=2, linear_units=32,
+               num_blocks=2, kernel_size=5, dropout_rate=0.0,
+               attention_dropout_rate=0.0)
+    DEC = dict(attention_heads=2, linear_units=32, num_blocks=2,
+               att_layer_num=1, kernel_size=5, dropout_rate=0.0)
+    PRED = dict(idim=16, tail_threshold=0.45, dropout=0.0)
+    model = Paraformer(vocab_size=32, input_size=24, encoder_conf=ENC,
+                       decoder_conf=DEC, predictor_conf=PRED,
+                       dtype=jnp.bfloat16)
+    B, T = 2, 64
+    speech = jnp.asarray(rng.standard_normal((B, T, 24)), jnp.float32)
+    lengths = jnp.array([T - 3, T - 14], jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, speech,
+                           lengths, max_tokens=32,
+                           method=model.greedy_decode)
+    want_tok, want_len, _ = model.apply(
+        variables, speech, lengths, max_tokens=32,
+        method=model.greedy_decode)
+    mesh = make_mesh(data=1, model=8)
+    with mesh:
+        got_tok, got_len, _ = jax.jit(
+            lambda v, s, l: sp_paraformer_greedy(
+                v, s, l, mesh, enc_conf=ENC, dec_conf=DEC,
+                pred_conf=PRED, max_tokens=32,
+                dtype=jnp.bfloat16))(variables, speech, lengths)
+    np.testing.assert_array_equal(np.asarray(got_len),
+                                  np.asarray(want_len))
+    agree = float(np.mean(np.asarray(got_tok) == np.asarray(want_tok)))
+    assert agree >= 0.93, f"bf16 token agreement {agree:.3f} < 0.93"
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 5])
 def test_sp_paraformer_greedy_full_chain(seed):
     """Flagship-shaped-but-tiny full SP inference: encoder -> predictor ->

@@ -54,6 +54,43 @@ def test_sp_encoder_matches_module(rng, input_size):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_sp_encoder_bf16_matches_bf16_module(rng):
+    """bf16 SP (bf16 matmuls, fp32 norms/softmax) vs the single-device
+    module built with dtype=bf16 — same mixed-precision recipe, so
+    outputs agree to bf16 tolerance."""
+    T = 64
+    from funasr_tpu.ops import quant
+
+    quant.enable(False)
+    enc = SANMEncoder(input_size=16, dropout_rate=0.0,
+                      attention_dropout_rate=0.0,
+                      output_size=CFG["output_size"],
+                      attention_heads=CFG["attention_heads"],
+                      linear_units=CFG["linear_units"],
+                      num_blocks=CFG["num_blocks"],
+                      kernel_size=CFG["kernel_size"],
+                      dtype=jnp.bfloat16)
+    xs = jnp.asarray(rng.standard_normal((2, T, 16)), jnp.float32)
+    lengths = jnp.array([T, T - 11], jnp.int32)
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, xs, lengths)
+    want, _ = enc.apply(variables, xs, lengths, True)
+
+    mesh = make_mesh(data=1, model=8)
+    with mesh:
+        got, _ = jax.jit(lambda v, x, l: sp_sanm_encoder(
+            v, x, l, mesh, input_layer="pe", dtype=jnp.bfloat16,
+            output_size=CFG["output_size"],
+            attention_heads=CFG["attention_heads"],
+            linear_units=CFG["linear_units"],
+            num_blocks=CFG["num_blocks"],
+            kernel_size=CFG["kernel_size"]))(variables, xs, lengths)
+    assert got.dtype == jnp.bfloat16
+    scale = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    np.testing.assert_allclose(
+        np.asarray(got, jnp.float32), np.asarray(want, jnp.float32),
+        atol=0.06 * scale)
+
+
 def test_sp_encoder_validates_halo(rng):
     enc, variables, xs, lengths = _build(rng, 16, 8)  # 1 frame/shard
     mesh = make_mesh(data=1, model=8)

@@ -184,3 +184,56 @@ def test_trainer_epoch_boundary_save_collision(tmp_path, rng):
     state = trainer.run(state, build_iter, valid_iter=None)
     assert int(state.step) == 6
     assert ckpt.latest_step() == 6
+
+
+def test_validate_interval_runs_independently(rng):
+    """Regression: validate_interval must trigger validation on its own
+    interval (reference trainer.py:497), not only at checkpoint saves."""
+    model = Paraformer(**CONF)
+    batch = _fixed_batch(rng)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key, "sampler": key},
+                        batch["speech"], batch["speech_lengths"],
+                        batch["text"], batch["text_lengths"])
+    tx, _ = build_optimizer("adam", {"lr": 1e-3}, "constant", {})
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model, tx))
+
+    calls = []
+
+    def eval_step(params, b):
+        calls.append(1)
+        return {"acc": jnp.zeros(())}
+
+    trainer = Trainer(step, eval_step, checkpoint_manager=None,
+                      max_epoch=1, validate_interval=2,
+                      save_checkpoint_interval=10**6, log_interval=10**6)
+    trainer.run(state, lambda e, s: [batch] * 5,
+                valid_iter=lambda: [batch])
+    # 5 steps, interval 2 -> validations at steps 2 and 4
+    assert len(calls) == 2
+
+
+def test_iter_split_batches_covers_dataset():
+    """data_split_num slices re-batch to full shapes and cover every
+    index exactly once per epoch."""
+    from funasr_tpu.bin.train import iter_split_batches
+    from funasr_tpu.datasets.samplers import DynamicBatchSampler
+
+    n = 10
+    lens = [100 + 10 * i for i in range(n)]
+    sampler = DynamicBatchSampler(lens, lens, batch_type="example",
+                                  batch_size=3, shuffle=False)
+
+    plain = list(iter_split_batches(sampler, n, 1, epoch=0))
+    seen = [i for idx, _, _ in plain for i in idx]
+    assert sorted(seen) == list(range(n))
+
+    split = list(iter_split_batches(sampler, n, 2, epoch=0))
+    seen2 = [i for idx, _, _ in split for i in idx]
+    assert sorted(seen2) == list(range(n))
+    # first half of the epoch only touches the first slice
+    first_half = [i for idx, _, _ in split[: len(split) // 2] for i in idx]
+    assert all(i < 5 for i in first_half)
+    # batches are re-packed to full batch shapes within each slice
+    assert max(len(idx) for idx, _, _ in split) == 3
