@@ -1,0 +1,382 @@
+"""BENCH_PIPELINE: long-audio VAD -> ASR(+timestamps, int8) -> punc on one
+TPU chip — the reference's "heart of the product" composite
+(funasr/auto/auto_model.py:378 inference_with_vad; A10 baseline rows
+runtime/docs/benchmark_libtorch_cpp.md:24-31: RTF 0.0076 single-stream,
+0.0008 at 20-way concurrency).
+
+What runs (all at reference flagship shapes, random weights):
+- FSMN-VAD (configs/fsmn_vad.yaml, 4x250 FSMN, 80 mel LFR5) over the full
+  long wav + the C-parity host state machine, merge_vad, slicing;
+- BiCifParaformer-large int8 (paraformer_large.yaml + CifPredictorV3)
+  batched under the batch_size_s=300 token budget, WITH 20 ms timestamps
+  (upsampled fire track + ts_prediction_lfr6_standard host math);
+- CT-Transformer punc (ct_transformer_punc.yaml, 272727-token embed) with
+  the real 20-token mini-sentence / 200-token cache loop;
+- plus a hybrid CTC/attention BEAM column (conformer_hybrid.yaml, device
+  tensor beam=10) — the WFST-replacement path's own RTF.
+
+Timing methodology (same as bench.py): the axon tunnel makes per-call
+dispatch ~100 ms and block_until_ready a no-op, so every DEVICE program is
+timed by chaining K iterations inside one jitted program and taking the
+K-slope; HOST work (state machine, batching, timestamp/punc assembly) is
+wall-timed directly on real-size data.  Pipeline time = sum of stage
+times; a production server hides dispatch by overlapping streams, which
+is exactly what the slope measures.
+
+Segmentation caveat: weights are random (no egress), so the VAD's
+DECISIONS are not meaningful; the VAD forward + state-machine COST is
+input-independent and timed for real, while the segment plan fed to the
+ASR batcher is drawn from a realistic distribution (2-12 s speech,
+0.3-0.8 s gaps, merged to <=15 s by the real merge_vad).  Same class of
+caveat as BENCH_INT8_ACCURACY (kernel-level bound, not a CER claim).
+
+Prints ONE JSON line and writes BENCH_PIPELINE.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+FS = 16000
+TINY = "--tiny" in sys.argv  # CPU smoke mode: shrunk nets + short audio
+AUDIO_S = 40.0 if TINY else 600.0   # 10 min long-form input
+BATCH_SIZE_S = 300       # reference auto_model batch budget
+MERGE_S = 15
+BASE_SINGLE = 1.0 / 0.0076   # A10 single-stream audio-s/s (131.6)
+BASE_20WAY = 1.0 / 0.0008    # A10 20-way audio-s/s (1250)
+
+
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def slope(call, k_small=1, k_big=6, reps=3):
+    """min-of-reps K-slope seconds per iteration for call(k)."""
+    t1 = min(_timed(lambda: call(k_small)) for _ in range(reps))
+    t2 = min(_timed(lambda: call(k_big)) for _ in range(reps))
+    return max(t2 - t1, 1e-9) / (k_big - k_small)
+
+
+def plan_segments(rng, total_s):
+    """Realistic long-form segmentation: 2-12 s speech, 0.3-0.8 s gaps."""
+    segs, t = [], 0.3
+    while t < total_s - 2.0:
+        dur = float(rng.uniform(2.0, 12.0))
+        end = min(t + dur, total_s - 0.1)
+        segs.append([int(t * 1000), int(end * 1000)])
+        t = end + float(rng.uniform(0.3, 0.8))
+    return segs
+
+
+def main():
+    from funasr_tpu.auto.auto_model import AutoModel
+    from funasr_tpu.config import load_config
+    from funasr_tpu.ops import quant
+    from funasr_tpu.utils.vad_utils import merge_vad, slice_audio_by_segments
+
+    rng = np.random.default_rng(0)
+    t_all = time.time()
+
+    # ---------------- build (flagship shapes, random init, int8 on)
+    asr_cfg = load_config("configs/paraformer_large.yaml")
+    asr_cfg["model"] = "BiCifParaformer"
+    asr_cfg["predictor"] = "CifPredictorV3"
+    asr_cfg["tokenizer_conf"] = {
+        "token_list": ["<blank>", "<s>", "</s>"]
+        + [f"字{i}" for i in range(asr_cfg["vocab_size"] - 3)]}
+    vad_cfg = load_config("configs/fsmn_vad.yaml")
+    punc_cfg = load_config("configs/ct_transformer_punc.yaml")
+    punc_cfg["tokenizer_conf"] = {
+        "token_list": asr_cfg["tokenizer_conf"]["token_list"][:8404]}
+    if TINY:
+        asr_cfg["encoder_conf"].update(num_blocks=2, output_size=32,
+                                       linear_units=64, attention_heads=2)
+        asr_cfg["decoder_conf"].update(num_blocks=2, att_layer_num=1,
+                                       linear_units=64, attention_heads=2)
+        asr_cfg["predictor_conf"]["idim"] = 32
+        asr_cfg["input_size"] = 560
+        punc_cfg.update(vocab_size=9000, embed_unit=32, att_unit=32)
+        punc_cfg["encoder_conf"].update(output_size=32, attention_heads=2,
+                                        linear_units=64, num_blocks=2)
+        vad_cfg["encoder_conf"].update(fsmn_layers=2, linear_dim=32,
+                                       proj_dim=16, input_affine_dim=32,
+                                       output_affine_dim=32)
+
+    am = AutoModel(model=asr_cfg, vad_model=vad_cfg, punc_model=punc_cfg,
+                   quantize=True)
+    build_s = time.time() - t_all
+
+    n = int(AUDIO_S * FS)
+    wav = (0.1 * np.sin(2 * np.pi * 260 * np.arange(n) / FS)
+           + 0.02 * rng.standard_normal(n)).astype(np.float32)
+
+    # ---------------- stage 1: FSMN-VAD forward (device, K-slope)
+    vadm = am.vad_engine.model
+    vfe = am.vad_engine.frontend
+    wav_d = jnp.asarray(wav[None, :])
+    vlens = jnp.asarray([n], jnp.int32)
+    feats, flens = vfe.device_features(wav_d, vlens)
+    feats = jax.device_put(np.asarray(feats))  # settle
+
+    @jax.jit
+    def vad_k(params, feats, k):
+        def body(i, acc):
+            f = feats + i.astype(jnp.float32) * 1e-8
+            post = vadm.scorer.apply(params, f)
+            return acc + jnp.sum(post[:, -1])
+        return jax.lax.fori_loop(0, k, body, jnp.zeros(()))
+
+    # also time the frontend (fbank+LFR on 600 s) as part of VAD cost
+    @jax.jit
+    def vfe_k(wav, lens, k):
+        def body(i, acc):
+            f, fl = vfe.device_features(wav + i.astype(jnp.float32) * 1e-9,
+                                        lens)
+            return acc + jnp.sum(f[:, -1, :1])
+        return jax.lax.fori_loop(0, k, body, jnp.zeros(()))
+
+    vp = vadm.params
+    np.asarray(vad_k(vp, feats, 1)); np.asarray(vad_k(vp, feats, 6))
+    np.asarray(vfe_k(wav_d, vlens, 1)); np.asarray(vfe_k(wav_d, vlens, 6))
+    t_vad_dev = slope(lambda k: np.asarray(vad_k(vp, feats, k))) \
+        + slope(lambda k: np.asarray(vfe_k(wav_d, vlens, k)))
+
+    # VAD host: sil-probs + decibel + state machine + merge (real code,
+    # real frame count; decisions are random-weight but cost is not)
+    post_h = np.asarray(vadm.score(feats))
+
+    def vad_host():
+        from funasr_tpu.models.fsmn_vad.model import compute_decibel
+
+        sil = vadm.sil_probs(post_h)[0]
+        db = compute_decibel(wav)
+        m = min(len(sil), len(db))
+        sm = vadm.new_state()
+        sm.feed(sil[:m], db[:m], is_final=True)
+        segs = sm.pop_segments(streaming=False)
+        return merge_vad(segs, MERGE_S * 1000)
+
+    t_vad_host = min(_timed(vad_host) for _ in range(3))
+
+    # ---------------- stage 2: ASR int8 + 20 ms timestamps (device slope)
+    segments = merge_vad(plan_segments(rng, AUDIO_S), MERGE_S * 1000)
+    clips = slice_audio_by_segments(wav, segments, FS)
+    order = sorted(range(len(clips)), key=lambda i: -len(clips[i]))
+    budget = BATCH_SIZE_S * FS
+    batches, cur, cur_max = [], [], 0
+    for i in order:
+        m = max(cur_max, len(clips[i]))
+        if cur and m * (len(cur) + 1) > budget:
+            batches.append(cur); cur, cur_max = [], 0
+            m = len(clips[i])
+        cur.append(i); cur_max = m
+    if cur:
+        batches.append(cur)
+
+    eng = am.engine  # BiCifEngine (int8, timestamps)
+    Tpad = MERGE_S * FS
+    max_tokens = 128
+
+    @jax.jit
+    def asr_k(params, wavb, lensb, k):
+        def body(i, acc):
+            w = wavb + i.astype(jnp.float32) * 1e-8
+            feats, flens = eng.frontend.device_features(w, lensb)
+            toks, tl, ua, up = eng.module.apply(
+                params, feats, flens, max_tokens=max_tokens,
+                method=eng.module.timestamps)
+            return acc + jnp.sum(tl) + jnp.sum(toks[:, :1])
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.int32))
+
+    t_asr_dev = 0.0
+    asr_outputs = []
+    for batch in batches:
+        B = len(batch)
+        wavb = np.zeros((B, Tpad), np.float32)
+        lensb = np.zeros((B,), np.int32)
+        for j, i in enumerate(batch):
+            c = clips[i][:Tpad]
+            wavb[j, : len(c)] = c
+            lensb[j] = len(c)
+        wav_b = jnp.asarray(wavb); len_b = jnp.asarray(lensb)
+        np.asarray(asr_k(eng.params, wav_b, len_b, 1))
+        np.asarray(asr_k(eng.params, wav_b, len_b, 6))
+        t_asr_dev += slope(
+            lambda k: np.asarray(asr_k(eng.params, wav_b, len_b, k)))
+        # real outputs once, for the host postproc below
+        feats, flens = eng.frontend.device_features(wav_b, len_b)
+        out = eng.module.apply(eng.params, feats, flens,
+                               max_tokens=max_tokens,
+                               method=eng.module.timestamps)
+        asr_outputs.append((batch, [np.asarray(o) for o in out]))
+
+    # ASR host: detokenize + 20 ms timestamp assembly (real math)
+    def asr_host():
+        from funasr_tpu.utils.postprocess import (join_segment_texts,
+                                                  sentence_postprocess)
+        from funasr_tpu.utils.timestamp_tools import \
+            ts_prediction_lfr6_standard
+
+        texts, all_ts, all_tokens = [], [], []
+        for batch, (toks, tls, uas, ups) in asr_outputs:
+            for j, i in enumerate(batch):
+                ids = [t for t in toks[j, : int(tls[j])].tolist() if t != 0]
+                words = eng.tokenizer.ids2tokens(ids)
+                _, ts = ts_prediction_lfr6_standard(
+                    uas[j], ups[j], list(words),
+                    vad_offset=segments[i][0])
+                text, ts_kept, raw = sentence_postprocess(words, ts)
+                if text:
+                    texts.append(text)
+                all_ts.extend(ts_kept); all_tokens.extend(raw)
+        return join_segment_texts(texts), all_ts, all_tokens
+
+    t_asr_host = min(_timed(asr_host) for _ in range(3))
+    text, all_ts, all_tokens = asr_host()
+
+    # ---------------- stage 3: CT-Transformer punc (device slope + host)
+    pm = am.punc_engine.model
+    # device: one 20-token mini-sentence window forward (<=208-token grid,
+    # the 200-token cache bound), times the number of windows
+    Lw = 208
+    tok_ids = jnp.asarray(
+        rng.integers(3, 8404, size=(1, Lw)), jnp.int32)
+    tlen = jnp.asarray([Lw], jnp.int32)
+
+    @jax.jit
+    def punc_k(params, t, l, k):
+        def body(i, acc):
+            # value perturbation so XLA can't hoist the loop body
+            tok = (t + i) % 8404
+            logits = pm.module.apply(params, tok, l)
+            return acc + jnp.sum(jnp.argmax(logits[0, :4], -1)
+                                 .astype(jnp.int32))
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.int32))
+
+    np.asarray(punc_k(pm.params, tok_ids, tlen, 1))
+    np.asarray(punc_k(pm.params, tok_ids, tlen, 6))
+    t_punc_one = slope(lambda k: np.asarray(punc_k(pm.params, tok_ids,
+                                                   tlen, k)))
+
+    # host loop with the device call stubbed at the _punc_ids boundary
+    # (counts windows, keeps the real mini-sentence/cache/assembly logic;
+    # device time accounted by the slope above, so tunnel round-trips
+    # can't pollute the host figure)
+    calls = [0]
+    real_pi = pm._punc_ids
+
+    def stub_pi(token_ids):
+        calls[0] += 1
+        return rng.integers(0, len(pm.punc_list),
+                            size=(len(token_ids),))
+
+    pm._punc_ids = stub_pi
+    try:
+        t_punc_host = _timed(lambda: pm.inference(text, am.punc_engine
+                                                  .tokenizer))
+    finally:
+        pm._punc_ids = real_pi
+    n_windows = max(calls[0], 1)
+    t_punc_dev = t_punc_one * n_windows
+
+    # ---------------- totals
+    t_total = (t_vad_dev + t_vad_host + t_asr_dev + t_asr_host
+               + t_punc_dev + t_punc_host)
+    pipeline_rate = AUDIO_S / t_total
+
+    # ---------------- hybrid beam column (WFST-replacement path)
+    beam_rate = None
+    try:
+        hyb_cfg = load_config("configs/conformer_hybrid.yaml")
+        hyb_cfg["tokenizer_conf"] = {
+            "token_list": ["<blank>", "<s>", "</s>"]
+            + [f"字{i}" for i in range(hyb_cfg["vocab_size"] - 3)]}
+        if TINY:
+            hyb_cfg["encoder_conf"].update(num_blocks=2, output_size=32,
+                                           linear_units=64,
+                                           attention_heads=2)
+            hyb_cfg["decoder_conf"] = dict(
+                hyb_cfg.get("decoder_conf") or {}, num_blocks=1,
+                linear_units=64, attention_heads=2)
+        am_b = AutoModel(model=hyb_cfg, quantize=True)
+        be = am_b.engine
+        Bb = 8
+        wav_bb = jnp.asarray(
+            0.1 * np.sin(2 * np.pi * 260 *
+                         np.arange(Tpad) / FS)[None, :].repeat(Bb, 0)
+            .astype(np.float32))
+        len_bb = jnp.asarray(np.full((Bb,), Tpad, np.int32))
+
+        @jax.jit
+        def beam_k(params, w, l, k):
+            def body(i, acc):
+                feats, flens = be.frontend.device_features(
+                    w + i.astype(jnp.float32) * 1e-8, l)
+                toks, tls, sc = be.module.apply(
+                    params, feats, flens, beam=10, maxlen=96,
+                    decoding_ctc_weight=0.3,
+                    method=be.module.decode_beam)
+                return acc + jnp.sum(tls[:, 0])
+            return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.int32))
+
+        np.asarray(beam_k(be.params, wav_bb, len_bb, 1))
+        np.asarray(beam_k(be.params, wav_bb, len_bb, 3))
+        t_beam = slope(lambda k: np.asarray(beam_k(be.params, wav_bb,
+                                                   len_bb, k)),
+                       k_small=1, k_big=3)
+        beam_rate = (Bb * MERGE_S) / t_beam
+    except Exception as e:  # keep the pipeline number even if beam fails
+        beam_rate = f"failed: {type(e).__name__}: {e}"
+
+    out = {
+        "metric": "long_audio_pipeline_audio_seconds_per_s_per_chip",
+        "value": round(pipeline_rate, 1),
+        "unit": "audio-s/s",
+        "vs_baseline": round(pipeline_rate / BASE_20WAY, 2),
+        "detail": {
+            "audio_s": AUDIO_S,
+            "segments": len(clips),
+            "asr_batches": [len(b) for b in batches],
+            "stage_s": {
+                "vad_device": round(t_vad_dev, 4),
+                "vad_host": round(t_vad_host, 4),
+                "asr_device": round(t_asr_dev, 4),
+                "asr_host": round(t_asr_host, 4),
+                "punc_device": round(t_punc_dev, 4),
+                "punc_host": round(t_punc_host, 4),
+            },
+            "punc_windows": n_windows,
+            "rtf": round(1.0 / pipeline_rate, 6),
+            "vs_a10_single_stream": round(pipeline_rate / BASE_SINGLE, 1),
+            "vs_a10_20way": round(pipeline_rate / BASE_20WAY, 1),
+            "hybrid_beam_audio_s_per_s": beam_rate
+            if isinstance(beam_rate, str) else round(beam_rate, 1),
+            "build_s": round(build_s, 1),
+            "total_wall_s": round(time.time() - t_all, 1),
+            "note": ("random weights; VAD decisions pinned to a realistic"
+                     " segment plan (see module docstring); device stages"
+                     " K-slope timed, host stages wall timed"),
+        },
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_PIPELINE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -875,6 +875,49 @@ def emotion2vec_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": tree}
 
 
+def qwen2_from_torch(sd: Mapping[str, np.ndarray],
+                     prefix: str = "") -> Dict[str, Any]:
+    """HF ``Qwen2ForCausalLM`` state_dict -> ``Qwen2LM`` param tree
+    (models/llm_asr/qwen.py) — the LLM half the reference loads from hub
+    checkpoints (funasr/models/llm_asr/model.py:27,
+    funasr/models/qwen_audio/model.py).  Layer axis stacked for nn.scan.
+
+    ``prefix``: optional key prefix (e.g. "llm." inside a composite
+    checkpoint).  Tied embeddings (no lm_head.weight) convert as-is —
+    the flax module ties through ``embed_tokens`` when configured.
+    """
+    p = prefix
+    tree: Dict[str, Any] = {}
+    _set(tree, "embed_tokens/embedding", sd[f"{p}model.embed_tokens.weight"])
+    n_layers = _count_layers(sd, f"{p}model.layers")
+    layers = []
+    for i in range(n_layers):
+        lp = f"{p}model.layers.{i}"
+        lt: Dict[str, Any] = {}
+        _set(lt, "input_layernorm/weight",
+             sd[f"{lp}.input_layernorm.weight"])
+        _linear(sd, f"{lp}.self_attn.q_proj", lt, "q_proj")
+        _linear(sd, f"{lp}.self_attn.k_proj", lt, "k_proj")
+        _linear(sd, f"{lp}.self_attn.v_proj", lt, "v_proj")
+        _linear(sd, f"{lp}.self_attn.o_proj", lt, "o_proj", bias=False)
+        _set(lt, "post_attention_layernorm/weight",
+             sd[f"{lp}.post_attention_layernorm.weight"])
+        _linear(sd, f"{lp}.mlp.gate_proj", lt, "gate_proj", bias=False)
+        _linear(sd, f"{lp}.mlp.up_proj", lt, "up_proj", bias=False)
+        _linear(sd, f"{lp}.mlp.down_proj", lt, "down_proj", bias=False)
+        layers.append(lt)
+    tree["layers"] = _stack_layers(layers)
+    _set(tree, "norm/weight", sd[f"{p}model.norm.weight"])
+    if f"{p}lm_head.weight" in sd:
+        # tied checkpoints still serialize lm_head.weight (it aliases the
+        # embedding); the flax module ties through embed_tokens, so only
+        # convert a genuinely separate head
+        lm = sd[f"{p}lm_head.weight"]
+        if not np.array_equal(lm, sd[f"{p}model.embed_tokens.weight"]):
+            _linear(sd, f"{p}lm_head", tree, "lm_head", bias=False)
+    return {"params": tree}
+
+
 def detect_arch(sd: Mapping[str, Any]) -> str:
     """Infer the model family from reference state_dict key fingerprints
     (the per-family module names are stable across published
@@ -884,6 +927,9 @@ def detect_arch(sd: Mapping[str, Any]) -> str:
     def has(prefix):
         return any(k.startswith(prefix) for k in keys)
 
+    if has("model.layers.0.self_attn.q_proj") \
+            or has("llm.model.layers.0.self_attn.q_proj"):
+        return "qwen2"
     if has("seaco_decoder."):
         return "seaco_paraformer"
     if has("decoder.bias_decoder.") or has("bias_encoder.weight_ih_l0"):
@@ -941,6 +987,10 @@ def convert_from_torch(sd: Mapping[str, Any], arch: str = "auto",
         "mossformer": mossformer_from_torch,
         "emotion2vec": emotion2vec_from_torch,
     }
+    if arch == "qwen2":
+        pfx = "llm." if any(k.startswith("llm.model.layers.")
+                            for k in sd) else ""
+        return qwen2_from_torch(sd, prefix=pfx)
     if arch == "transducer":
         return transducer_from_torch(sd, kwargs.get("n_mels_after_conv", 19))
     if arch == "conformer":

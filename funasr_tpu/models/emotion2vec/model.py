@@ -211,7 +211,10 @@ class _ScanAltBlock(nn.Module):
         y = AltBlock(self.dim, self.num_heads, self.mlp_ratio,
                      self.dropout_rate, self.dtype, self.param_dtype,
                      name="block")(x, alibi_bias, key_mask, deterministic)
-        return y, None
+        # emit the per-layer output too (stacked by nn.scan) so the SSL
+        # teacher can average the top-K layers (data2vec-2.0 targets);
+        # XLA dead-code-eliminates it on paths that don't consume it
+        return y, y
 
 
 def _alt_stack(depth, name, dim, heads, mlp_ratio, dropout, dtype,
@@ -246,7 +249,8 @@ class Emotion2vecModule(nn.Module):
 
     @nn.compact
     def __call__(self, wav, wav_lengths, deterministic: bool = True,
-                 return_frames: bool = False, frame_mask=None):
+                 return_frames: bool = False, frame_mask=None,
+                 return_layers: bool = False):
         """``frame_mask`` (B, T) bool: student corruption — masked frames
         zeroed after feature projection (encoder_zero_mask semantics); the
         teacher runs with frame_mask=None."""
@@ -317,10 +321,10 @@ class Emotion2vecModule(nn.Module):
 
         # main blocks (model.py:141); final norm is None for
         # layer_norm_first=False
-        x, _ = _alt_stack(self.depth, "blocks", self.dim, self.n_head,
-                          self.mlp_ratio, self.dropout_rate, self.dtype,
-                          self.param_dtype)(x, alibi, key_mask,
-                                            deterministic)
+        x, layer_outs = _alt_stack(
+            self.depth, "blocks", self.dim, self.n_head,
+            self.mlp_ratio, self.dropout_rate, self.dtype,
+            self.param_dtype)(x, alibi, key_mask, deterministic)
 
         x = x[:, ex:]                              # remove extra tokens
         m = (jnp.arange(T)[None] < flens[:, None]).astype(x.dtype)[..., None]
@@ -329,6 +333,9 @@ class Emotion2vecModule(nn.Module):
         logits = nn.Dense(self.num_classes, name="proj",
                           dtype=self.dtype, param_dtype=self.param_dtype)(
             pooled)
+        if return_layers:
+            # (depth, B, T, D) per-layer outputs, extra tokens stripped
+            return logits, pooled, x, flens, layer_outs[:, :, ex:]
         if return_frames:
             return logits, pooled, x, flens
         return logits, pooled
@@ -402,16 +409,36 @@ class Emotion2vec:
         return jnp.mean(nll)
 
 
+def make_d2v_targets(layer_outs: jnp.ndarray, k: int) -> jnp.ndarray:
+    """data2vec-2.0 teacher targets (fairseq data2vec2.py ``make_targets``
+    with the audio-modality defaults ``instance_norm_target_layer=True``):
+    take the top-``k`` block outputs, instance-norm each (per sample, per
+    channel, stats over TIME, no affine), and average.
+
+    ``layer_outs``: (depth, B, T, D) stacked per-layer outputs.
+    Returns (B, T, D) fp32 targets.
+    """
+    tl = layer_outs[-k:].astype(jnp.float32)
+    mean = jnp.mean(tl, axis=2, keepdims=True)
+    var = jnp.var(tl, axis=2, keepdims=True)
+    tl = (tl - mean) * jax.lax.rsqrt(var + 1e-5)
+    return jnp.mean(tl, axis=0)
+
+
 def ssl_loss(module: Emotion2vecModule, student_params, teacher_params,
-             wav, wav_lengths, rng, mask_prob: float = 0.5):
-    """data2vec-style SSL objective: student regresses the (stop-gradient)
-    EMA teacher's frame features at masked positions (reference
-    emotion2vec pretraining; simplified to final-layer targets).  Masked
+             wav, wav_lengths, rng, mask_prob: float = 0.5,
+             average_top_k_layers: int = 8):
+    """data2vec-2.0 SSL objective: the student regresses the
+    (stop-gradient) EMA teacher's top-K layer-averaged, per-layer
+    instance-normed targets at masked positions (fairseq data2vec2
+    ``make_targets`` semantics — see ``make_d2v_targets``).  Masked
     frames are zeroed after feature projection (encoder_zero_mask)."""
-    _, _, teacher_frames, flens = module.apply(
+    _, _, _, flens, layer_outs = module.apply(
         teacher_params, wav, wav_lengths, deterministic=True,
-        return_frames=True)
-    teacher_frames = jax.lax.stop_gradient(teacher_frames)
+        return_layers=True)
+    k = min(average_top_k_layers, layer_outs.shape[0])
+    teacher_frames = jax.lax.stop_gradient(
+        make_d2v_targets(layer_outs, k))
     T = teacher_frames.shape[1]
     mask = jax.random.bernoulli(rng, mask_prob, (wav.shape[0], T))
     mask = mask & (jnp.arange(T)[None] < flens[:, None])

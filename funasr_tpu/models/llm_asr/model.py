@@ -273,25 +273,54 @@ class LLMASR(nn.Module):
         self.n_layers = llm_conf.get("layers", 4)
         self.n_head = llm_conf.get("heads", 8)
         self.ffn = llm_conf.get("ffn", 4 * self.llm_dim)
-        self.embed = nn.Embed(self.vocab_size, self.llm_dim, name="embed",
-                              dtype=self.dtype, param_dtype=self.param_dtype)
-        self.lm_head = nn.Dense(self.vocab_size, name="lm_head",
-                                dtype=self.dtype,
-                                param_dtype=self.param_dtype)
-        Stack = nn.scan(
-            _CausalLayer,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            length=self.n_layers,
-            in_axes=(nn.broadcast, nn.broadcast),
-        )
-        self.llm_layers = Stack(self.llm_dim, self.n_head, self.ffn, 0.0,
-                                self.dtype, self.param_dtype,
-                                name="llm_layers")
-        self.llm_norm = LayerNormF32(self.dtype, self.param_dtype,
-                                     name="llm_norm")
+        # llm_conf["type"]="qwen2" swaps the LLM half for the real Qwen2
+        # decoder architecture (models/llm_asr/qwen.py) so converted HF
+        # Qwen2ForCausalLM weights load with logit parity — the
+        # reference's hub-checkpoint LLM (funasr/models/llm_asr/model.py:27)
+        self.llm_type = llm_conf.get("type", "transformer")
+        if self.llm_type == "qwen2":
+            from funasr_tpu.models.llm_asr.qwen import Qwen2LM
+
+            self.qwen = Qwen2LM(
+                vocab_size=self.vocab_size, dim=self.llm_dim,
+                layers=self.n_layers, heads=self.n_head,
+                kv_heads=llm_conf.get("kv_heads"),
+                ffn=llm_conf.get("ffn"),
+                rope_theta=llm_conf.get("rope_theta", 1000000.0),
+                rms_eps=llm_conf.get("rms_eps", 1e-6),
+                tie_word_embeddings=llm_conf.get(
+                    "tie_word_embeddings", False),
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="llm")
+        else:
+            self.embed = nn.Embed(self.vocab_size, self.llm_dim,
+                                  name="embed", dtype=self.dtype,
+                                  param_dtype=self.param_dtype)
+            self.lm_head = nn.Dense(self.vocab_size, name="lm_head",
+                                    dtype=self.dtype,
+                                    param_dtype=self.param_dtype)
+            Stack = nn.scan(
+                _CausalLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.n_layers,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )
+            self.llm_layers = Stack(self.llm_dim, self.n_head, self.ffn,
+                                    0.0, self.dtype, self.param_dtype,
+                                    name="llm_layers")
+            self.llm_norm = LayerNormF32(self.dtype, self.param_dtype,
+                                         name="llm_norm")
+
+    def _embed_ids(self, ids):
+        if self.llm_type == "qwen2":
+            return self.qwen.embed(ids)
+        return self.embed(ids)
 
     def _llm(self, embeds, mask, deterministic):
+        if self.llm_type == "qwen2":
+            # rotary positions are handled inside the Qwen stack
+            return self.qwen(embeds, mask, deterministic=deterministic)
         L = embeds.shape[1]
         pe = transformer_encoding(L, self.llm_dim)
         x = embeds + pe[None].astype(embeds.dtype)
@@ -330,7 +359,7 @@ class LLMASR(nn.Module):
         y = jnp.where(valid, text, self.eos)
         ys_in = jnp.concatenate(
             [jnp.full((B, 1), self.sos, text.dtype), y], axis=1)  # (B, U+1)
-        embeds = jnp.concatenate([audio, self.embed(ys_in)], axis=1)
+        embeds = jnp.concatenate([audio, self._embed_ids(ys_in)], axis=1)
         mask = self._prefix_mask(audio_lens, Ta, text_lengths + 1, U + 1)
         logits = self._llm(embeds, mask, deterministic)
         # next-token targets at text positions: logits[Ta + j] predicts y[j]
@@ -355,7 +384,8 @@ class LLMASR(nn.Module):
 
         def step(tokens, i):
             # tokens: (B, 1+maxlen) = [sos, generated..., pad]
-            embeds = jnp.concatenate([audio, self.embed(tokens)], axis=1)
+            embeds = jnp.concatenate([audio, self._embed_ids(tokens)],
+                                     axis=1)
             mask = self._prefix_mask(
                 audio_lens, Ta,
                 jnp.full((B,), 1, jnp.int32) + i + 1, 1 + maxlen)

@@ -142,7 +142,20 @@ def num_to_en(n: int) -> str:
 
 
 def normalize_en(text: str) -> str:
+    from funasr_tpu.text import tn_classes as TC
+
+    text = TC.apply_decades_en(text)  # before measure ('1990s' != 1990 s)
     text = _tn_measure_latin(text, _EN_MEASURE_RE, _EN_MEASURE)
+    # semiotic classes before the generic number passes (reference en
+    # tagger set: date/fraction/electronic/telephone/range/roman/serial/
+    # abbreviation — tn_classes.py)
+    text = TC.apply_electronic(text, "en")
+    text = TC.apply_telephone(text, "en")
+    text = TC.apply_date_en(text)
+    text = TC.apply_range_en(text)
+    text = TC.apply_fraction(text, "en")
+    text = TC.apply_time(text, "en")
+
     def pct(m):
         body = m.group(1)
         if "." in body:
@@ -194,7 +207,10 @@ def normalize_en(text: str) -> str:
         text)
     text = re.sub(r"-(\d+)", lambda m: f"minus {num_to_en(int(m.group(1)))}",
                   text)
+    text = TC.apply_serial_en(text)
     text = re.sub(r"\d+", lambda m: num_to_en(int(m.group(0))), text)
+    text = TC.apply_roman_en(text)
+    text = TC.apply_abbreviation_en(text)
     return text
 
 
@@ -242,7 +258,16 @@ def num_to_de(n: int) -> str:
 
 
 def normalize_de(text: str) -> str:
+    from funasr_tpu.text import tn_classes as TC
+
     text = _tn_measure_latin(text, _DE_MEASURE_RE, _DE_MEASURE)
+    # reference de tagger set: date/fraction/electronic/telephone/time
+    text = TC.apply_electronic(text, "de")
+    text = TC.apply_telephone(text, "de")
+    text = TC.apply_date_de(text)
+    text = TC.apply_fraction(text, "de")
+    text = TC.apply_time(text, "de")
+
     def pct(m):
         body = m.group(1).replace(",", ".")
         if "." in body:
@@ -323,7 +348,16 @@ def num_to_es(n: int) -> str:
 
 
 def normalize_es(text: str) -> str:
+    from funasr_tpu.text import tn_classes as TC
+
     text = _tn_measure_latin(text, _ES_MEASURE_RE, _ES_MEASURE)
+    # reference es tagger set: date/fraction/electronic/telephone/time
+    text = TC.apply_electronic(text, "es")
+    text = TC.apply_telephone(text, "es")
+    text = TC.apply_date_es(text)
+    text = TC.apply_fraction(text, "es")
+    text = TC.apply_time(text, "es")
+
     def pct(m):
         body = m.group(1).replace(",", ".")
         if "." in body:
@@ -419,7 +453,16 @@ def num_to_ru(n: int) -> str:
 
 
 def normalize_ru(text: str) -> str:
+    from funasr_tpu.text import tn_classes as TC
+
     text = _tn_measure_ru(text)
+    # reference ru tagger set: date/electronic/telephone/time (no
+    # fraction tagger in the ru dir)
+    text = TC.apply_electronic(text, "ru")
+    text = TC.apply_telephone(text, "ru")
+    text = TC.apply_date_ru(text)
+    text = TC.apply_time(text, "ru")
+
     def pct(m):
         body = m.group(1).replace(",", ".")
         if "." in body:

@@ -23,3 +23,18 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """`-m quick` tier: the FIRST collected test of every module gets the
+    ``quick`` marker (each module covers one component, and its first
+    test is its construction/smoke test), so a cheap all-component sweep
+    stays available as the suite grows.  Full suite remains the gate."""
+    seen = set()
+    for item in items:
+        mod = getattr(item, "module", None)
+        name = getattr(mod, "__name__", None)
+        if (name is not None and name not in seen
+                and item.get_closest_marker("slow") is None):
+            seen.add(name)
+            item.add_marker(pytest.mark.quick)

@@ -79,3 +79,50 @@ def test_emotion2vec_via_automodel(rng):
     res = am.generate([wav], key=["e"])
     assert res[0]["text"] in ("angry", "happy", "neutral")
     assert abs(sum(res[0]["scores"]) - 1.0) < 1e-4
+
+
+def test_make_d2v_targets_matches_fairseq_semantics():
+    """make_d2v_targets == fairseq data2vec2.make_targets with
+    instance_norm_target_layer=True (per-layer F.instance_norm over time,
+    then mean over the top-K layers)."""
+    import torch
+    import torch.nn.functional as tF
+
+    from funasr_tpu.models.emotion2vec.model import make_d2v_targets
+
+    rng = np.random.default_rng(0)
+    depth, B, T, D, K = 5, 2, 13, 8, 3
+    louts = rng.standard_normal((depth, B, T, D)).astype(np.float32)
+
+    # fairseq reference: y = [instance_norm(tl.transpose(1,2)).transpose(1,2)
+    #                         for tl in target_layer_results]; sum/len
+    tls = [torch.tensor(louts[i]) for i in range(depth - K, depth)]
+    tls = [tF.instance_norm(tl.transpose(1, 2).float(),
+                            eps=1e-5).transpose(1, 2) for tl in tls]
+    want = (sum(tls) / len(tls)).numpy()
+
+    got = np.asarray(make_d2v_targets(jnp.asarray(louts), K))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_ssl_loss_uses_topk_targets(rng):
+    """ssl_loss runs with the top-K layer-average teacher and yields a
+    finite loss different from the K=1 (final-layer) simplification."""
+    from funasr_tpu.models.emotion2vec.model import (Emotion2vecModule,
+                                                     ssl_loss)
+
+    module = Emotion2vecModule(dim=16, depth=3, prenet_depth=1, n_head=2,
+                               mlp_ratio=2.0, num_extra_tokens=2,
+                               conv_pos_depth=2, conv_pos_width=6,
+                               conv_pos_groups=4,
+                               conv_layers=((16, 10, 5), (16, 3, 2)))
+    wav = jnp.asarray(rng.standard_normal((2, 1600)), jnp.float32)
+    lens = jnp.array([1600, 1200], jnp.int32)
+    params = module.init({"params": jax.random.PRNGKey(0)}, wav, lens)
+    key = jax.random.PRNGKey(1)
+    l3 = float(ssl_loss(module, params, params, wav, lens, key,
+                        average_top_k_layers=3))
+    l1 = float(ssl_loss(module, params, params, wav, lens, key,
+                        average_top_k_layers=1))
+    assert np.isfinite(l3) and np.isfinite(l1)
+    assert abs(l3 - l1) > 1e-8

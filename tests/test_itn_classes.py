@@ -273,3 +273,67 @@ def test_tn_measure_itn_roundtrip(lang, written):
     from funasr_tpu.text.tn import normalize
 
     assert inv(normalize(written, lang), lang) == written
+
+
+TN_CLASS_CASES = [
+    # --- en (reference en taggers: date, fraction, electronic,
+    # telephone, range, roman, serial, abbreviation + time)
+    ("en", "2012-01-05", "january fifth twenty twelve"),
+    ("en", "jan. 5, 2012", "january fifth twenty twelve"),
+    ("en", "in 1984", "in nineteen eighty four"),
+    ("en", "the 1990s", "the nineteen nineties"),
+    ("en", "mid-1990s", "mid nineteen nineties"),
+    ("en", "23 4/5", "twenty three and four fifths"),
+    ("en", "1/2", "one half"),
+    ("en", "3/4", "three quarters"),
+    ("en", "123-456-7890",
+     "one two three four five six seven eight nine zero"),
+    ("en", "cdf1@abc.edu", "c d f one at a b c dot e d u"),
+    ("en", "pages 2-14", "pages two to fourteen"),
+    ("en", "~5", "approximately five"),
+    ("en", "2+3", "two plus three"),
+    ("en", "chapter IV", "chapter four"),
+    ("en", "model C24", "model c twenty four"),
+    ("en", "the NATO summit", "the n a t o summit"),
+    ("en", "at 12:30", "at twelve thirty"),
+    ("en", "at 9:05", "at nine oh five"),
+    # --- de (reference de taggers: date, fraction, electronic,
+    # telephone, time)
+    ("de", "am 05.01.2012", "am fünfter januar zweitausendzwölf"),
+    ("de", "im jahr 1984", "im jahr neunzehnhundertvierundachtzig"),
+    ("de", "3/4", "drei viertel"),
+    ("de", "info@beispiel.de",
+     "i n f o at b e i s p i e l punkt d e"),
+    ("de", "um 12:30", "um zwölf uhr dreißig"),
+    # --- es
+    ("es", "el 05/01/2012", "el cinco de enero de dos mil doce"),
+    ("es", "3/4", "tres cuartos"),
+    ("es", "juan@correo.es",
+     "j u a n arroba c o r r e o punto e s"),
+    ("es", "a las 12:30", "a las doce treinta"),
+    # --- ru (reference ru dir has no fraction tagger)
+    ("ru", "05.01.2012", "пятое января две тысячи двенадцатого года"),
+    ("ru", "ivan@mail.ru", "i v a n собака m a i l точка r u"),
+    ("ru", "в 12:30", "в двенадцать тридцать"),
+]
+
+
+@pytest.mark.parametrize("lang,src,want", TN_CLASS_CASES,
+                         ids=[f"tnc-{l}-{s}" for l, s, _ in TN_CLASS_CASES])
+def test_tn_semiotic_classes(lang, src, want):
+    from funasr_tpu.text.tn import normalize
+
+    assert normalize(src, lang) == want
+
+
+@pytest.mark.parametrize("lang,written,spoken_lang", [
+    # spoken form produced by TN converts back to the written form by ITN
+    ("en", "2:30", "en"),
+    ("en", "3.14", "en"),
+])
+def test_tn_class_itn_roundtrip(lang, written, spoken_lang):
+    from funasr_tpu.text.itn import inverse_normalize
+    from funasr_tpu.text.tn import normalize
+
+    spoken = normalize(written, lang)
+    assert inverse_normalize(spoken, spoken_lang) == written
