@@ -213,3 +213,29 @@ def mp3_decode(data: bytes) -> Tuple[np.ndarray, int]:
     finally:
         lib.fta_free(ptr)
     return out, int(rate.value)
+
+
+def flac_decode(data: bytes) -> Tuple[np.ndarray, int]:
+    """FLAC bytes -> (float32 mono waveform, sample rate) via the native
+    runtime's self-contained decoder (fta_flac.cc — the reference closes
+    this format via ffmpeg, funasr/utils/load_utils.py:28)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audio library unavailable")
+    lib.fta_flac_decode.restype = ctypes.c_int
+    lib.fta_flac_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+    ptr = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    rate = ctypes.c_int32()
+    rc = lib.fta_flac_decode(data, len(data), ctypes.byref(ptr),
+                             ctypes.byref(n), ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"flac decode failed (code {rc})")
+    try:
+        out = np.ctypeslib.as_array(ptr, shape=(n.value,)).copy()
+    finally:
+        lib.fta_free(ptr)
+    return out, int(rate.value)

@@ -63,6 +63,20 @@ def load_mp3(path: str) -> Tuple[np.ndarray, int]:
         return native_audio.mp3_decode(f.read())
 
 
+def load_flac(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file via the native runtime's self-contained decoder
+    (runtime/native/fta_flac.cc; the reference closes flac via ffmpeg,
+    load_utils.py:28)."""
+    from funasr_tpu.runtime import native_audio
+
+    if not native_audio.is_available():
+        raise RuntimeError(
+            "flac decode needs runtime/native/libfta_audio.so "
+            "(make -C funasr_tpu/runtime/native)")
+    with open(path, "rb") as f:
+        return native_audio.flac_decode(f.read())
+
+
 def load_pcm(path: str, dtype="<i2") -> np.ndarray:
     data = np.fromfile(path, dtype=dtype).astype(np.float32) / 32768.0
     return data
@@ -103,10 +117,12 @@ def load_audio(
             wav, in_fs = load_pcm(source), (audio_fs or fs)
         elif ext == ".mp3":
             wav, in_fs = load_mp3(source)
+        elif ext == ".flac":
+            wav, in_fs = load_flac(source)
         else:
             raise ValueError(
-                f"unsupported audio format {ext!r} (wav/pcm/mp3 supported "
-                "natively)"
+                f"unsupported audio format {ext!r} (wav/pcm/mp3/flac "
+                "supported natively)"
             )
     else:
         raise TypeError(f"cannot load audio from {type(source)}")
