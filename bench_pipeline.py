@@ -122,6 +122,10 @@ def main():
 
     am = AutoModel(model=asr_cfg, vad_model=vad_cfg, punc_model=punc_cfg,
                    quantize=True)
+    # AutoModel flips the int8 flag inside generate(); this bench traces
+    # the engines' device programs directly, so mirror the serving config
+    # explicitly (trace-time flag — CLAUDE.md quant trap)
+    quant.enable(True)
     build_s = time.time() - t_all
 
     n = int(AUDIO_S * FS)
@@ -144,13 +148,17 @@ def main():
             return acc + jnp.sum(post[:, -1])
         return jax.lax.fori_loop(0, k, body, jnp.zeros(()))
 
-    # also time the frontend (fbank+LFR on 600 s) as part of VAD cost
+    # also time the frontend (fbank+LFR+frame energies on 600 s) as part
+    # of the VAD device cost (the engine computes all three in one call)
+    from funasr_tpu.models.fsmn_vad.model import frame_decibel_device
+
     @jax.jit
     def vfe_k(wav, lens, k):
         def body(i, acc):
-            f, fl = vfe.device_features(wav + i.astype(jnp.float32) * 1e-9,
-                                        lens)
-            return acc + jnp.sum(f[:, -1, :1])
+            w = wav + i.astype(jnp.float32) * 1e-9
+            f, fl = vfe.device_features(w, lens)
+            db = frame_decibel_device(w)
+            return acc + jnp.sum(f[:, -1, :1]) + jnp.sum(db[:, :1])
         return jax.lax.fori_loop(0, k, body, jnp.zeros(()))
 
     vp = vadm.params
@@ -159,18 +167,17 @@ def main():
     t_vad_dev = slope(lambda k: np.asarray(vad_k(vp, feats, k))) \
         + slope(lambda k: np.asarray(vfe_k(wav_d, vlens, k)))
 
-    # VAD host: sil-probs + decibel + state machine + merge (real code,
-    # real frame count; decisions are random-weight but cost is not)
+    # VAD host: sil-probs + state machine + merge (real code, real frame
+    # count; decisions are random-weight but cost is not).  Decibels come
+    # from the device program above (engine _front).
     post_h = np.asarray(vadm.score(feats))
+    db_h = np.asarray(frame_decibel_device(jnp.asarray(wav[None, :])))[0]
 
     def vad_host():
-        from funasr_tpu.models.fsmn_vad.model import compute_decibel
-
         sil = vadm.sil_probs(post_h)[0]
-        db = compute_decibel(wav)
-        m = min(len(sil), len(db))
+        m = min(len(sil), len(db_h))
         sm = vadm.new_state()
-        sm.feed(sil[:m], db[:m], is_final=True)
+        sm.feed(sil[:m], db_h[:m], is_final=True)
         segs = sm.pop_segments(streaming=False)
         return merge_vad(segs, MERGE_S * 1000)
 
@@ -285,7 +292,8 @@ def main():
         def body(i, acc):
             # value perturbation so XLA can't hoist the loop body
             tok = (t + i) % 8404
-            logits = pm.module.apply(params, tok, l)
+            with quant.quantized(False):  # punc pins the fp path
+                logits = pm.module.apply(params, tok, l)
             return acc + jnp.sum(jnp.argmax(logits[0, :4], -1)
                                  .astype(jnp.int32))
         return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.int32))

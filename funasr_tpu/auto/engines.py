@@ -334,6 +334,31 @@ class HotwordEngine(BiCifEngine):
         return results
 
 
+def _ctc_align_timestamps(align_row, tokens, offset_ms: int = 0,
+                          frame_ms: int = 60):
+    """Frame alignment -> [[start_ms, end_ms], ...] per non-blank token
+    (reference sense_voice/model.py:932-960: groupby runs, 60 ms frames
+    with a -30 ms half-frame shift, '▁' word separators dropped)."""
+    from itertools import groupby
+
+    ts = []
+    start = 0
+    token_id = 0
+    n = len(align_row)
+    for label, run in groupby(align_row):
+        end = start + len(list(run))
+        if label != 0 and token_id < len(tokens):
+            left = max((start * frame_ms - 30) / 1000.0, 0.0)
+            right = min((end * frame_ms - 30) / 1000.0,
+                        (n * frame_ms - 30) / 1000.0)
+            if tokens[token_id] != "▁":
+                ts.append([int(left * 1000) + offset_ms,
+                           int(right * 1000) + offset_ms])
+            token_id += 1
+        start = end
+    return ts
+
+
 class SenseVoiceEngine(BatchedAsrEngine):
     handles_itn = True  # text norm via the model's textnorm prompt token
 
@@ -363,11 +388,9 @@ class SenseVoiceEngine(BatchedAsrEngine):
     def transcribe(self, wavs, language="auto", use_itn=False,
                    rich_text: bool = True, with_timestamp: bool = False,
                    vad_offsets=None, **kw) -> List[Dict[str, Any]]:
-        # with_timestamp/vad_offsets accepted for the long-audio (VAD)
-        # pipeline contract; SenseVoice emits no CIF timestamps, so they
-        # are no-ops here (the reference's optional CTC forced-align
-        # timestamps live in MonotonicAligner territory).
-        del with_timestamp, vad_offsets, kw
+        # with_timestamp: CTC forced-align stamps (reference
+        # sense_voice/model.py:918 output_timestamp path)
+        del kw
         from funasr_tpu.models.sense_voice.model import lid_id, textnorm_id
 
         if not len(wavs):
@@ -377,7 +400,22 @@ class SenseVoiceEngine(BatchedAsrEngine):
         Bp = wav_d.shape[0]  # mesh-padded batch (== B without a mesh)
         lid = jnp.full((Bp,), lid_id(language), jnp.int32)
         tn = jnp.full((Bp,), textnorm_id(use_itn), jnp.int32)
-        tokens, tok_lens = self._run(self.params, wav_d, lens_d, lid, tn)
+        align = None
+        if with_timestamp:
+            if not hasattr(self, "_run_align"):
+                def _ra(params, wav, lens, lid, tn):
+                    feats, flens = self.frontend.device_features(wav, lens)
+                    return self.module.apply(
+                        params, feats, flens, lid, tn,
+                        method=self.module.greedy_decode_with_alignment)
+
+                self._run_align = self._jit(_ra, 2)
+            tokens, tok_lens, align = self._run_align(
+                self.params, wav_d, lens_d, lid, tn)
+            align = np.asarray(align)
+        else:
+            tokens, tok_lens = self._run(self.params, wav_d, lens_d,
+                                         lid, tn)
         tokens = np.asarray(tokens)
         tok_lens = np.asarray(tok_lens)
         results = []
@@ -386,6 +424,12 @@ class SenseVoiceEngine(BatchedAsrEngine):
             text = self.tokenizer.decode(ids)
             res = {"text": rich_transcription_postprocess(text) if rich_text else text,
                    "raw_text": text}
+            if align is not None:
+                offset = vad_offsets[i] if vad_offsets else 0
+                toks = self.tokenizer.ids2tokens(ids[4:])
+                res["timestamp"] = _ctc_align_timestamps(
+                    align[i], toks, offset_ms=offset)
+                res["raw_tokens"] = [t for t in toks if t != "▁"]
             results.append(res)
         return results
 
@@ -521,12 +565,21 @@ class VadEngine:
         self.model = model  # FsmnVADStreaming wrapper
         self.frontend = frontend
 
+        @jax.jit
+        def _front(wav, lens):
+            from funasr_tpu.models.fsmn_vad.model import \
+                frame_decibel_device
+
+            feats, flens = self.frontend.device_features(wav, lens)
+            return feats, flens, frame_decibel_device(wav)
+
+        self._front = _front
+
     def segments(self, wav: np.ndarray) -> List[List[int]]:
         lens = jnp.asarray([len(wav)], jnp.int32)
-        feats, flens = self.frontend.device_features(
-            jnp.asarray(wav[None, :]), lens
-        )
-        return self.model.segments_offline(feats, wav)
+        feats, flens, db = self._front(jnp.asarray(wav[None, :]), lens)
+        return self.model.segments_offline(feats, wav,
+                                           decibels=np.asarray(db)[0])
 
     def transcribe(self, wavs: Sequence[np.ndarray], **kw
                    ) -> List[Dict[str, Any]]:

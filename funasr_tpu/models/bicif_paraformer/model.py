@@ -189,17 +189,19 @@ class BiCifParaformer(Paraformer):
                  "loss_pre2": loss_pre2, "acc": acc}
         return loss, stats
 
-    def inference_logits(self, speech, speech_lengths, max_tokens: int = 128):
+    def _infer_raw_logits(self, speech, speech_lengths, max_tokens=128):
+        """V3-predictor override: the base CIF track drives the decoder
+        (pred.base); keeps the inherited greedy_decode / inference_logits
+        working on the V3 output tree."""
         enc, enc_lens = self.encode(speech, speech_lengths, True)
         pred = self.predictor(enc, enc_lens, max_tokens=max_tokens,
-                               deterministic=True)
+                              deterministic=True)
         base = pred.base
         token_lengths = jnp.clip(
             jnp.round(base.token_num).astype(jnp.int32), 0, max_tokens)
         logits = self.decoder(enc, enc_lens, base.acoustic_embeds,
                               token_lengths, True)
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        return log_probs, token_lengths, pred
+        return logits, token_lengths, pred
 
     def timestamps(self, speech, speech_lengths, max_tokens: int = 128):
         """-> (tokens, token_lengths, us_alphas, us_peaks) for

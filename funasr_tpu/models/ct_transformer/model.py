@@ -127,9 +127,18 @@ class CTTransformerModel:
         self.punc_list = list(punc_list)
         self.sentence_end_id = sentence_end_id
         self.params = params
-        self._jit_forward = jax.jit(
-            lambda p, t, l: self.module.apply(p, t, l)
-        )
+        def _fwd(p, t, l):
+            # punc matmuls are tiny (att_unit 256, <=208-token windows):
+            # dynamic-int8 row-quant overhead exceeds any MXU gain, so
+            # the punc program pins the fp path regardless of the
+            # process-wide serving quant flag (measured 0.22 ms vs
+            # ~0 ms per window on TPU, BENCH_PIPELINE r03)
+            from funasr_tpu.ops import quant
+
+            with quant.quantized(False):
+                return self.module.apply(p, t, l)
+
+        self._jit_forward = jax.jit(_fwd)
 
     def init_params(self, rng):
         t = jnp.zeros((1, 8), jnp.int32)

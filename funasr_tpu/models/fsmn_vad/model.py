@@ -341,6 +341,26 @@ class VadStateMachine:
         return out
 
 
+def frame_decibel_device(wav: jnp.ndarray, frame_length: int = 400,
+                         frame_shift: int = 160) -> jnp.ndarray:
+    """Device-side ``compute_decibel``: per-frame energy via
+    ``lax.reduce_window`` so the VAD engine fuses it into the same
+    program as the frontend (one host round-trip fewer; f32 sums differ
+    from the host float64 path by <1e-5 dB — tests pin the bound).
+
+    wav: (B, N) float in [-1, 1].  Returns (B, n_frames) dB.
+    """
+    from jax import lax as jlax
+
+    w = wav.astype(jnp.float32) * float(1 << 15)
+    sq = w * w
+    e = jlax.reduce_window(sq, 0.0, jlax.add,
+                           window_dimensions=(1, frame_length),
+                           window_strides=(1, frame_shift),
+                           padding="VALID")
+    return 10.0 * jnp.log10(e + 1e-6)
+
+
 def compute_decibel(waveform: np.ndarray, frame_length: int = 400,
                     frame_shift: int = 160) -> np.ndarray:
     """Per-frame energy in dB (reference ComputeDecibel, model.py:326).
@@ -402,12 +422,17 @@ class FsmnVADStreaming:
             return native_vad.NativeVadStateMachine(self.opts)
         return VadStateMachine(self.opts)
 
-    def segments_offline(self, feats: jnp.ndarray, waveform: np.ndarray
+    def segments_offline(self, feats: jnp.ndarray, waveform: np.ndarray,
+                         decibels: Optional[np.ndarray] = None
                          ) -> List[List[int]]:
-        """Full-utterance VAD -> [[start_ms, end_ms], ...] (batch of 1)."""
+        """Full-utterance VAD -> [[start_ms, end_ms], ...] (batch of 1).
+
+        ``decibels``: optional precomputed per-frame energies (the
+        VadEngine computes them on-device alongside the features)."""
         post = self.score(feats)
         sil = self.sil_probs(post)[0]
-        db = compute_decibel(waveform)
+        db = compute_decibel(waveform) if decibels is None \
+            else np.asarray(decibels)
         n = min(len(sil), len(db))
         sm = self.new_state()
         sm.feed(sil[:n], db[:n], is_final=True)

@@ -191,6 +191,36 @@ class SenseVoiceSmall(nn.Module):
         )
         return ctc_greedy_decode(log_probs, enc_lens, self.blank_id)
 
+    def greedy_decode_with_alignment(self, speech, speech_lengths,
+                                     lid_ids, textnorm_ids):
+        """Greedy decode + CTC forced alignment of the decoded speech
+        tokens (reference sense_voice/model.py:918-931 output_timestamp
+        path) -> (tokens, token_lengths, align (B, T-4)).
+
+        Reference quirks reproduced: the alignment runs on SOFTMAX
+        probabilities (not logs) over the SPEECH rows (after the 4
+        prompt frames), with the blank probability zeroed on frames
+        whose argmax is blank (model.py:923) — this spreads token spans
+        into greedy-blank regions, widening the stamps the same way."""
+        from funasr_tpu.ops.ctc_align import ctc_forced_align
+
+        enc, enc_lens = self.encode(speech, speech_lengths, lid_ids,
+                                    textnorm_ids, True)
+        log_probs = jax.nn.log_softmax(
+            self.ctc_lo(enc).astype(jnp.float32), axis=-1)
+        tokens, tok_lens = ctc_greedy_decode(log_probs, enc_lens,
+                                             self.blank_id)
+        probs = jnp.exp(log_probs[:, 4:])
+        pred = jnp.argmax(probs, axis=-1)
+        probs = probs.at[..., self.blank_id].set(
+            jnp.where(pred == self.blank_id, 0.0,
+                      probs[..., self.blank_id]))
+        align = ctc_forced_align(
+            probs, tokens[:, 4:],
+            jnp.maximum(enc_lens - 4, 0),
+            jnp.maximum(tok_lens - 4, 0), self.blank_id)
+        return tokens, tok_lens, align
+
 
 def lid_id(language: str) -> int:
     return LID_DICT.get(language, 0)

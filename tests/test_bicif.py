@@ -55,3 +55,19 @@ def test_bicif_train_and_timestamps(rng):
     assert tokens.shape == (B, 16)
     assert us_peaks.shape[1] == T * 3  # upsample x3 of the encoder frames
     assert us_alphas.shape == us_peaks.shape
+
+
+def test_bicif_greedy_decode_inherited(rng):
+    """Regression: Paraformer.greedy_decode must work on BiCif's V3
+    predictor output (engine with_timestamp=False path)."""
+    model = BiCifParaformer(**CONF)
+    B, T = 2, 20
+    speech = jnp.asarray(rng.standard_normal((B, T, CONF["input_size"])),
+                         jnp.float32)
+    lens = jnp.array([T, T - 4], jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, speech, lens,
+                        max_tokens=8, method=model.timestamps)
+    toks, tlens, scores = model.apply(params, speech, lens, max_tokens=8,
+                                      method=model.greedy_decode)
+    assert toks.shape == (B, 8)
+    assert np.isfinite(np.asarray(scores)).all()

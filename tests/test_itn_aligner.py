@@ -197,7 +197,11 @@ def test_tn_zh_cardinals():
 def test_tn_en_cardinals():
     assert _tn("21", "en") == "twenty one"
     assert _tn("325", "en") == "three hundred twenty five"
-    assert _tn("2023", "en") == "two thousand twenty three"
+    # bare 4-digit numbers in year range read as YEARS since the date
+    # class landed (reference en date tagger year graph); ITN roundtrips
+    # either reading back to 2023
+    assert _tn("2023", "en") == "twenty twenty three"
+    assert _tn("4127", "en") == "four thousand one hundred twenty seven"
     assert _tn("50%", "en") == "fifty percent"
     assert _tn("3.14", "en") == "three point one four"
 

@@ -73,3 +73,43 @@ def test_sentence_postprocess():
     # BPE merge
     text2, _ = sentence_postprocess(["he@@", "llo", "世"])
     assert "hello" in text2
+
+
+def test_sensevoice_forced_align_timestamps(rng):
+    """greedy_decode_with_alignment: alignment collapses to the decoded
+    speech tokens; engine timestamp conversion yields ordered ms pairs
+    (reference sense_voice/model.py:918 output_timestamp path)."""
+    model = SenseVoiceSmall(**CONF)
+    B, T = 2, 24
+    speech = jnp.asarray(rng.standard_normal((B, T, 24)), jnp.float32)
+    slens = jnp.array([T, T - 6])
+    lid = jnp.full((B,), lid_id("zh"), jnp.int32)
+    tn = jnp.full((B,), textnorm_id(False), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, speech, slens,
+                        lid, tn, method=model.greedy_decode)
+    toks, lens, align = model.apply(
+        params, speech, slens, lid, tn,
+        method=model.greedy_decode_with_alignment)
+    toks = np.asarray(toks); lens = np.asarray(lens)
+    align = np.asarray(align)
+    for i in range(B):
+        speech_tokens = [t for t in toks[i, 4:int(lens[i])].tolist()
+                         if t != 0]
+        collapsed, prev = [], None
+        for a in align[i].tolist():
+            if a != 0 and a != prev:
+                collapsed.append(a)
+            prev = a
+        assert collapsed == speech_tokens
+
+    from funasr_tpu.auto.engines import _ctc_align_timestamps
+
+    names = [f"t{t}" for t in range(40)]
+    for i in range(B):
+        n_sp = len([t for t in toks[i, 4:int(lens[i])] if t != 0])
+        ts = _ctc_align_timestamps(
+            align[i], [names[t] for t in toks[i, 4:int(lens[i])]],
+            offset_ms=100)
+        assert len(ts) == n_sp
+        for s, e in ts:
+            assert 100 <= s <= e

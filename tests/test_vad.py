@@ -137,3 +137,16 @@ def test_vad_model_offline(rng):
     wav = rng.standard_normal(60 * 160 + 240).astype(np.float32) * 0.1
     segs = model.segments_offline(feats, wav)
     assert isinstance(segs, list)  # random weights: any or no segments
+
+
+def test_frame_decibel_device_matches_host():
+    from funasr_tpu.models.fsmn_vad.model import (compute_decibel,
+                                                  frame_decibel_device)
+
+    rng = np.random.default_rng(0)
+    w = (0.3 * np.sin(2 * np.pi * 220 * np.arange(16000) / 16000)
+         + 0.01 * rng.standard_normal(16000)).astype(np.float32)
+    host = compute_decibel(w)
+    dev = np.asarray(frame_decibel_device(jnp.asarray(w[None, :])))[0]
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, atol=1e-3)
