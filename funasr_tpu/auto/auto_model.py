@@ -117,6 +117,8 @@ class AutoModel:
         seed: int = 0,
         quantize: bool = False,
         data_parallel: bool = False,
+        sequence_parallel: int = 0,
+        tensor_parallel: int = 0,
         device_mesh=None,
         **kwargs,
     ):
@@ -138,6 +140,12 @@ class AutoModel:
             from funasr_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(model=1)
+        # sequence-parallel serving: one utterance's FRAME axis sharded
+        # over N chips (ring attention + halo FSMN + sharded CIF/decoder,
+        # parallel/sp_*.py) — the long-audio path when a single chip's
+        # HBM can't hold the encoder state.  Paraformer-family greedy only.
+        self._sp = int(sequence_parallel or 0)
+        self._tp = int(tensor_parallel or 0)
         self.engine = None
         self.vad_engine = None
         self.punc_engine = None
@@ -146,6 +154,23 @@ class AutoModel:
         if model is not None:
             self.main_cfg = _resolve_cfg(model, model_conf)
             self.engine = self._build_main(self.main_cfg)
+            if self._tp > 1 and hasattr(self.engine, "params"):
+                # tensor-parallel serving (SURVEY §2.5 TPU plan: big
+                # encoders sharded over ICI): params are laid out over a
+                # (1, N) model-axis mesh and GSPMD splits every matmul;
+                # batch stays replicated, results are bit-compatible.
+                from funasr_tpu.parallel.mesh import (make_mesh,
+                                                      param_shardings)
+
+                if len(jax.devices()) < self._tp:
+                    raise ValueError(
+                        f"tensor_parallel={self._tp} needs that many "
+                        f"devices, have {len(jax.devices())}")
+                tp_mesh = make_mesh(data=1, model=self._tp,
+                                    devices=jax.devices()[:self._tp])
+                self.engine.params = jax.device_put(
+                    self.engine.params,
+                    param_shardings(self.engine.params, tp_mesh))
         if vad_model is not None:
             self.vad_engine = self._build_vad(_resolve_cfg(vad_model, vad_conf))
         if punc_model is not None:
@@ -224,9 +249,17 @@ class AutoModel:
                     jnp.zeros((1, T, input_size)), jnp.array([T]),
                     max_tokens=8, method=module.greedy_decode,
                 )
+            sp_conf = None
+            if self._sp > 1 and name == "Paraformer":
+                sp_conf = dict(
+                    n=self._sp,
+                    enc_conf=dict(cfg.get("encoder_conf") or {}),
+                    dec_conf=dict(cfg.get("decoder_conf") or {}),
+                    pred_conf=dict(cfg.get("predictor_conf") or {}),
+                )
             return ParaformerEngine(module, params, frontend, tokenizer,
                                     blank_id=module.blank_id,
-                                    mesh=self.mesh)
+                                    mesh=self.mesh, sp_conf=sp_conf)
         if name == "SenseVoiceSmall":
             module = cls(**common, **(cfg.get("model_conf") or {}))
             params = _load_params(cfg)

@@ -127,7 +127,7 @@ class BatchedAsrEngine:
 class ParaformerEngine(BatchedAsrEngine):
     def __init__(self, module, params, frontend: FrontendConfig, tokenizer,
                  blank_id: int = 0, max_tokens_per_15s: int = 128,
-                 mesh=None):
+                 mesh=None, sp_conf=None):
         super().__init__(frontend, tokenizer, mesh=mesh)
         self.module = module
         self.params = params
@@ -144,6 +144,37 @@ class ParaformerEngine(BatchedAsrEngine):
             return tokens, tok_lens, pred.peaks, pred.alphas
 
         self._run = self._jit(_run, 2, static_argnames=("max_tokens",))
+
+        # sequence-parallel serving (AutoModel sequence_parallel=N): the
+        # frame axis shards over N devices through the full SP chain
+        # (parallel/sp_cif.sp_paraformer_greedy — ring attention + halo
+        # FSMN + sharded-prefix-sum CIF + sharded-memory decoder);
+        # token-exact vs the single-device greedy path.
+        self.sp_mesh = None
+        if sp_conf:
+            from funasr_tpu.parallel.mesh import make_mesh
+            from funasr_tpu.parallel.sp_cif import sp_paraformer_greedy
+
+            n = int(sp_conf["n"])
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"sequence_parallel={n} needs {n} devices, have "
+                    f"{len(jax.devices())}")
+            self.sp_mesh = make_mesh(data=1, model=n,
+                                     devices=jax.devices()[:n])
+            enc_c, dec_c, pred_c = (sp_conf["enc_conf"],
+                                    sp_conf["dec_conf"],
+                                    sp_conf["pred_conf"])
+
+            @functools.partial(jax.jit, static_argnames=("max_tokens",))
+            def _run_sp(params, wav, lens, max_tokens):
+                feats, flens = self.frontend.device_features(wav, lens)
+                return sp_paraformer_greedy(
+                    params, feats, flens, self.sp_mesh,
+                    enc_conf=enc_c, dec_conf=dec_c, pred_conf=pred_c,
+                    max_tokens=max_tokens)
+
+            self._run_sp = _run_sp
 
     def decode_fn(self, params, wav, lens):
         """Export surface: (params, wav, lens) -> (tokens, token_lengths)
@@ -163,6 +194,19 @@ class ParaformerEngine(BatchedAsrEngine):
         wav_d, lens_d = self._pack(wavs)
         dur_s = wav_d.shape[1] / self.frontend.fs
         max_tokens = max(16, int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+        if self.sp_mesh is not None and not with_timestamp:
+            tokens, tok_lens, _ = self._run_sp(self.params, wav_d, lens_d,
+                                               max_tokens)
+            tokens = np.asarray(tokens)
+            tok_lens = np.asarray(tok_lens)
+            results = []
+            for i in range(len(wavs)):
+                ids = [t for t in tokens[i, : int(tok_lens[i])].tolist()
+                       if t != self.blank_id]
+                toks = self.tokenizer.ids2tokens(ids)
+                text, words = sentence_postprocess(toks)
+                results.append({"text": text, "raw_tokens": words})
+            return results
         tokens, tok_lens, peaks, alphas = self._run(
             self.params, wav_d, lens_d, max_tokens
         )

@@ -53,6 +53,11 @@ def main(argv=None):
     ap.add_argument("--valid-jsonl", default=None)
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--model-parallel", type=int, default=1)
+    ap.add_argument("--pipeline-parallel", type=int, default=0, metavar="N",
+                    help="shard the encoder LAYER axis over the model "
+                         "mesh axis with N GPipe microbatches "
+                         "(parallel/pp.py; requires --model-parallel > 1 "
+                         "and scanned layer count divisible by it)")
     ap.add_argument("--fsdp", action="store_true",
                     help="shard params over the data axis (ZeRO/FSDP "
                          "equivalent, reference bin/train.py:123-146)")
@@ -154,6 +159,25 @@ def main(argv=None):
     from funasr_tpu.parallel.mesh import init_sharded_opt_state
     opt_state = init_sharded_opt_state(tx, params, mesh)
     state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    if args.pipeline_parallel > 0:
+        # route the scanned encoder stack through the GPipe schedule
+        # inside the unmodified train step (dp x pp; parallel/pp.py).
+        # Trace-time flag: the jit must happen inside the context, and
+        # the context must stay enabled for the step's lifetime.
+        from funasr_tpu.parallel import pp
+
+        if args.model_parallel <= 1:
+            raise SystemExit("--pipeline-parallel requires "
+                             "--model-parallel > 1 (the layer axis "
+                             "shards over the model mesh axis)")
+        n_rest = int((cfg.get("encoder_conf") or {})
+                     .get("num_blocks", 6)) - 1
+        if n_rest % args.model_parallel:
+            raise SystemExit(
+                f"--pipeline-parallel: encoder scanned layers ({n_rest}) "
+                f"must divide by --model-parallel ({args.model_parallel})")
+        pp.enable(mesh, axis="model", n_micro=args.pipeline_parallel,
+                  batch_axis="data")
     train_step = jax.jit(make_train_step(
         model, tx, accum_grad=train_conf.get("accum_grad", 1)))
 
@@ -188,10 +212,13 @@ def main(argv=None):
     def build_iter(epoch, start_step):
         for idx, psrc, ptgt in iter_split_batches(
                 sampler, len(ds), data_split_num, epoch, start_step):
-            # data-parallel sharding needs batch % dp == 0; pad by repeating
-            # (same weighting effect as DistributedSampler's sample padding)
+            # data-parallel sharding needs batch % dp == 0 (and % n_micro
+            # under --pipeline-parallel, else the pp branch would silently
+            # fall back to the sequential scan); pad by repeating (same
+            # weighting effect as DistributedSampler's sample padding)
+            quantum = dp * max(args.pipeline_parallel, 1)
             idx = list(idx)
-            while len(idx) % dp:
+            while len(idx) % quantum:
                 idx.append(idx[-1])
             batch = featurize(ds.collate([ds[i] for i in idx], psrc, ptgt))
             yield jax.device_put(batch, bsh)

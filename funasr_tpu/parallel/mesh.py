@@ -109,6 +109,14 @@ def param_shardings(params, mesh: Mesh, fsdp: bool = False,
     def assign(kp, leaf):
         path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
         spec = _spec_for(path, leaf.ndim)
+        # a named axis only applies when the dim divides by it (tiny
+        # vocab/test shapes would otherwise fail device_put); replicate
+        # the non-divisible dims instead
+        parts0 = list(spec) + [None] * (leaf.ndim - len(spec))
+        for d, ax in enumerate(parts0):
+            if ax is not None and leaf.shape[d] % mesh.shape.get(ax, 1):
+                parts0[d] = None
+        spec = P(*parts0) if parts0 else P()
         if fsdp and n_data > 1 and leaf.size >= fsdp_min_size:
             parts = list(spec) + [None] * (leaf.ndim - len(spec))
             # shard the largest data-divisible free dim over `data`

@@ -402,3 +402,27 @@ def test_warmup_reaches_asr_engine_despite_vad(monkeypatch):
                             "punc", calls["punc"] + 1) or orig_p(*a, **k))
     am.warmup(batch_sizes=(1,), seconds=(1,))
     assert calls["asr"] >= 1 and calls["vad"] >= 1 and calls["punc"] >= 1
+
+
+def test_sequence_parallel_serving_matches_plain(rng):
+    """AutoModel(sequence_parallel=8): the SP chain behind generate()
+    reproduces the single-device engine's tokens exactly."""
+    wavs = [_wav(rng), _wav(rng, 1.3)]
+    plain = AutoModel(model=ASR_CFG)
+    sp = AutoModel(model=ASR_CFG, sequence_parallel=8)
+    assert sp.engine.sp_mesh is not None
+    r0 = plain.generate(wavs, key=["a", "b"])
+    r1 = sp.generate(wavs, key=["a", "b"])
+    assert [r["text"] for r in r1] == [r["text"] for r in r0]
+    assert [r["raw_tokens"] for r in r1] == [r["raw_tokens"] for r in r0]
+
+
+def test_tensor_parallel_serving_matches_plain(rng):
+    """AutoModel(tensor_parallel=2): GSPMD-sharded params reproduce the
+    single-device outputs."""
+    wavs = [_wav(rng), _wav(rng, 1.1)]
+    plain = AutoModel(model=ASR_CFG)
+    tp = AutoModel(model=ASR_CFG, tensor_parallel=2)
+    r0 = plain.generate(wavs, key=["a", "b"])
+    r1 = tp.generate(wavs, key=["a", "b"])
+    assert [r["text"] for r in r1] == [r["text"] for r in r0]

@@ -100,3 +100,45 @@ def test_train_then_infer_cli(tmp_path, rng):
     ])
     assert len(results) == 2
     assert (out2 / "text").exists()
+
+
+@pytest.mark.slow
+def test_train_cli_pipeline_parallel(tmp_path, rng):
+    """--pipeline-parallel N: the CLI train step runs dp x pp (GPipe over
+    the scanned encoder) and produces finite losses/checkpoints."""
+    from funasr_tpu.bin import train as train_cli
+    from funasr_tpu.parallel import pp
+
+    jsonl, recs = _write_corpus(tmp_path, rng)
+    cfg = dict(
+        model="Paraformer",
+        tokenizer="CharTokenizer",
+        tokenizer_conf=dict(token_list=VOCAB, split_with_space=True),
+        frontend_conf=dict(n_mels=20, lfr_m=3, lfr_n=2),
+        input_size=60,
+        encoder_conf=dict(output_size=16, attention_heads=2,
+                          linear_units=32, num_blocks=3, kernel_size=5,
+                          dropout_rate=0.0),
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=1,
+                          att_layer_num=1, kernel_size=5, dropout_rate=0.0),
+        predictor_conf=dict(idim=16, tail_threshold=0.45, dropout=0.0),
+        dataset_conf=dict(batch_type="example", batch_size=4),
+        train_conf=dict(max_epoch=1, log_interval=2,
+                        save_checkpoint_interval=100, grad_clip=5.0),
+        optim="adam", optim_conf=dict(lr=1e-3),
+        scheduler="constant", scheduler_conf={},
+    )
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg, allow_unicode=True))
+    try:
+        state = train_cli.main([
+            "--config", str(cfg_path),
+            "--train-jsonl", str(jsonl),
+            "--output-dir", str(tmp_path / "exp_pp"),
+            "--model-parallel", "2",
+            "--pipeline-parallel", "2",
+            "--max-epoch", "1",
+        ])
+    finally:
+        pp.disable()
+    assert int(state.step) > 0
