@@ -20,30 +20,48 @@ def iter_split_batches(sampler, n_items: int, data_split_num: int,
     ``data_split_num > 1`` the dataset index range is processed in N
     contiguous slices per epoch, re-batched to full batch shapes within
     each slice (reference dataloader_entry.py:83 memory-bounded loading —
-    same semantics as datasets/dataloader.py ``Dataloader.build_iter``)."""
+    same semantics as datasets/dataloader.py ``Dataloader.build_iter``).
+
+    ``start_step`` resumes mid-epoch by skipping that many EMITTED
+    batches of the whole epoch (the split path replays the slice
+    iteration deterministically and drops the already-consumed prefix)."""
     if data_split_num <= 1:
         sampler.set_epoch(epoch, start_step)
         for b in sampler:
             yield list(b.indices), b.pad_source_len, b.pad_target_len
         return
+    emitted = 0
+
+    def emit(items):
+        nonlocal emitted
+        emitted += 1
+        if emitted <= start_step:
+            return None
+        idx = [i for i, _, _ in items]
+        return (idx, max(s for _, s, _ in items),
+                max(t for _, _, t in items))
+
     for split_i in range(data_split_num):
-        sampler.set_epoch(epoch * data_split_num + split_i, start_step)
+        sampler.set_epoch(epoch * data_split_num + split_i, 0)
         lo = n_items * split_i // data_split_num
         hi = n_items * (split_i + 1) // data_split_num
-        pending, psrc, ptgt = [], 0, 0
+        pending = []  # (index, pad_source_len, pad_target_len) per item
         for b in sampler:
             idx = [i for i in b.indices if lo <= i < hi]
             if not idx:
                 continue
-            pending.extend(idx)
-            psrc = max(psrc, b.pad_source_len or 0)
-            ptgt = max(ptgt, b.pad_target_len or 0)
+            pending.extend((i, b.pad_source_len or 0,
+                            b.pad_target_len or 0) for i in idx)
             target = len(b.indices)
             while len(pending) >= target:
                 take, pending = pending[:target], pending[target:]
-                yield take, psrc, ptgt
+                out = emit(take)
+                if out is not None:
+                    yield out
         if pending:
-            yield pending, psrc, ptgt
+            out = emit(pending)
+            if out is not None:
+                yield out
 
 
 def main(argv=None):

@@ -290,6 +290,25 @@ class _SANMLayerParams(nn.Module):
         return carry, (*ln1, *attn, *ln2, *ffn)
 
 
+def declare_stacked_sanm_params(size, linear_units, kernel_size,
+                                param_dtype, n_rest, name="encoders"):
+    """Declare the scanned encoder stack's parameters via the holder
+    (tree identical to ``nn.scan(EncoderLayerSANM)``) and return the
+    13 stacked leaves — SHARED by the fused-int8 and pipeline branches
+    so the holder unpack can't skew between them.  Must be called from
+    inside a parent module's compact context."""
+    ParamStack = nn.scan(
+        _SANMLayerParams,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        length=n_rest,
+        in_axes=(nn.broadcast,),
+    )
+    _, stacked = ParamStack(size, linear_units, kernel_size,
+                            param_dtype, name=name)(0.0, None)
+    return stacked
+
+
 class PositionwiseFeedForward(nn.Module):
     """w_2(dropout(relu(w_1(x)))) — transformer/positionwise_feed_forward.py."""
 
@@ -495,19 +514,10 @@ class SANMEncoder(nn.Module):
             # identical to the module path), weights pre-quantized as one
             # stacked op outside the layer loop, layers run as a lax.scan
             # over the fused kernel (ops/sanm_layer_pallas.py).
-            ParamStack = nn.scan(
-                _SANMLayerParams,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True},
-                length=n_rest,
-                in_axes=(nn.broadcast,),
-            )
-            _, stacked = ParamStack(
-                self.output_size, self.linear_units, self.kernel_size,
-                self.param_dtype, name="encoders",
-            )(0.0, None)
             (ln1s, ln1b, wqkv, bqkv, fsmn, wout, bout,
-             ln2s, ln2b, w1, b1, w2, b2) = stacked
+             ln2s, ln2b, w1, b1, w2, b2) = declare_stacked_sanm_params(
+                self.output_size, self.linear_units, self.kernel_size,
+                self.param_dtype, n_rest)
             D = self.output_size
             wqkv8, sqkv = quant.quantize_rows(wqkv, axis=1)
             wout8, sout = quant.quantize_rows(wout, axis=1)
@@ -555,19 +565,10 @@ class SANMEncoder(nn.Module):
             cfg = PP.config()
             from funasr_tpu.parallel.pipeline import pipeline_apply
 
-            ParamStack = nn.scan(
-                _SANMLayerParams,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True},
-                length=n_rest,
-                in_axes=(nn.broadcast,),
-            )
-            _, stacked = ParamStack(
-                self.output_size, self.linear_units, self.kernel_size,
-                self.param_dtype, name="encoders",
-            )(0.0, None)
             (ln1s, ln1b, wqkv, bqkv, fsmn, wout, bout,
-             ln2s, ln2b, w1, b1, w2, b2) = stacked
+             ln2s, ln2b, w1, b1, w2, b2) = declare_stacked_sanm_params(
+                self.output_size, self.linear_units, self.kernel_size,
+                self.param_dtype, n_rest)
             tree = {
                 "norm1": {"scale": ln1s, "bias": ln1b},
                 "self_attn": {

@@ -78,7 +78,11 @@ def _bwd(left, right, groups, dilation, res, ct):
 
     # --- d/dkernel: explicit tap loop; each tap is an elementwise
     # product reduced over (B, T) — no grouped-conv transpose involved.
-    xpad = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+    # Negative conv padding means edge TRIM (e.g. causal FSMN with
+    # sanm_shift > (K-1)//2 yields right < 0): slice before padding,
+    # since jnp.pad rejects negative widths.
+    xeff = x[:, max(0, -left): x.shape[1] - max(0, -right), :]
+    xpad = jnp.pad(xeff, ((0, 0), (max(0, left), max(0, right)), (0, 0)))
     Tout = ct.shape[1]
     ctg = ct.reshape(B, Tout, groups, og)
 

@@ -213,7 +213,14 @@ def sp_paraformer_greedy(variables, speech, speech_lengths, mesh: Mesh, *,
         r_order=pred_conf.get("r_order", 1),
         smooth_factor=pred_conf.get("smooth_factor", 1.0),
         noise_threshold=pred_conf.get("noise_threshold", 0.0))
-    out = sp_cif(enc, alphas, enc_lens, max_tokens, mesh,
+    # the inference tail frame needs a pad slot with ZERO hidden even
+    # when an utterance fills every frame (cif_tail appends a zero frame;
+    # without this, lengths == T silently dropped the tail token):
+    # extend by one frame per shard (keeps T % n) before the CIF
+    n = mesh.shape[seq_axis]
+    enc_c = jnp.pad(enc, ((0, 0), (0, n), (0, 0)))
+    alphas_c = jnp.pad(alphas, ((0, 0), (0, n)))
+    out = sp_cif(enc_c, alphas_c, enc_lens, max_tokens, mesh,
                  tail_threshold=pred_conf.get("tail_threshold", 0.45),
                  seq_axis=seq_axis)
     token_lengths = jnp.clip(jnp.round(out.token_num).astype(jnp.int32),

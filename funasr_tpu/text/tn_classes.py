@@ -441,10 +441,20 @@ def apply_range_en(text: str) -> str:
         lambda m: f"approximately {num_to_en(int(m.group(1)))}", text)
 
 
-_ROMAN_RE = re.compile(r"\b(?=[IVXLCDM]{2,}\b)(M{0,3})(CM|CD|D?C{0,3})"
-                       r"(XC|XL|L?X{0,3})(IX|IV|V?I{0,3})\b")
 _ROMAN_VAL = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500,
               "M": 1000}
+_ROMAN_BODY = (r"(M{0,3})(CM|CD|D?C{0,3})(XC|XL|L?X{0,3})"
+               r"(IX|IV|V?I{0,3})")
+# bare roman tokens convert only in the SAFE alphabet {I,V,X} (II, IV,
+# XIV, ...) — L/C/D/M combinations collide with ordinary caps words and
+# abbreviations (DC, XL, CD, MC, MIX); the reference resolves those with
+# FST weights against the word graph, here they need a cue word
+_ROMAN_SAFE_RE = re.compile(r"\b(?=[IVX]{2,}\b)" + _ROMAN_BODY + r"\b")
+# "chapter IV", "part XL", "Henry VIII", ... — cue licenses any numeral
+_ROMAN_CUE_RE = re.compile(
+    r"\b(chapter|part|act|section|volume|book|page|appendix|class|type|"
+    r"war|phase|stage|title|article)\s+(?=[IVXLCDM]{2,}\b)"
+    + _ROMAN_BODY + r"\b", re.IGNORECASE)
 
 
 def roman_to_int(s: str) -> int:
@@ -461,18 +471,36 @@ def roman_to_int(s: str) -> int:
 def apply_roman_en(text: str) -> str:
     from funasr_tpu.text.tn import num_to_en
 
-    def r(m):
+    def cue(m):
+        s = "".join(m.groups()[1:])
+        if not s:
+            return m.group(0)
+        return f"{m.group(1)} {num_to_en(roman_to_int(s))}"
+
+    text = _ROMAN_CUE_RE.sub(cue, text)
+
+    def safe(m):
         s = "".join(m.groups())
         if not s:
             return m.group(0)
         return num_to_en(roman_to_int(s))
 
-    return _ROMAN_RE.sub(r, text)
+    return _ROMAN_SAFE_RE.sub(safe, text)
 
 
 _SERIAL_RE = re.compile(r"\b([A-Za-z]{1,3})(\d{1,4})\b|"
                         r"\b(\d{1,4})([A-Za-z]{1,3})\b")
 _ABBR_RE = re.compile(r"\b([A-Z]{2,5})\b")
+# letter-by-letter abbreviations: caps tokens with no vowel are read as
+# letters (TV, FBI, WWW); vowel-bearing caps tokens only via whitelist —
+# the reference's weighted FST lets ordinary words (THIS, GREAT) and
+# word-acronyms (NATO) win, which a rule pass approximates this way
+_ABBR_WHITELIST = {"USA", "IBM", "ID", "EU", "UK", "US", "AI", "IO",
+                   "AM", "PM", "IE", "EG", "IP", "UI", "OS", "IQ",
+                   "FBI", "CIA", "IRS", "DIY", "FYI", "CEO", "CFO",
+                   "CTO", "CPU", "GPU", "API", "URL", "USB", "EU",
+                   "UN", "UAE", "IPO", "ISO", "IoT", "EVs", "IDE"}
+_VOWELS = set("AEIOU")
 
 
 def apply_serial_en(text: str) -> str:
@@ -493,6 +521,13 @@ def apply_serial_en(text: str) -> str:
 
 
 def apply_abbreviation_en(text: str) -> str:
-    """ALL-CAPS tokens spell out: NATO stays? the reference abbreviation
-    tagger spells capital-letter sequences letter by letter."""
-    return _ABBR_RE.sub(lambda m: " ".join(m.group(1).lower()), text)
+    """Letter-read abbreviations spell out (reference abbreviation
+    tagger); vowel-bearing caps words (THIS, NATO) pass through — see
+    _ABBR_WHITELIST note."""
+    def a(m):
+        t = m.group(1)
+        if t in _ABBR_WHITELIST or not (set(t) & _VOWELS):
+            return " ".join(t.lower())
+        return t
+
+    return _ABBR_RE.sub(a, text)

@@ -135,3 +135,28 @@ def test_upstream_bug_canary():
         pytest.skip("upstream grouped-conv grad bug fixed; "
                     "ops/dwconv.py custom VJP no longer required")
     assert abs(ratio - 2.0) < 1e-3  # scaled by the model-axis size
+
+
+@pytest.mark.parametrize("l,r", [(6, -2), (-1, 4), (10, 0)])
+def test_negative_padding_grads(l, r):
+    """Negative conv padding (edge trim — causal FSMN with large
+    sanm_shift) must not crash the custom backward."""
+    rng = np.random.default_rng(5)
+    K, D, T = 5, 8, 20
+    x = jnp.asarray(rng.standard_normal((2, T, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, 1, D)), jnp.float32)
+    Tout = T + l + r - K + 1
+    ct = jnp.asarray(rng.standard_normal((2, Tout, D)), jnp.float32)
+
+    def loss_ref(x, w):
+        return jnp.sum(_raw(x, w, l, r, D) * ct)
+
+    def loss_new(x, w):
+        return jnp.sum(conv1d_grouped(x, w, l, r, D) * ct)
+
+    gx_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    gx, gw = jax.grad(loss_new, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               atol=1e-4, rtol=1e-4)

@@ -293,8 +293,17 @@ TN_CLASS_CASES = [
     ("en", "~5", "approximately five"),
     ("en", "2+3", "two plus three"),
     ("en", "chapter IV", "chapter four"),
+    ("en", "part XL", "part forty"),         # cue word licenses L/C/D/M
+    ("en", "II and XIV", "two and fourteen"),  # safe {I,V,X} alphabet
+    # L/C/D/M caps without a cue are NOT roman numbers; they spell as
+    # abbreviations (letter-read), never as cardinals
+    ("en", "Washington DC is cold", "Washington d c is cold"),
+    ("en", "size XL shirt", "size x l shirt"),
     ("en", "model C24", "model c twenty four"),
-    ("en", "the NATO summit", "the n a t o summit"),
+    ("en", "the FBI and the TV", "the f b i and the t v"),
+    ("en", "THIS IS GREAT", "THIS IS GREAT"),  # caps words pass through
+    ("en", "made in the USA", "made in the u s a"),
+    ("en", "the NATO summit", "the NATO summit"),  # word-acronym stays
     ("en", "at 12:30", "at twelve thirty"),
     ("en", "at 9:05", "at nine oh five"),
     # --- de (reference de taggers: date, fraction, electronic,

@@ -112,6 +112,7 @@ def test_sp_paraformer_greedy_full_chain(seed):
     seed 0 alone never hits.
     """
     rng = np.random.default_rng(seed)
+    full_len = seed == 2  # exercise lengths == T (tail in the pad block)
     from funasr_tpu.models.paraformer.model import Paraformer
     from funasr_tpu.parallel.sp_cif import sp_paraformer_greedy
     from funasr_tpu.ops import quant
@@ -127,7 +128,8 @@ def test_sp_paraformer_greedy_full_chain(seed):
                        decoder_conf=DEC, predictor_conf=PRED)
     B, T = 2, 64
     speech = jnp.asarray(rng.standard_normal((B, T, 24)), jnp.float32)
-    lengths = jnp.array([T - 3, T - 14], jnp.int32)  # < T (tail slot)
+    lengths = (jnp.array([T, T - 14], jnp.int32) if full_len
+               else jnp.array([T - 3, T - 14], jnp.int32))
     variables = model.init({"params": jax.random.PRNGKey(0)}, speech,
                            lengths, max_tokens=32,
                            method=model.greedy_decode)

@@ -237,3 +237,36 @@ def test_iter_split_batches_covers_dataset():
     assert all(i < 5 for i in first_half)
     # batches are re-packed to full batch shapes within each slice
     assert max(len(idx) for idx, _, _ in split) == 3
+
+
+def test_iter_split_batches_resume_and_pad_lens():
+    """Regressions: start_step skips emitted batches of the EPOCH (not
+    per slice), and each emitted batch pads to the max of ITS OWN items
+    (not a slice-running max)."""
+    from funasr_tpu.bin.train import iter_split_batches
+    from funasr_tpu.datasets.samplers import DynamicBatchSampler
+
+    n = 12
+    lens = [50 + 10 * i for i in range(n)]
+    sampler = DynamicBatchSampler(lens, lens, batch_type="example",
+                                  batch_size=3, shuffle=False)
+    full = list(iter_split_batches(sampler, n, 3, epoch=0))
+    resumed = list(iter_split_batches(sampler, n, 3, epoch=0,
+                                      start_step=2))
+    assert [i for b in resumed for i in b[0]] \
+        == [i for b in full[2:] for i in b[0]]
+
+    # pad lens per emitted batch: later short batches must not inherit
+    # an earlier long batch's pad length (old code kept a slice-running
+    # max). With DESCENDING lengths, the later batch in a slice must pad
+    # to its own (smaller) bucket length.
+    lens_d = [170 - 10 * i for i in range(n)]
+    sampler_d = DynamicBatchSampler(lens_d, lens_d, batch_type="example",
+                                    batch_size=3, shuffle=False)
+    out = list(iter_split_batches(sampler_d, n, 2, epoch=0))
+    for idx, ps, _pt in out:
+        own = max(lens_d[i] for i in idx)
+        assert ps <= own + 60  # not the global max of the slice prefix
+    pads = [ps for _, ps, _ in out]
+    assert pads != sorted(pads), "descending data must yield " \
+        "non-increasing pads, not a running max"
