@@ -73,3 +73,55 @@ def test_default_frontend_matches_torch_stft_slaney():
     got = np.asarray(feats[0])
     T = min(len(want), got.shape[0])
     np.testing.assert_allclose(got[:T], want[:T], atol=2e-3)
+
+
+def test_mel23_frontend_shapes_and_semantics():
+    """WavFrontendMel23 (EEND-OLA): stft conventions, slaney mel bank,
+    splice/subsample — reference wav_frontend.py:500."""
+    import numpy as np
+
+    from funasr_tpu.frontends.mel23 import (WavFrontendMel23,
+                                            mel_filterbank, splice, stft,
+                                            transform)
+    from funasr_tpu.registry import tables
+
+    assert tables.get("frontend_classes", "WavFrontendMel23") \
+        is WavFrontendMel23
+
+    rng = np.random.default_rng(0)
+    # mel bank: librosa conventions — shape, nonnegative, slaney norm
+    # makes filter areas equal (sum_k w[m,k] * df is ~constant)
+    fb = mel_filterbank(8000, 1024, 23)
+    assert fb.shape == (23, 513)
+    assert (fb >= 0).all()
+    areas = fb.sum(axis=1)
+    # equal-area within a few % (grid quantization)
+    assert areas.std() / areas.mean() < 0.05
+
+    # stft: trailing-frame trim exactly when len % shift == 0
+    # (centered frames = 1 + len//hop; the trim removes one)
+    w = rng.standard_normal(2561)
+    s1 = stft(w[:2560], 1024, 256)   # divisible -> 11 - 1 = 10 frames
+    s2 = stft(w, 1024, 256)          # not divisible -> 11 frames
+    assert s1.shape[1] == 513
+    assert (s1.shape[0], s2.shape[0]) == (10, 11)
+
+    # transform: per-utterance zero mean
+    m = transform(s1)
+    np.testing.assert_allclose(m.mean(axis=0), 0.0, atol=1e-4)
+    assert m.shape == (s1.shape[0], 23)
+
+    # splice context layout: [t-c .. t .. t+c] blocks
+    Y = np.arange(12, dtype=np.float32).reshape(4, 3)
+    sp = splice(Y, 1)
+    assert sp.shape == (4, 9)
+    np.testing.assert_array_equal(sp[1], np.concatenate([Y[0], Y[1], Y[2]]))
+    np.testing.assert_array_equal(sp[0][:3], 0)  # zero left pad
+
+    fe = WavFrontendMel23(lfr_m=2, lfr_n=2)
+    assert fe.output_size() == 23 * 5
+    wavs = np.stack([rng.standard_normal(4000),
+                     np.pad(rng.standard_normal(2000), (0, 2000))])
+    feats, flens = fe(wavs, np.array([4000, 2000]))
+    assert feats.shape[0] == 2 and feats.shape[2] == 115
+    assert flens[1] < flens[0]

@@ -165,3 +165,33 @@ def test_sanm_kws_detect(rng):
                       jnp.array([[3, 4, 0], [5, 0, 0]], jnp.int32),
                       jnp.array([2, 1], jnp.int32))
     assert np.isfinite(float(loss))
+
+
+def test_kws_det_metrics():
+    """DET tooling (reference compute_det_ctc semantics): FRR over
+    keyword utterances, FAR/hour over negative audio."""
+    from funasr_tpu.metrics.kws_det import (compute_det, contains_keyword,
+                                            det_at_far, split_mixed_label)
+
+    assert split_mixed_label("你好hello世界") == ["你", "好", "hello",
+                                                   "世", "界"]
+    assert contains_keyword("小云小云在吗", "小云")
+    assert not contains_keyword("小蓝你好", "小云")
+    assert contains_keyword("ok google turn on", "ok google")
+
+    rows = [
+        ("u1", {"小云": 0.9}, "小云你好", 3.0),    # hit at t<=0.9
+        ("u2", {"小云": 0.2}, "小云在吗", 3.0),    # missed for t>0.2
+        ("u3", {"小云": 0.8}, "今天天气", 3600.0),  # false alarm t<=0.8
+        ("u4", {"小云": 0.1}, "打开空调", 3600.0),
+    ]
+    det = compute_det(rows, ["小云"], thresholds=[0.0, 0.5, 0.95])
+    pts = det["小云"]
+    # t=0.0: no misses, both negatives fire -> FAR = 2 per 2h = 1/h
+    assert pts[0] == (0.0, 1.0, 0.0)
+    # t=0.5: one miss (u2), one false alarm (u3) -> 0.5/h, FRR 0.5
+    assert pts[1][1] == 0.5 and pts[1][2] == 0.5
+    # t=0.95: no alarms, both positives missed
+    assert pts[2][1] == 0.0 and pts[2][2] == 1.0
+    th, far, frr = det_at_far(pts, far_per_hour=0.5)
+    assert far <= 0.5 and frr == 0.5
