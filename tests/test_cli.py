@@ -142,3 +142,30 @@ def test_train_cli_pipeline_parallel(tmp_path, rng):
     finally:
         pp.disable()
     assert int(state.step) > 0
+
+
+def test_tokenize_text_cli(tmp_path):
+    """funasr-tpu-tokenize-text: token stream + vocabulary building with
+    pinned symbols (reference funasr/bin/tokenize_text.py)."""
+    from funasr_tpu.bin import tokenize_text as tt
+
+    src = tmp_path / "text"
+    src.write_text("utt1 你好 世界\nutt2 你好 朋友\n", encoding="utf-8")
+
+    out = tmp_path / "tokens"
+    tt.main(["--input", str(src), "--output", str(out),
+             "--token_type", "char", "--field", "2-"])
+    lines = out.read_text(encoding="utf-8").splitlines()
+    assert lines[0].split() == ["你", "好", "世", "界"]
+
+    vocab = tmp_path / "vocab"
+    tt.main(["--input", str(src), "--output", str(vocab),
+             "--token_type", "char", "--field", "2-",
+             "--write_vocabulary",
+             "--add_symbol", "<blank>:0", "--add_symbol", "<unk>:1",
+             "--add_symbol", "<sos/eos>:-1"])
+    v = vocab.read_text(encoding="utf-8").splitlines()
+    assert v[0] == "<blank>" and v[1] == "<unk>" and v[-1] == "<sos/eos>"
+    # 你/好 occur twice -> sorted first among real tokens
+    assert set(v[2:4]) == {"你", "好"}
+    assert "世" in v and "朋" in v
