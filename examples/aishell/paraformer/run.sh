@@ -51,6 +51,10 @@ fi
 
 if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
   echo "stage 2: train (DP over all visible TPU devices)"
+  # parallelism knobs (parallel/): --model-parallel N adds a tensor axis,
+  # --pipeline-parallel M additionally shards the encoder LAYER axis with
+  # M GPipe microbatches (dp x tp x pp; grads exact vs single-device),
+  # --fsdp shards params ZeRO-style over the data axis.
   funasr-tpu-train \
     --config "${config}" \
     --train-jsonl "${feats_dir}/${train_set}.jsonl" \
