@@ -17,16 +17,23 @@ from typing import List, Optional
 
 
 def field2slice(field: Optional[str]):
-    """1-based field spec -> slice: "2-" (from 2nd), "1-3", "2"."""
+    """1-based field spec -> slice: "2-" (from 2nd), "-3" (up to 3rd),
+    "1-3", "2" (reference tokenize_text.py field2slice forms)."""
     if field is None:
         return None
-    if field.endswith("-"):
-        return slice(int(field[:-1]) - 1, None)
-    if "-" in field:
-        a, b = field.split("-", 1)
-        return slice(int(a) - 1, int(b))
-    i = int(field)
-    return slice(i - 1, i)
+    try:
+        if field.endswith("-"):
+            return slice(int(field[:-1]) - 1, None)
+        if field.startswith("-"):
+            return slice(None, int(field[1:]))
+        if "-" in field:
+            a, b = field.split("-", 1)
+            return slice(int(a) - 1, int(b))
+        i = int(field)
+        return slice(i - 1, i)
+    except ValueError:
+        raise SystemExit(
+            f"--field format: '2', '2-', '-3', or '1-3'; got {field!r}")
 
 
 def build_simple_tokenizer(token_type: str, delimiter: Optional[str],

@@ -66,10 +66,18 @@ def compute_det(
             else:
                 neg.append(s)
                 neg_secs += float(dur)
+        if not pos:
+            # a keyword with zero positive utterances has no defined FRR;
+            # reporting 0 would fake a perfect detector for a typo'd or
+            # absent keyword (the reference divides by keyword_num and
+            # fails loudly too)
+            raise ValueError(
+                f"keyword {kw!r} never occurs in the transcripts — "
+                f"check the keyword spelling / test set")
         pts: List[Tuple[float, float, float]] = []
         neg_hours = max(neg_secs / 3600.0, 1e-12)
         for t in thresholds:
-            frr = (sum(1 for s in pos if s < t) / len(pos)) if pos else 0.0
+            frr = sum(1 for s in pos if s < t) / len(pos)
             fa = sum(1 for s in neg if s >= t)
             pts.append((float(t), fa / neg_hours, frr))
         out[kw] = pts

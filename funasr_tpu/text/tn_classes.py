@@ -450,11 +450,13 @@ _ROMAN_BODY = (r"(M{0,3})(CM|CD|D?C{0,3})(XC|XL|L?X{0,3})"
 # abbreviations (DC, XL, CD, MC, MIX); the reference resolves those with
 # FST weights against the word graph, here they need a cue word
 _ROMAN_SAFE_RE = re.compile(r"\b(?=[IVX]{2,}\b)" + _ROMAN_BODY + r"\b")
-# "chapter IV", "part XL", "Henry VIII", ... — cue licenses any numeral
+# "chapter IV", "part XL", ... — the cue word licenses any numeral; the
+# cue matches case-insensitively but the numeral itself must be
+# UPPERCASE (a lowercase 'mix'/'dix' after a cue is a word, not a number)
 _ROMAN_CUE_RE = re.compile(
-    r"\b(chapter|part|act|section|volume|book|page|appendix|class|type|"
-    r"war|phase|stage|title|article)\s+(?=[IVXLCDM]{2,}\b)"
-    + _ROMAN_BODY + r"\b", re.IGNORECASE)
+    r"\b((?i:chapter|part|act|section|volume|book|page|appendix|class|"
+    r"type|war|phase|stage|title|article))\s+(?=[IVXLCDM]{2,}\b)"
+    + _ROMAN_BODY + r"\b")
 
 
 def roman_to_int(s: str) -> int:
@@ -498,9 +500,11 @@ _ABBR_RE = re.compile(r"\b([A-Z]{2,5})\b")
 _ABBR_WHITELIST = {"USA", "IBM", "ID", "EU", "UK", "US", "AI", "IO",
                    "AM", "PM", "IE", "EG", "IP", "UI", "OS", "IQ",
                    "FBI", "CIA", "IRS", "DIY", "FYI", "CEO", "CFO",
-                   "CTO", "CPU", "GPU", "API", "URL", "USB", "EU",
-                   "UN", "UAE", "IPO", "ISO", "IoT", "EVs", "IDE"}
-_VOWELS = set("AEIOU")
+                   "CTO", "CPU", "GPU", "API", "URL", "USB",
+                   "UN", "UAE", "IPO", "ISO", "IDE", "NYC"}
+# Y counts as a vowel here: MY/WHY/GYM-style caps words must pass
+# through, not spell out
+_VOWELS = set("AEIOUY")
 
 
 def apply_serial_en(text: str) -> str:

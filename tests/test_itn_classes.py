@@ -346,3 +346,30 @@ def test_tn_class_itn_roundtrip(lang, written, spoken_lang):
 
     spoken = normalize(written, lang)
     assert inverse_normalize(spoken, spoken_lang) == written
+
+
+@pytest.mark.parametrize("src", [
+    "see chapter iv for details",   # lowercase numerals stay words
+    "section mix",
+    "OH MY GOD", "WHY NOT",         # Y-vowel caps words pass through
+])
+def test_en_tn_class_guards_no_false_positive(src):
+    from funasr_tpu.text.tn import normalize
+
+    assert normalize(src, "en") == src
+
+
+def test_kws_det_raises_on_absent_keyword():
+    from funasr_tpu.metrics.kws_det import compute_det
+
+    rows = [("u1", {"x": 0.4}, "没有关键词", 2.0)]
+    with pytest.raises(ValueError, match="never occurs"):
+        compute_det(rows, ["x"])
+
+
+def test_tokenize_field_from_start(tmp_path):
+    from funasr_tpu.bin.tokenize_text import field2slice
+
+    assert field2slice("-3") == slice(None, 3)
+    with pytest.raises(SystemExit):
+        field2slice("a-b")
