@@ -136,6 +136,16 @@ class AutoModel:
         # every visible device (or a caller-provided mesh with a "data"
         # axis).  Single-device meshes are a no-op.
         self.mesh = device_mesh
+        if data_parallel and (int(tensor_parallel or 0) > 1
+                              or int(sequence_parallel or 0) > 1):
+            # tp/sp build their mesh over jax.devices()[:N] while the dp
+            # mesh spans ALL devices; combining them would place params
+            # and the dp-sharded batch on different device sets and fail
+            # deep inside jit — surface it as a config error instead.
+            raise ValueError(
+                "data_parallel=True cannot be combined with "
+                "tensor_parallel/sequence_parallel; pick one layout "
+                "(or pass an explicit device_mesh)")
         if data_parallel and self.mesh is None and len(jax.devices()) > 1:
             from funasr_tpu.parallel.mesh import make_mesh
 
@@ -196,6 +206,15 @@ class AutoModel:
             vocab_size=vocab, input_size=input_size,
             encoder_conf=cfg.get("encoder_conf"),
         )
+        # serving compute dtype from config ("dtype: bfloat16" — the
+        # reference's fp16/bf16 cast at auto_model.py:284-287; params stay
+        # fp32, fp32 layernorm/softmax inside the models)
+        if cfg.get("dtype") in ("bfloat16", "bf16"):
+            common["dtype"] = jnp.bfloat16
+        elif cfg.get("dtype") in ("float32", "fp32", None):
+            pass
+        else:
+            raise ValueError(f"unsupported dtype {cfg.get('dtype')!r}")
         if name in ("BiCifParaformer", "SeacoParaformer",
                     "ContextualParaformer"):
             from funasr_tpu.auto.engines import BiCifEngine, HotwordEngine

@@ -221,7 +221,7 @@ class ParaformerEngine(BatchedAsrEngine):
             toks = self.tokenizer.ids2tokens(ids)
             res: Dict[str, Any] = {}
             if with_timestamp:
-                offset = vad_offsets[i] if vad_offsets else 0
+                offset = (0 if vad_offsets is None or not len(vad_offsets) else vad_offsets[i])
                 _, ts = ts_from_cif_peaks(
                     peaks[i], alphas[i], list(toks), vad_offset=offset
                 )
@@ -282,7 +282,7 @@ class BiCifEngine(ParaformerEngine):
             n = int(tok_lens[i])
             ids = [t for t in tokens[i, :n].tolist() if t != self.blank_id]
             toks = self.tokenizer.ids2tokens(ids)
-            offset = vad_offsets[i] if vad_offsets else 0
+            offset = (0 if vad_offsets is None or not len(vad_offsets) else vad_offsets[i])
             _, ts = ts_prediction_lfr6_standard(
                 us_alphas[i], us_peaks[i], list(toks), vad_offset=offset)
             text, ts_kept, words = sentence_postprocess(toks, ts)
@@ -469,7 +469,7 @@ class SenseVoiceEngine(BatchedAsrEngine):
             res = {"text": rich_transcription_postprocess(text) if rich_text else text,
                    "raw_text": text}
             if align is not None:
-                offset = vad_offsets[i] if vad_offsets else 0
+                offset = (0 if vad_offsets is None or not len(vad_offsets) else vad_offsets[i])
                 toks = self.tokenizer.ids2tokens(ids[4:])
                 res["timestamp"] = _ctc_align_timestamps(
                     align[i], toks, offset_ms=offset)
@@ -507,8 +507,12 @@ class HybridEngine(BatchedAsrEngine):
                                       self.maxlen)
         return toks[:, 0], tok_lens[:, 0]
 
-    def transcribe(self, wavs: Sequence[np.ndarray], **kw
+    def transcribe(self, wavs: Sequence[np.ndarray], nbest: int = 1, **kw
                    ) -> List[Dict[str, Any]]:
+        """``nbest > 1`` additionally returns the top-K hypotheses with
+        scores under ``"nbest"`` — the tensor beam's answer to the
+        reference WFST decoder's lattice/n-best outputs
+        (runtime/onnxruntime/src/wfst-decoder.cpp GetNBestLattice role)."""
         if not len(wavs):
             return []
         wav_d, lens_d = self._pack(wavs)
@@ -516,13 +520,25 @@ class HybridEngine(BatchedAsrEngine):
                                            self.beam, self.maxlen)
         toks = np.asarray(toks)
         tok_lens = np.asarray(tok_lens)
+        scores = np.asarray(scores)
+        nbest = max(1, min(int(nbest), self.beam))
         results = []
         for i in range(len(wavs)):
             ids = toks[i, 0, : int(tok_lens[i, 0])].tolist()
             words = self.tokenizer.ids2tokens(ids)
             text, raw = sentence_postprocess(words)
-            results.append({"text": text, "raw_tokens": raw,
-                            "score": float(np.asarray(scores)[i, 0])})
+            res = {"text": text, "raw_tokens": raw,
+                   "score": float(scores[i, 0])}
+            if nbest > 1:
+                hyps = []
+                for k in range(nbest):
+                    ids_k = toks[i, k, : int(tok_lens[i, k])].tolist()
+                    text_k, _ = sentence_postprocess(
+                        self.tokenizer.ids2tokens(ids_k))
+                    hyps.append({"text": text_k, "score": float(scores[i, k]),
+                                 "tokens": ids_k})
+                res["nbest"] = hyps
+            results.append(res)
         return results
 
 

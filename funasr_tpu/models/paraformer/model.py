@@ -90,7 +90,13 @@ class Paraformer(nn.Module):
 
         dec_conf = dict(self.decoder_conf or {})
         dec_conf.pop("positional_dropout_rate", None)
-        dec_conf["sanm_shift"] = dec_conf.pop("sanm_shfit", 0)
+        if "sanm_shfit" in dec_conf:  # reference template spelling
+            dec_conf["sanm_shift"] = dec_conf.pop("sanm_shfit")
+        elif "sanm_shift" not in dec_conf:
+            # keep each decoder class's own default (0 for Paraformer,
+            # (kernel-1)//2-causal for FsmnDecoderSCAMAOpt) — forcing 0
+            # here would silently de-causalise the SCAMA decoder
+            pass
         from funasr_tpu.registry import tables as _tables
 
         dec_cls = (ParaformerSANMDecoder if self.decoder_name is None

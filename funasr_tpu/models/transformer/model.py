@@ -123,22 +123,46 @@ class _HybridModel(nn.Module):
     def decode_beam(
         self, speech, speech_lengths, beam: int = 10, maxlen: int = 64,
         decoding_ctc_weight: float = 0.3, length_bonus: float = 0.0,
+        use_cache: bool = True,
     ):
-        """Joint CTC/attention beam decode -> (tokens (B,K,L), lengths, scores)."""
+        """Joint CTC/attention beam decode -> (tokens (B,K,L), lengths, scores).
+
+        ``use_cache=True`` (default) scores steps incrementally with the
+        KV-cached scorer (ops/cached_decoder.py — the reference's
+        transformer/decoder.py:334 ``batch_score`` cache semantics) when
+        the decoder is the plain TransformerDecoder; other decoder kinds
+        (RWKV/conv) fall back to full-prefix rescoring.
+        """
         enc, enc_lens = self.encode(speech, speech_lengths, True)
         B = enc.shape[0]
-        enc_rep = jnp.repeat(enc, beam, axis=0)
-        lens_rep = jnp.repeat(enc_lens, beam, axis=0)
 
-        def decode_fn(ys, step):
-            L = ys.shape[1]
-            lens = jnp.full((ys.shape[0],), L, jnp.int32)
-            logits = self.decoder_module(enc_rep, lens_rep, ys, lens, True)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            return jnp.take_along_axis(
-                logp, jnp.broadcast_to(step[None, None, None],
-                                       (ys.shape[0], 1, 1)), axis=1
-            )[:, 0]
+        from funasr_tpu.models.transformer.decoder import TransformerDecoder
+
+        decode_fn = step_score_fn = dec_state = state_reorder_fn = None
+        if use_cache and type(self.decoder_module) is TransformerDecoder:
+            from funasr_tpu.ops.cached_decoder import CachedTransformerDecoder
+
+            scorer = CachedTransformerDecoder(
+                self.variables["params"]["decoder"],
+                enc.astype(self.dtype), enc_lens,
+                n_head=self.decoder_module.attention_heads,
+                maxlen=maxlen, dtype=self.dtype, beam=beam)
+            step_score_fn = scorer.step
+            dec_state = scorer.init_state()
+            state_reorder_fn = CachedTransformerDecoder.reorder_state
+        else:
+            enc_rep = jnp.repeat(enc, beam, axis=0)
+            lens_rep = jnp.repeat(enc_lens, beam, axis=0)
+
+            def decode_fn(ys, step):
+                L = ys.shape[1]
+                lens = jnp.full((ys.shape[0],), L, jnp.int32)
+                logits = self.decoder_module(enc_rep, lens_rep, ys, lens, True)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                return jnp.take_along_axis(
+                    logp, jnp.broadcast_to(step[None, None, None],
+                                           (ys.shape[0], 1, 1)), axis=1
+                )[:, 0]
 
         ctc_logp = None
         if decoding_ctc_weight > 0.0 and self.ctc_weight > 0.0:
@@ -151,6 +175,8 @@ class _HybridModel(nn.Module):
             decode_fn, B, beam, self.vocab_size, self.sos, self.eos, maxlen,
             ctc_logp=ctc_logp, ctc_weight=decoding_ctc_weight,
             length_bonus=length_bonus, blank_id=self.blank_id,
+            step_score_fn=step_score_fn, dec_state=dec_state,
+            state_reorder_fn=state_reorder_fn,
         )
 
 

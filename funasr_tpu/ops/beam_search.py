@@ -125,11 +125,12 @@ def ctc_prefix_step(
     """
     B, K, T, _ = r_prev.shape
     W = cand.shape[-1]
-    # per-candidate emission logp: (B, K, W, T)
-    xg = jnp.take_along_axis(
-        x[:, None, :, :].repeat(K, 1), cand[:, :, None, :].repeat(T, 2), axis=-1
-    )  # (B, K, T, W)
-    xg = jnp.moveaxis(xg, 3, 2)  # (B, K, W, T)
+    # per-candidate emission logp xg[b,k,w,t] = x[b,t,cand[b,k,w]]: a
+    # broadcasting take_along_axis over the vocab axis — NOT a (B,K,T,V)
+    # repeat of x (which materialized ~0.5 GB/step at bench shapes and
+    # dominated the beam cost before r4)
+    xg = jnp.take_along_axis(x, cand.reshape(B, 1, K * W), axis=2)
+    xg = jnp.moveaxis(xg, 1, 2).reshape(B, K, W, T)
     xb = x[:, :, blank_id]  # (B, T)
 
     r_nb_prev = r_prev[..., 0]  # (B, K, T)
@@ -144,7 +145,14 @@ def ctc_prefix_step(
         [jnp.broadcast_to(phi0[..., None], (B, K, W, 1)), phi[..., :-1]], axis=-1
     )
 
-    r_nb_seq, r_b_seq = _ctc_recurrence(xg, xb, phi_shift)
+    from funasr_tpu.ops import ctc_prefix_pallas as CP
+
+    if CP.enabled():
+        # one fused kernel for the whole frame chain (see module docstring
+        # there) instead of T scan-step launches
+        r_nb_seq, r_b_seq = CP.ctc_recurrence(xg, xb, phi_shift)
+    else:
+        r_nb_seq, r_b_seq = _ctc_recurrence(xg, xb, phi_shift)
     sigma = _logaddexp(r_nb_seq[..., -1], r_b_seq[..., -1])  # (B, K, W)
     r_new = jnp.stack([r_nb_seq, r_b_seq], axis=-1)  # (B, K, W, T, 2)
     return sigma, r_new
@@ -167,7 +175,7 @@ class BeamResult(NamedTuple):
 
 
 def beam_search(
-    decode_fn: Callable,  # (ys (N, L+1), step) -> next-token logp (N, V)
+    decode_fn: Optional[Callable],  # (ys (N, L+1), step) -> next logp (N, V)
     batch: int,
     beam: int,
     vocab: int,
@@ -183,9 +191,32 @@ def beam_search(
     lm_weight: float = 0.0,
     hotword_tables=None,  # (next_state (S,V), bonus (S,V)) from build_bias_trie
     hotword_weight: float = 1.0,
+    step_score_fn: Optional[Callable] = None,
+    dec_state=None,
+    state_reorder_fn: Optional[Callable] = None,
 ) -> BeamResult:
-    """Batched fixed-beam search; jit-compatible (static maxlen/beam)."""
+    """Batched fixed-beam search; jit-compatible (static maxlen/beam).
+
+    Two attention-scorer interfaces:
+
+    - ``decode_fn(ys, step)``: full-prefix rescoring each step (simple,
+      L^2 recompute);
+    - ``step_score_fn(last_tok (N,), step, state) -> (logp (N, V), state)``
+      with ``dec_state`` the initial cache pytree and
+      ``state_reorder_fn(state, src_flat (N,))`` the beam-gather — the
+      incremental cached path (reference transformer/decoder.py:291
+      ``forward_one_step`` semantics; see ops/cached_decoder.py).
+
+    The decode loop is a ``lax.while_loop`` that exits as soon as every
+    hypothesis has emitted eos (the reference's ``end_detect``), which the
+    fixed-trip scan it replaced could not.
+    """
     B, K, V = batch, beam, vocab
+    incremental = step_score_fn is not None
+    if not incremental and decode_fn is None:
+        raise ValueError("need decode_fn or step_score_fn")
+    if incremental and state_reorder_fn is None:
+        raise ValueError("step_score_fn requires state_reorder_fn")
     use_ctc = ctc_logp is not None and ctc_weight > 0.0
     use_hw = hotword_tables is not None and hotword_weight != 0.0
     if use_hw:
@@ -208,9 +239,16 @@ def beam_search(
         sigma_g = jnp.zeros((B, K))
 
     def step_fn(carry, step):
-        ys, scores, finished, lengths, r_state, sigma_g, hw_state = carry
+        (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
+         dstate) = carry
         N = B * K
-        logp = decode_fn(ys.reshape(N, -1), step)  # (N, V) next-token logp
+        last = jnp.take_along_axis(
+            ys, jnp.broadcast_to(step[None, None, None], (B, K, 1)), axis=2
+        )[..., 0]  # (B, K) token at position `step`
+        if incremental:
+            logp, dstate = step_score_fn(last.reshape(N), step, dstate)
+        else:
+            logp = decode_fn(ys.reshape(N, -1), step)  # (N, V)
         logp = logp.reshape(B, K, V).astype(jnp.float32)
 
         if use_ctc:
@@ -227,9 +265,6 @@ def beam_search(
             fused = att_w * logp + lm_term
             _, cand = lax.top_k(fused, W)  # (B, K, W)
             cand_fused = jnp.take_along_axis(fused, cand, axis=-1)
-            last = jnp.take_along_axis(
-                ys, jnp.broadcast_to(step[None, None, None], (B, K, 1)), axis=2
-            )[..., 0]
             pe = jnp.broadcast_to(step == 0, (B, K))
             sigma, r_new = ctc_prefix_step(
                 ctc_logp, r_state, last, cand, pe, blank_id
@@ -271,6 +306,10 @@ def beam_search(
             )
 
         ys = gather_hyp(ys)
+        if incremental:
+            src_flat = (jnp.arange(B, dtype=src_hyp.dtype)[:, None] * K
+                        + src_hyp).reshape(B * K)
+            dstate = state_reorder_fn(dstate, src_flat)
         finished = jnp.take_along_axis(finished, src_hyp, axis=1)
         lengths = jnp.take_along_axis(lengths, src_hyp, axis=1)
         ys = ys.at[:, :, step + 1].set(jnp.where(finished, eos, tok))
@@ -299,18 +338,35 @@ def beam_search(
 
         finished = finished | (tok == eos)
         scores = top_scores
-        return (ys, scores, finished, lengths, r_state, sigma_g, hw_state), None
+        return (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
+                dstate)
 
-    carry = (ys, scores, finished, lengths, r_state, sigma_g, hw_state)
-    carry, _ = lax.scan(step_fn, carry, jnp.arange(maxlen))
-    ys, scores, finished, lengths, r_state, sigma_g, hw_state = carry
+    carry = (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
+             dec_state)
+
+    def loop_cond(sc):
+        step, carry = sc
+        return (step < maxlen) & ~jnp.all(carry[2])
+
+    def loop_body(sc):
+        step, carry = sc
+        return step + 1, step_fn(carry, step)
+
+    _, carry = lax.while_loop(loop_cond, loop_body,
+                              (jnp.asarray(0, jnp.int32), carry))
+    (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
+     dec_state) = carry
 
     # forced-eos finalization: hypotheses still running at maxlen must pay
     # the eos term before ranking against finished ones (the reference
     # appends eos to every running hyp in the final loop), otherwise an
     # unfinished hyp that banked maxlen token logps outranks a correctly
     # terminated one.
-    final_logp = decode_fn(ys.reshape(B * K, -1), jnp.asarray(maxlen))
+    if incremental:
+        final_logp, _ = step_score_fn(ys[:, :, maxlen].reshape(B * K),
+                                      jnp.asarray(maxlen), dec_state)
+    else:
+        final_logp = decode_fn(ys.reshape(B * K, -1), jnp.asarray(maxlen))
     final_eos = final_logp.reshape(B, K, V)[..., eos].astype(jnp.float32)
     att_w_final = 1.0 - ctc_weight if use_ctc else 1.0
     eos_term = att_w_final * final_eos + length_bonus

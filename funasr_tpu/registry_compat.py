@@ -125,8 +125,10 @@ def install():
            "model_classes", "WhisperWrap")
 
     # ---- decoders (reference sanm/decoder.py FsmnDecoder,
-    # scama/decoder.py:203 FsmnDecoderSCAMAOpt, paraformer/decoder.py:982)
-    for name in ("FsmnDecoder", "FsmnDecoderSCAMAOpt",
+    # paraformer/decoder.py:982).  FsmnDecoderSCAMAOpt is a REAL class now
+    # (models/scama/decoder.py) — aliasing it here would clobber the
+    # chunk-aware decoder registration.
+    for name in ("FsmnDecoder",
                  "ParaformerSANMDecoderExport",
                  "ParaformerSANMDecoderOnlineExport"):
         _alias("decoder_classes", name,

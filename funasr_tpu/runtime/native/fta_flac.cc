@@ -127,6 +127,9 @@ bool decode_subframe(BitReader &br, int blocksize, int bps,
   uint32_t type = br.bits(6);
   int wasted = 0;
   if (br.bits(1)) wasted = (int)br.unary() + 1;
+  /* hostile-input guard: wasted >= bps would make sbits() width <= 0 and
+     the final `out[i] <<= wasted` a UB shift (server-reachable input) */
+  if (wasted >= bps || wasted >= 64) return false;
   bps -= wasted;
   out.assign(blocksize, 0);
 

@@ -197,6 +197,13 @@ def _en_month_idx(tok: str) -> int:
 _DECADE_RE = re.compile(r"\b(mid-)?(1[6-9]\d\d|20\d\d)s\b",
                         re.IGNORECASE)
 
+# words that mark a following bare 1600-2099 number as a year
+_EN_YEAR_CUES = frozenset((
+    "in", "since", "by", "from", "until", "till", "of", "circa", "around",
+    "after", "before", "between", "and", "to", "during", "through", "early",
+    "late", "mid", "year", "c", "ca",
+))
+
 
 def apply_decades_en(text: str) -> str:
     """Decades BEFORE the measure pass ('1990s' must not read as
@@ -232,7 +239,22 @@ def apply_date_en(text: str) -> str:
             base = en_year(y)
             return (base[:-1] + "ies") if base.endswith("y") \
                 else base + "s"
-        return en_year(y)
+        # date-vs-cardinal disambiguation (the reference weights the en
+        # date tagger against cardinal with FST weights): read a bare
+        # 1600-2099 number as a year only under a date cue — a preceding
+        # preposition/month word or sentence-final position.  Otherwise
+        # leave the digits for the cardinal pass ("2023 attendees",
+        # "room 1984" must not become year readings).
+        before = m.string[: m.start()].rstrip()
+        prev = re.split(r"[^A-Za-z.']+", before)[-1].rstrip(".").lower() \
+            if before else ""
+        after = m.string[m.end():].lstrip()
+        sentence_final = after == "" or after[0] in ".?!"
+        is_month = prev[:3] in ("jan", "feb", "mar", "apr", "may", "jun",
+                                "jul", "aug", "sep", "oct", "nov", "dec")
+        if prev in _EN_YEAR_CUES or is_month or sentence_final:
+            return en_year(y)
+        return m.group(0)
 
     return _YEAR_RE.sub(year, text)
 

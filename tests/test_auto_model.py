@@ -141,6 +141,15 @@ def test_generate_conformer_hybrid(rng):
     am = AutoModel(model=cfg)
     res = am.generate([_wav(rng, 1.0)])
     assert len(res) == 1 and "text" in res[0] and "score" in res[0]
+    # n-best surface (generate(nbest=K)): top hypothesis first, scores
+    # sorted, hyp 0 == the 1-best fields
+    res = am.generate([_wav(rng, 1.0)], nbest=3)
+    hyps = res[0]["nbest"]
+    assert len(hyps) == 3
+    assert hyps[0]["text"] == res[0]["text"]
+    assert hyps[0]["score"] == res[0]["score"]
+    scores = [h["score"] for h in hyps]
+    assert scores == sorted(scores, reverse=True)
 
 
 def test_generate_transducer(rng):

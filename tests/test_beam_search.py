@@ -242,3 +242,41 @@ def test_ctc_recurrence_associative_matches_sequential(rng):
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_cached_beam_matches_full_recompute(rng):
+    """KV-cached incremental scoring (ops/cached_decoder.py) must produce
+    the same hypotheses/scores as the full-prefix recompute — the cache is
+    a pure reformulation (reference transformer/decoder.py:291
+    forward_one_step vs forward)."""
+    model = Conformer(**CONF)
+    B, T = 3, 44
+    speech = jnp.asarray(rng.standard_normal((B, T, 20)), jnp.float32)
+    slens = jnp.array([T, T - 8, T - 16])
+    text = jnp.asarray(rng.integers(3, 16, (B, 5)), jnp.int32)
+    tlens = jnp.array([5, 4, 3])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, slens, text, tlens,
+    )
+    kw = dict(beam=4, maxlen=10, decoding_ctc_weight=0.3)
+    res_full = model.apply(variables, speech, slens, use_cache=False,
+                           method=model.decode_beam, **kw)
+    res_cache = model.apply(variables, speech, slens, use_cache=True,
+                            method=model.decode_beam, **kw)
+    np.testing.assert_array_equal(np.asarray(res_cache.tokens),
+                                  np.asarray(res_full.tokens))
+    np.testing.assert_array_equal(np.asarray(res_cache.lengths),
+                                  np.asarray(res_full.lengths))
+    np.testing.assert_allclose(np.asarray(res_cache.scores),
+                               np.asarray(res_full.scores),
+                               rtol=1e-4, atol=1e-4)
+    # attention-only path (no CTC) exercises the early-exit while loop too
+    res_f2 = model.apply(variables, speech, slens, use_cache=False,
+                         method=model.decode_beam, beam=4, maxlen=10,
+                         decoding_ctc_weight=0.0)
+    res_c2 = model.apply(variables, speech, slens, use_cache=True,
+                         method=model.decode_beam, beam=4, maxlen=10,
+                         decoding_ctc_weight=0.0)
+    np.testing.assert_array_equal(np.asarray(res_c2.tokens),
+                                  np.asarray(res_f2.tokens))

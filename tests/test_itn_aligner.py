@@ -197,10 +197,15 @@ def test_tn_zh_cardinals():
 def test_tn_en_cardinals():
     assert _tn("21", "en") == "twenty one"
     assert _tn("325", "en") == "three hundred twenty five"
-    # bare 4-digit numbers in year range read as YEARS since the date
-    # class landed (reference en date tagger year graph); ITN roundtrips
-    # either reading back to 2023
+    # year-range numbers read as YEARS only under a date cue (preceding
+    # preposition/month or sentence-final) — the reference disambiguates
+    # date-vs-cardinal with weighted FSTs; quantity contexts stay cardinal
     assert _tn("2023", "en") == "twenty twenty three"
+    assert _tn("in 2023", "en") == "in twenty twenty three"
+    assert _tn("2023 attendees", "en") == \
+        "two thousand twenty three attendees"
+    assert _tn("room 1984 is open", "en") == \
+        "room one thousand nine hundred eighty four is open"
     assert _tn("4127", "en") == "four thousand one hundred twenty seven"
     assert _tn("50%", "en") == "fifty percent"
     assert _tn("3.14", "en") == "three point one four"
