@@ -250,7 +250,32 @@ class AutoModel:
             return HotwordEngine(module, params, frontend, tokenizer,
                                  blank_id=module.blank_id, mesh=self.mesh,
                                  seaco=(name == "SeacoParaformer"))
-        if name in ("Paraformer", "EParaformer", "SCAMA"):
+        if name == "SCAMA":
+            # AR chunk-aware model since r4 (real FsmnDecoderSCAMAOpt):
+            # serve through the beam engine, init via the training call
+            from funasr_tpu.auto.engines import HybridEngine
+
+            module = cls(
+                decoder_conf=cfg.get("decoder_conf"),
+                predictor_conf=cfg.get("predictor_conf"),
+                **common, **(cfg.get("model_conf") or {}),
+            )
+            params = _load_params(cfg)
+            if params is None:
+                T = 32
+                params = module.init(
+                    {"params": self.rng, "dropout": self.rng},
+                    jnp.zeros((1, T, input_size)), jnp.array([T]),
+                    jnp.zeros((1, 4), jnp.int32), jnp.array([4]),
+                    deterministic=True,
+                )
+            dec_cfg = cfg.get("decoding_conf") or {}
+            return HybridEngine(module, params, frontend, tokenizer,
+                                beam=dec_cfg.get("beam_size", 5),
+                                maxlen=dec_cfg.get("maxlenratio_tokens", 96),
+                                decoding_ctc_weight=dec_cfg.get(
+                                    "decoding_ctc_weight", 0.0))
+        if name in ("Paraformer", "EParaformer"):
             # same NAR contract (SCAMA/EParaformer subclass Paraformer);
             # EParaformer's PIF predictor has no cif peaks -> timestamps
             # come from the BiCif family instead

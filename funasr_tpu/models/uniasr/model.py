@@ -10,6 +10,19 @@ mask* (streaming-equivalent context), pass 2's encoder consumes
 ``concat(features, enc1)`` with full context.  ``greedy_decode`` returns
 both passes so a server can emit pass-1 tokens immediately and correct
 with pass 2 (the 2-pass websocket mode).
+
+TRAINING-OBJECTIVE DIVERGENCE (read before fine-tuning from a reference
+checkpoint): the reference UniASR trains each pass AUTOREGRESSIVELY with
+``FsmnDecoderSCAMAOpt`` + the SCAMA chunk mask (uniasr/model.py:316
+``_calc_att_loss`` path).  This class keeps the serving-oriented NAR
+objective (CIF embeddings through a bidirectional decoder) — weights
+convert cleanly in both directions (same parameter layout,
+convert.py:uniasr_from_torch), and inference quality tracks the NAR
+Paraformer recipe, but *training dynamics differ from the reference*: a
+fine-tune starting from a reference UniASR checkpoint optimises a
+different loss surface.  For reference-exact AR chunk-aware training use
+the SCAMA model (models/scama/model.py), which since r4 trains the real
+objective.
 """
 
 from __future__ import annotations

@@ -152,6 +152,28 @@ def test_generate_conformer_hybrid(rng):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_generate_scama(rng):
+    """SCAMA through AutoModel: AR chunk-aware beam engine (r4)."""
+    cfg = dict(
+        model="SCAMA",
+        vocab_size=len(VOCAB),
+        tokenizer_conf={"token_list": VOCAB},
+        frontend_conf=dict(n_mels=20, lfr_m=1, lfr_n=1),
+        input_size=20,
+        encoder_conf=dict(output_size=16, attention_heads=2, linear_units=32,
+                          num_blocks=2, kernel_size=5, dropout_rate=0.0),
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=2,
+                          att_layer_num=2, kernel_size=5),
+        predictor_conf=dict(idim=16),
+        model_conf=dict(chunk_size=4, sampling_ratio=0.0),
+        decoding_conf=dict(beam_size=3, maxlenratio_tokens=8),
+    )
+    am = AutoModel(model=cfg)
+    res = am.generate([_wav(rng, 1.0)], nbest=2)
+    assert len(res) == 1 and "text" in res[0]
+    assert len(res[0]["nbest"]) == 2
+
+
 def test_generate_transducer(rng):
     cfg = dict(
         model="Transducer",

@@ -257,15 +257,18 @@ def test_scama_parity():
             sd[f"{prefix}.{k}"] = v.detach().numpy()
     params = scama_from_torch(sd)
 
+    # r4: SCAMA's decoder is the real AR FsmnDecoderSCAMAOpt — it takes
+    # token ids directly (models/scama/decoder.py); sanm_shfit=0 matches
+    # the reference module built above
     ours = SCAMA(vocab_size=V, input_size=IN, encoder_conf=ENC,
-                 decoder_conf=dict(DEC, num_blocks=3), predictor_conf=PRED,
-                 sampling_ratio=0.0)
+                 decoder_conf=dict(DEC, num_blocks=3, sanm_shfit=0),
+                 predictor_conf=PRED, sampling_ratio=0.0)
     x, lens = _speech(12)
 
     def run(mdl, x_, lens_, toks, tok_lens_):
         enc_j, enc_lens_j = mdl.encoder(x_, lens_, True)
-        semantic = mdl.decoder.embed_tokens(toks)
-        logits = mdl.decoder(enc_j, enc_lens_j, semantic, tok_lens_, True)
+        logits = mdl.decoder(enc_j, enc_lens_j, toks, tok_lens_,
+                             deterministic=True)
         # touch the predictor so its params exist in the init tree
         _ = mdl.predictor(enc_j, enc_lens_j, max_tokens=4,
                           deterministic=True)

@@ -75,8 +75,10 @@ def test_scama_train_and_decode(rng):
     loss, stats = model.apply(params, x, lens, text, tlens,
                               deterministic=True)
     assert np.isfinite(float(loss))
-    toks, n, sc = model.apply(params, x, lens, max_tokens=8,
-                              method=model.greedy_decode)
+    # r4: SCAMA decodes AR (chunk-aware FsmnDecoderSCAMAOpt); greedy is
+    # the beam-1 path and returns (tokens, lengths)
+    toks, n = model.apply(params, x, lens, max_tokens=8,
+                          method=model.greedy_decode)
     assert toks.shape == (2, 8)
     # chunk locality: changing far-future frames must not change the first
     # chunk's encoding (left context only)
