@@ -324,9 +324,30 @@ def main():
     n_windows = max(calls[0], 1)
     t_punc_dev = t_punc_one * n_windows
 
-    # ---------------- totals
-    t_total = (t_vad_dev + t_vad_host + t_asr_dev + t_asr_host
-               + t_punc_dev + t_punc_host)
+    # ---------------- totals (additive stage model: host charged on top
+    # of device — the conservative serial bound)
+    t_total_serial = (t_vad_dev + t_vad_host + t_asr_dev + t_asr_host
+                      + t_punc_dev + t_punc_host)
+
+    # ---------------- measured end-to-end (overlapped) pipeline
+    # Since r4 the real pipeline DISPATCHES every ASR batch before
+    # fetching any (engines.transcribe_async: host detok/timestamps of
+    # batch k overlap batch k+1's device compute) and puncs per VAD
+    # segment in cross-segment batched rounds
+    # (CTTransformerModel.inference_batch).  Measure the actual
+    # AutoModel.generate path with the VAD decision pinned to the planned
+    # segments (random-weight decisions differ from the plan; its cost is
+    # the separately slope-timed stage, added back), min-of-3 wall.
+    am.vad_engine.segments = lambda w: [list(s) for s in segments]
+
+    def run_pipe():
+        return am.generate(wav, batch_size_s=BATCH_SIZE_S_SAT)
+
+    run_pipe()  # warm: engine + punc (B, W) buckets compile here
+    t_pipe_meas = min(_timed(run_pipe) for _ in range(3))
+    t_total_overlap = t_pipe_meas + t_vad_dev + t_vad_host
+    # headline = the faster schedule the server can actually run
+    t_total = min(t_total_serial, t_total_overlap)
     pipeline_rate = AUDIO_S / t_total
 
     # ---------------- hybrid beam column (WFST-replacement path)
@@ -393,6 +414,9 @@ def main():
                 "punc_host": round(t_punc_host, 4),
             },
             "punc_windows": n_windows,
+            "serial_stage_sum_s": round(t_total_serial, 4),
+            "overlapped_e2e_s": round(t_total_overlap, 4),
+            "overlapped_generate_wall_s": round(t_pipe_meas, 4),
             "rtf": round(1.0 / pipeline_rate, 6),
             "vs_a10_single_stream": round(pipeline_rate / BASE_SINGLE, 1),
             "vs_a10_20way": round(pipeline_rate / BASE_20WAY, 1),

@@ -702,16 +702,30 @@ class AutoModel:
                     sv_chunk([start_ms / 1000.0, end_ms / 1000.0, clip],
                              fs=fs))
 
+        # dispatch EVERY batch's device program before fetching any result:
+        # jax's async dispatch queues them back-to-back, so the host-side
+        # detokenize/timestamp assembly of batch k overlaps the device
+        # compute of batch k+1 (the r3 pipeline serialized them —
+        # BENCH_PIPELINE asr_host ran on top of asr_device wall time)
         seg_results: Dict[int, Dict] = {}
+        pending = []
         for batch in batches:
-            res = self.engine.transcribe(
-                [clips[i] for i in batch],
+            args = dict(
                 with_timestamp=with_timestamp,
                 vad_offsets=[segments[i][0] for i in batch]
                 if with_timestamp else None,
                 **kwargs,
             )
-            for i, r in zip(batch, res):
+            clips_b = [clips[i] for i in batch]
+            afn = getattr(self.engine, "transcribe_async", None)
+            if afn is not None:
+                pending.append((batch, afn(clips_b, **args)))
+            else:
+                pending.append(
+                    (batch, (lambda c=clips_b, a=args:
+                             self.engine.transcribe(c, **a))))
+        for batch, finalize in pending:
+            for i, r in zip(batch, finalize()):
                 seg_results[i] = r
 
         texts, all_ts, all_tokens = [], [], []
@@ -729,15 +743,43 @@ class AutoModel:
         if with_timestamp:
             result["timestamp"] = all_ts
 
-        if use_itn or self.kwargs.get("use_itn"):
+        do_itn = use_itn or self.kwargs.get("use_itn")
+        if do_itn:
             from funasr_tpu.text.itn import inverse_normalize
 
             text = inverse_normalize(text, itn_lang)
             result["text"] = text
 
-        if self.punc_engine is not None and text:
+        # punc_mode "segment" (default): each VAD segment is its own punc
+        # context — window wi of every segment scored in ONE batched device
+        # call per round (CTTransformerModel.inference_batch), matching the
+        # reference ONLINE servers' per-sentence-segment punctuation
+        # (runtime/websocket/websocket-server-2pass.cpp punc_cache per
+        # segment).  "joint" reproduces the reference OFFLINE python path
+        # exactly: one sequential window chain over the whole joined text
+        # (funasr/auto/auto_model.py:540).  The two differ only where a
+        # sentence straddles a VAD silence boundary.
+        punc_mode = kwargs.get("punc_mode", "segment")
+        punc_out = None
+        if self.punc_engine is not None and text and punc_mode == "segment":
+            seg_texts = texts
+            if do_itn:
+                from funasr_tpu.text.itn import inverse_normalize
+
+                seg_texts = [inverse_normalize(t, itn_lang) for t in texts]
+            outs = self.punc_engine.model.inference_batch(
+                seg_texts, self.punc_engine.tokenizer)
+            punc_out = {
+                "text": join_segment_texts([o["text"] for o in outs]),
+                "punc_array": np.concatenate(
+                    [o["punc_array"] for o in outs])
+                if outs else np.zeros((0,), np.int64),
+            }
+            result["text"] = punc_out["text"]
+        elif self.punc_engine is not None and text:
             punc_out = self.punc_engine.punctuate(text)
             result["text"] = punc_out["text"]
+        if punc_out is not None:
             if with_timestamp:
                 punc_array = punc_out["punc_array"]
                 if len(all_tokens) != len(punc_array):

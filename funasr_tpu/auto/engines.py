@@ -210,12 +210,38 @@ class ParaformerEngine(BatchedAsrEngine):
         tokens, tok_lens, peaks, alphas = self._run(
             self.params, wav_d, lens_d, max_tokens
         )
+        return self._host_results(len(wavs), tokens, tok_lens, peaks,
+                                  alphas, with_timestamp, vad_offsets)
+
+    def transcribe_async(self, wavs, with_timestamp: bool = False,
+                         vad_offsets=None, **kw):
+        """Dispatch the device program NOW, defer fetch + host postproc.
+
+        Returns a zero-arg ``finalize()`` -> results.  jax's async dispatch
+        queues successive batches back-to-back on device, so the caller's
+        host work on batch k overlaps batch k+1's compute (the long-audio
+        pipeline's detokenize/timestamp stage — reference
+        auto_model.py:378's per-batch loop serializes them)."""
+        if not len(wavs) or self.sp_mesh is not None:
+            return lambda: self.transcribe(
+                wavs, with_timestamp=with_timestamp,
+                vad_offsets=vad_offsets, **kw)
+        wav_d, lens_d = self._pack(wavs)
+        dur_s = wav_d.shape[1] / self.frontend.fs
+        max_tokens = max(16, int(np.ceil(dur_s / 15.0))
+                         * self.max_tokens_per_15s)
+        out = self._run(self.params, wav_d, lens_d, max_tokens)
+        return lambda: self._host_results(len(wavs), *out, with_timestamp,
+                                          vad_offsets)
+
+    def _host_results(self, n_wavs, tokens, tok_lens, peaks, alphas,
+                      with_timestamp, vad_offsets):
         tokens = np.asarray(tokens)
         tok_lens = np.asarray(tok_lens)
         peaks = np.asarray(peaks)
         alphas = np.asarray(alphas)
         results = []
-        for i in range(len(wavs)):
+        for i in range(n_wavs):
             n = int(tok_lens[i])
             ids = [t for t in tokens[i, :n].tolist() if t != self.blank_id]
             toks = self.tokenizer.ids2tokens(ids)
@@ -270,6 +296,23 @@ class BiCifEngine(ParaformerEngine):
             self.params, wav_d, lens_d, max_tokens)
         return self._ts_results(wavs, tokens, tok_lens, us_alphas, us_peaks,
                                 vad_offsets)
+
+    def transcribe_async(self, wavs, with_timestamp: bool = True,
+                         vad_offsets=None, **kw):
+        """Async-dispatch variant (see ParaformerEngine.transcribe_async)
+        for the 20 ms-timestamp path."""
+        if not len(wavs):
+            return lambda: []
+        if not with_timestamp:
+            return ParaformerEngine.transcribe_async(
+                self, wavs, with_timestamp=False, vad_offsets=vad_offsets,
+                **kw)
+        wav_d, lens_d = self._pack(wavs)
+        dur_s = wav_d.shape[1] / self.frontend.fs
+        max_tokens = max(16, int(np.ceil(dur_s / 15.0))
+                         * self.max_tokens_per_15s)
+        out = self._run_ts(self.params, wav_d, lens_d, max_tokens)
+        return lambda: self._ts_results(wavs, *out, vad_offsets)
 
     def _ts_results(self, wavs, tokens, tok_lens, us_alphas, us_peaks,
                     vad_offsets):
@@ -339,6 +382,22 @@ class HotwordEngine(BiCifEngine):
             pad[i, : len(r)] = r[:L]
             lens[i] = min(len(r), L)
         return jnp.asarray(pad), jnp.asarray(lens)
+
+    def transcribe_async(self, wavs, hotword=None,
+                         with_timestamp: bool = True, vad_offsets=None,
+                         **kw):
+        if hotword is not None:
+            # hotword grids change shapes per call; keep that path sync
+            return lambda: self.transcribe(
+                wavs, hotword=hotword, with_timestamp=with_timestamp,
+                vad_offsets=vad_offsets, **kw)
+        if self.seaco:
+            return super().transcribe_async(
+                wavs, with_timestamp=with_timestamp,
+                vad_offsets=vad_offsets, **kw)
+        return ParaformerEngine.transcribe_async(
+            self, wavs, with_timestamp=with_timestamp,
+            vad_offsets=vad_offsets, **kw)
 
     def transcribe(self, wavs, hotword=None, with_timestamp: bool = True,
                    vad_offsets=None, **kw) -> List[Dict[str, Any]]:

@@ -154,63 +154,107 @@ class CTTransformerModel:
         )
         return np.asarray(jnp.argmax(logits[0, : len(token_ids)], -1))
 
+    def _punc_ids_batch(self, id_lists: List[np.ndarray]) -> List[np.ndarray]:
+        """Score N windows in ONE device call (windows padded to a
+        quantized (B, W) grid to bound recompiles)."""
+        n = len(id_lists)
+        if n == 1:
+            return [self._punc_ids(id_lists[0])]
+        B = 1 << (n - 1).bit_length()  # pow2 batch buckets
+        W = max(8, 8 * ((max(len(x) for x in id_lists) + 7) // 8))
+        text = np.zeros((B, W), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for i, ids in enumerate(id_lists):
+            text[i, : len(ids)] = ids
+            lens[i] = len(ids)
+        logits = self._jit_forward(self.params, jnp.asarray(text),
+                                  jnp.asarray(lens))
+        am = np.asarray(jnp.argmax(logits, -1))
+        return [am[i, : len(ids)] for i, ids in enumerate(id_lists)]
+
     def inference(self, text: str, tokenizer, split_size: int = 20,
                   cache_pop_trigger_limit: int = 200) -> Dict[str, Any]:
         """Returns {"text": punctuated text, "punc_array": per-token ids}."""
-        tokens = split_words(text)
-        if not tokens:
-            return {"text": "", "punc_array": np.zeros((0,), np.int64)}
-        token_ids = tokenizer.tokens2ids(tokens)
-        mini = split_to_mini_sentence(tokens, split_size)
-        mini_ids = split_to_mini_sentence(token_ids, split_size)
+        return self.inference_batch([text], tokenizer, split_size,
+                                    cache_pop_trigger_limit)[0]
 
-        cache_sent: List[str] = []
-        cache_ids: List[int] = []
-        out_text = ""
-        punc_array: List[int] = []
-        for wi in range(len(mini)):
-            sent = cache_sent + mini[wi]
-            ids = np.asarray(cache_ids + mini_ids[wi], np.int32)
-            puncs = self._punc_ids(ids)
+    def inference_batch(self, texts: List[str], tokenizer,
+                        split_size: int = 20,
+                        cache_pop_trigger_limit: int = 200
+                        ) -> List[Dict[str, Any]]:
+        """Punctuate N texts with the SAME per-text semantics as the
+        sequential reference loop, but window wi of every text scored in
+        one batched device call per round — the long-audio pipeline's
+        per-VAD-segment punc runs in ~max_windows device calls instead of
+        sum(windows) (the r3 host bottleneck, BENCH_PIPELINE punc_host)."""
+        states = []
+        for text in texts:
+            tokens = split_words(text)
+            st = {"mini": split_to_mini_sentence(tokens, split_size)
+                  if tokens else [],
+                  "mini_ids": split_to_mini_sentence(
+                      tokenizer.tokens2ids(tokens), split_size)
+                  if tokens else [],
+                  "cache_sent": [], "cache_ids": [],
+                  "out_text": "", "punc_array": [], "wi": 0}
+            states.append(st)
 
-            if wi < len(mini) - 1:
-                # carry the tail after the last sentence end as cache
-                sentence_end = -1
-                last_comma = -1
-                for i in range(len(puncs) - 2, 1, -1):
-                    p = self.punc_list[puncs[i]]
-                    if p in ("。", "？"):
-                        sentence_end = i
-                        break
-                    if last_comma < 0 and p == "，":
-                        last_comma = i
-                if (sentence_end < 0 and len(sent) > cache_pop_trigger_limit
-                        and last_comma >= 0):
-                    sentence_end = last_comma
-                    puncs[sentence_end] = self.sentence_end_id
-                cache_sent = sent[sentence_end + 1:]
-                cache_ids = list(ids[sentence_end + 1:])
-                sent = sent[: sentence_end + 1]
-                puncs = puncs[: sentence_end + 1]
+        while True:
+            active = [st for st in states if st["wi"] < len(st["mini"])]
+            if not active:
+                break
+            ids_list = [np.asarray(st["cache_ids"]
+                                   + st["mini_ids"][st["wi"]], np.int32)
+                        for st in active]
+            puncs_list = self._punc_ids_batch(ids_list)
+            for st, ids, puncs in zip(active, ids_list, puncs_list):
+                wi = st["wi"]
+                sent = st["cache_sent"] + st["mini"][wi]
+                if wi < len(st["mini"]) - 1:
+                    # carry the tail after the last sentence end as cache
+                    sentence_end = -1
+                    last_comma = -1
+                    for i in range(len(puncs) - 2, 1, -1):
+                        p = self.punc_list[puncs[i]]
+                        if p in ("。", "？"):
+                            sentence_end = i
+                            break
+                        if last_comma < 0 and p == "，":
+                            last_comma = i
+                    if (sentence_end < 0
+                            and len(sent) > cache_pop_trigger_limit
+                            and last_comma >= 0):
+                        sentence_end = last_comma
+                        puncs[sentence_end] = self.sentence_end_id
+                    st["cache_sent"] = sent[sentence_end + 1:]
+                    st["cache_ids"] = list(ids[sentence_end + 1:])
+                    sent = sent[: sentence_end + 1]
+                    puncs = puncs[: sentence_end + 1]
+                st["out_text"] += self._assemble(sent, puncs)
+                st["punc_array"].extend(int(p) for p in puncs)
+                st["wi"] = wi + 1
 
-            out_text += self._assemble(sent, puncs)
-            punc_array.extend(int(p) for p in puncs)
-
-        # final sentence-end normalization (model.py:357-389)
-        if out_text:
-            last = out_text[-1]
-            if last in ("，", "、"):
-                out_text = out_text[:-1] + "。"
-                punc_array[-1] = self.sentence_end_id
-            elif last == ",":
-                out_text = out_text[:-1] + "."
-                punc_array[-1] = self.sentence_end_id
-            elif last not in ("。", "？", ".", "?"):
-                is_ascii = len(last.encode()) == 1
-                out_text += "." if is_ascii else "。"
-                if punc_array:
+        results = []
+        for st in states:
+            out_text, punc_array = st["out_text"], st["punc_array"]
+            # final sentence-end normalization (model.py:357-389)
+            if out_text:
+                last = out_text[-1]
+                if last in ("，", "、"):
+                    out_text = out_text[:-1] + "。"
                     punc_array[-1] = self.sentence_end_id
-        return {"text": out_text, "punc_array": np.asarray(punc_array)}
+                elif last == ",":
+                    out_text = out_text[:-1] + "."
+                    punc_array[-1] = self.sentence_end_id
+                elif last not in ("。", "？", ".", "?"):
+                    is_ascii = len(last.encode()) == 1
+                    out_text += "." if is_ascii else "。"
+                    if punc_array:
+                        punc_array[-1] = self.sentence_end_id
+            results.append({"text": out_text,
+                            "punc_array": np.asarray(punc_array,
+                                                     np.int64)})
+        return results
 
     def _assemble(self, words: List[str], puncs) -> str:
         """Join words + predicted puncs with CJK/ascii spacing rules

@@ -405,6 +405,164 @@ class LLMASR(nn.Module):
         return gen, lengths
 
 
+def splice_audio_embeds(inputs_embeds: jnp.ndarray,
+                        encoder_out: jnp.ndarray,
+                        fbank_beg: jnp.ndarray,
+                        fake_token_len: jnp.ndarray) -> jnp.ndarray:
+    """Write audio embeddings over the ``<|startofspeech|>`` placeholder
+    spans of a chat token sequence (reference llm_asr/model.py:509-526 /
+    :1010-1040 — the per-batch python splice loop, here a vectorized
+    masked gather).
+
+    inputs_embeds (B, L, D): token embeddings of the chat sequence;
+    encoder_out (S, Ta, D): adaptor outputs, one row per AUDIO SPAN,
+    flattened in (batch, turn) order over spans with ``fbank_beg > 0``
+    (the reference's ``speech_idx`` walk); fbank_beg / fake_token_len
+    (B, n_turns): span start position and length in the token sequence.
+    """
+    B, L, _ = inputs_embeds.shape
+    n_turns = fbank_beg.shape[1]
+    active = (fbank_beg > 0).reshape(-1)
+    sidx = (jnp.cumsum(active.astype(jnp.int32)) - 1).reshape(B, n_turns)
+    pos = jnp.arange(L)
+    out = inputs_embeds
+    for t in range(n_turns):  # n_turns is small and static
+        beg = fbank_beg[:, t][:, None]
+        ln = fake_token_len[:, t][:, None]
+        sel = (pos[None] >= beg) & (pos[None] < beg + ln) & (beg > 0)
+        src = encoder_out[jnp.clip(sidx[:, t], 0,
+                                   encoder_out.shape[0] - 1)]  # (B, Ta, D)
+        off = jnp.clip(pos[None] - beg, 0, encoder_out.shape[1] - 1)
+        row = jnp.take_along_axis(src, off[..., None], axis=1)
+        out = jnp.where(sel[..., None], row.astype(out.dtype), out)
+    return out
+
+
+@tables.register("model_classes", "LLMASR2")
+class LLMASR2(LLMASR):
+    """ChatML-template audio LLM (reference llm_asr/model.py:349
+    ``LLMASR2``): the prompt is a full chat sequence containing
+    ``<|startofspeech|>...<|endofspeech|>`` spans; the audio encoder +
+    adaptor outputs are SPLICED into the token-embedding sequence at the
+    span positions (not prepended as a prefix like LLMASR), and the loss
+    is the HF causal-LM objective — shift-by-one CE over ``labels_ids``
+    with negative labels ignored (the -100 convention).
+
+    The reference wires a HF ``AutoModelForCausalLM`` (vicuna/qwen) here;
+    this class reuses LLMASR's LLM half (``llm_conf.type="qwen2"`` for the
+    real converted-checkpoint Qwen2 architecture).  Host-side chat
+    assembly (template split, placeholder token spans, fbank_beg/
+    fake_token_len) lives in models/llm_asr/chat.py, the TPU-side splice
+    above.
+    """
+
+    def __call__(self, speech, speech_lengths, input_ids, attention_mask,
+                 labels_ids, fbank_beg, fake_token_len=None,
+                 fbank_mask=None, deterministic: bool = False):
+        """speech (S, T, F) fbank per audio span (S = total spans);
+        input_ids/attention_mask/labels_ids (B, L); fbank_beg (B, n_turns);
+        fake_token_len (B, n_turns) or fbank_mask (B, L) (the LLMASR2
+        reference passes a mask, LLMASR4 per-turn lengths)."""
+        audio, audio_lens = self._audio_prefix(speech, speech_lengths,
+                                               deterministic)
+        if fake_token_len is None:
+            if fbank_mask is None:
+                raise ValueError("need fake_token_len or fbank_mask")
+            fake_token_len = jnp.sum(
+                jnp.maximum(fbank_mask, 0), axis=-1, keepdims=True
+            ).astype(jnp.int32)
+        ids = jnp.maximum(input_ids, 0)
+        embeds = self._embed_ids(ids)
+        embeds = splice_audio_embeds(embeds, audio, fbank_beg,
+                                     fake_token_len)
+        logits = self._chat_llm(embeds, attention_mask, deterministic)
+        # HF causal-LM loss: logits[:, :-1] predict labels[:, 1:]
+        tgt = labels_ids[:, 1:]
+        lg = logits[:, :-1]
+        valid = tgt >= 0
+        tgt0 = jnp.where(valid, tgt, 0)
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, tgt0[..., None], -1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        n = jnp.maximum(jnp.sum(valid), 1)
+        loss = jnp.sum(nll) / n
+        acc = jnp.sum(jnp.where(valid, jnp.argmax(lg, -1) == tgt0,
+                                False)) / n
+        return loss, {"loss": loss, "acc": acc}
+
+    def _chat_llm(self, embeds, attention_mask, deterministic):
+        B, L, _ = embeds.shape
+        pos = jnp.arange(L)
+        causal = (pos[None, :] <= pos[:, None])[None]  # (1, L, L)
+        keys = (jnp.maximum(attention_mask, 0) > 0)[:, None, :]  # (B, 1, L)
+        mask = (causal & keys)[:, None].astype(jnp.float32)  # (B, 1, L, L)
+        return self._llm(embeds, mask, deterministic)
+
+    def chat_decode(self, speech, speech_lengths, input_ids, input_lengths,
+                    fbank_beg, fake_token_len, maxlen: int = 32):
+        """Greedy continuation after the chat prompt -> (tokens (B, maxlen),
+        lengths).  Full recompute per step (parity/testing surface; the
+        serving path would thread the cached scorer)."""
+        audio, _ = self._audio_prefix(speech, speech_lengths, True)
+        B, L = input_ids.shape
+        total = L + maxlen
+        ids0 = jnp.concatenate(
+            [jnp.maximum(input_ids, 0),
+             jnp.zeros((B, maxlen), input_ids.dtype)], axis=1)
+
+        def step(ids, i):
+            embeds = self._embed_ids(ids)
+            embeds = splice_audio_embeds(embeds, audio, fbank_beg,
+                                         fake_token_len)
+            am = (jnp.arange(total)[None, :]
+                  < (input_lengths + i)[:, None]).astype(jnp.int32)
+            logits = self._chat_llm(embeds, am, True)
+            last = jnp.take_along_axis(
+                logits, (input_lengths + i - 1)[:, None, None], axis=1
+            )[:, 0]
+            nxt = jnp.argmax(last, -1).astype(ids.dtype)
+            ids = jax.vmap(
+                lambda row, p, v: row.at[p].set(v)
+            )(ids, input_lengths + i, nxt)
+            return ids, nxt
+
+        _, outs = lax.scan(step, ids0, jnp.arange(maxlen))
+        gen = jnp.moveaxis(outs, 0, 1)  # (B, maxlen)
+        is_eos = gen == self.eos
+        any_eos = jnp.any(is_eos, axis=1)
+        lengths = jnp.where(any_eos, jnp.argmax(is_eos, axis=1), maxlen)
+        return gen, lengths
+
+
+@tables.register("model_classes", "LLMASR3")
+class LLMASR3(LLMASR2):
+    """reference llm_asr/model.py:830 ``LLMASR3(LLMASR2)`` — identical
+    wiring except the torch audio encoder consumes (B, T, F) directly
+    instead of channels-first (B, F, T) (``encode`` drops the permute,
+    :841 vs :567).  Our encoders are (B, T, F)-native, so the classes
+    coincide; registered separately so reference LLMASR3 configs build."""
+
+
+@tables.register("model_classes", "LLMASR4")
+class LLMASR4(LLMASR2):
+    """reference llm_asr/model.py:848 ``LLMASR4`` — MULTI-TURN chat: a
+    conversation holds several audio spans (fbank_beg/fake_token_len are
+    (B, n_turns); the speech batch is the flattened span list in
+    (batch, turn) order, :1010 ``speech_idx`` walk).  The splice helper is
+    turn-generic, so this class only pins the calling convention:
+    ``fake_token_len`` is REQUIRED (no fbank_mask form)."""
+
+    def __call__(self, speech, speech_lengths, input_ids, attention_mask,
+                 labels_ids, fbank_beg, fake_token_len=None,
+                 deterministic: bool = False):
+        if fake_token_len is None:
+            raise ValueError("LLMASR4 requires per-turn fake_token_len")
+        return super().__call__(
+            speech, speech_lengths, input_ids, attention_mask, labels_ids,
+            fbank_beg, fake_token_len=fake_token_len,
+            deterministic=deterministic)
+
+
 @tables.register("model_classes", "LLMASRNAR")
 class LLMASRNAR(LLMASR):
     """Non-autoregressive audio LLM (reference funasr/models/llm_asr_nar/

@@ -53,11 +53,8 @@ def install():
                  "QwenAudioChatWarp"):
         _alias("model_classes", name, "model_classes", "QwenAudio")
 
-    # ---- LLM-ASR stack variants (reference llm_asr/model.py:27,348,829,
-    # 847 differ only in which HF LLM/adaptor they instantiate; here the
-    # LLM body and adaptor are config choices on one implementation)
-    for name in ("LLMASR2", "LLMASR3", "LLMASR4"):
-        _alias("model_classes", name, "model_classes", "LLMASR")
+    # (LLMASR2/3/4 are REAL classes since r4 — models/llm_asr/model.py
+    # implements the chat-splice wirings; no aliases needed)
 
     # ---- distributed batch samplers (reference samplers.py:14-38): the
     # rank-sharded example/token-budget/buffer-sort behaviors are all

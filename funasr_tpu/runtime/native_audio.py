@@ -239,3 +239,47 @@ def flac_decode(data: bytes) -> Tuple[np.ndarray, int]:
     finally:
         lib.fta_free(ptr)
     return out, int(rate.value)
+
+
+def ogg_available() -> Tuple[bool, bool]:
+    """(opus, vorbis) codec availability for Ogg container decode
+    (fta_ogg.cc: demuxer in the native lib, codecs dlopen'd from the
+    system libopus / libvorbisfile)."""
+    lib = _load()
+    if lib is None:
+        return False, False
+    try:
+        lib.fta_ogg_opus_available.restype = ctypes.c_int
+        lib.fta_ogg_vorbis_available.restype = ctypes.c_int
+        return (bool(lib.fta_ogg_opus_available()),
+                bool(lib.fta_ogg_vorbis_available()))
+    except AttributeError:
+        return False, False
+
+
+def ogg_decode(data: bytes) -> Tuple[np.ndarray, int]:
+    """Ogg container bytes (.opus / .ogg vorbis) -> (float32 mono, rate)
+    via fta_ogg.cc (the reference closes these formats through ffmpeg,
+    funasr/utils/load_utils.py:28)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audio library unavailable")
+    lib.fta_ogg_decode.restype = ctypes.c_int
+    lib.fta_ogg_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+    ptr = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    rate = ctypes.c_int32()
+    rc = lib.fta_ogg_decode(data, len(data), ctypes.byref(ptr),
+                            ctypes.byref(n), ctypes.byref(rate))
+    if rc != 0:
+        what = {-1: "codec library unavailable", -2: "container parse",
+                -3: "codec decode"}.get(rc, rc)
+        raise ValueError(f"ogg decode failed ({what})")
+    try:
+        out = np.ctypeslib.as_array(ptr, shape=(n.value,)).copy()
+    finally:
+        lib.fta_free(ptr)
+    return out, int(rate.value)

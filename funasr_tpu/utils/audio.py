@@ -95,6 +95,21 @@ def resample_linear(x: np.ndarray, fs_in: int, fs_out: int) -> np.ndarray:
     return np.interp(t_out, np.arange(len(x), dtype=np.float64), x).astype(np.float32)
 
 
+def load_ogg(path: str) -> Tuple[np.ndarray, int]:
+    """Ogg container decode (.opus / .ogg vorbis) via the native demuxer +
+    dlopen'd system codecs (runtime/native/fta_ogg.cc; the reference
+    decodes these via ffmpeg, funasr/utils/load_utils.py:28)."""
+    from funasr_tpu.runtime import native_audio
+
+    opus_ok, vorbis_ok = native_audio.ogg_available()
+    if not (opus_ok or vorbis_ok):
+        raise RuntimeError(
+            "ogg decode needs runtime/native/libfta_audio.so + system "
+            "libopus/libvorbisfile (make -C funasr_tpu/runtime/native)")
+    with open(path, "rb") as f:
+        return native_audio.ogg_decode(f.read())
+
+
 def load_audio(
     source: Union[str, bytes, np.ndarray],
     fs: int = 16000,
@@ -119,10 +134,12 @@ def load_audio(
             wav, in_fs = load_mp3(source)
         elif ext == ".flac":
             wav, in_fs = load_flac(source)
+        elif ext in (".ogg", ".oga", ".opus"):
+            wav, in_fs = load_ogg(source)
         else:
             raise ValueError(
-                f"unsupported audio format {ext!r} (wav/pcm/mp3/flac "
-                "supported natively)"
+                f"unsupported audio format {ext!r} (wav/pcm/mp3/flac/"
+                "ogg/opus supported natively)"
             )
     else:
         raise TypeError(f"cannot load audio from {type(source)}")
