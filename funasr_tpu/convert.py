@@ -177,6 +177,28 @@ def _cif_predictor_tree(sd, prefix: str = "predictor") -> Dict[str, Any]:
             np.transpose(w, (2, 0, 1)))
         pred["upsample_cnn_bias"] = sd[f"{prefix}.upsample_cnn.bias"]
         _linear(sd, f"{prefix}.cif_output2", pred, "cif_output2")
+        if f"{prefix}.blstm.weight_ih_l0" in sd:
+            # upsample_type "cnn_blstm" (the PUBLISHED BiCif/SeACo/aligner
+            # configs, bicif template.yaml:61): torch bidirectional LSTM ->
+            # two flax nn.RNN(OptimizedLSTMCell) passes (fwd + reversed)
+            for suffix, name in (("", "blstm_fwd"), ("_reverse",
+                                                     "blstm_bwd")):
+                wih = sd[f"{prefix}.blstm.weight_ih_l0{suffix}"]
+                whh = sd[f"{prefix}.blstm.weight_hh_l0{suffix}"]
+                bih = sd.get(f"{prefix}.blstm.bias_ih_l0{suffix}")
+                bhh = sd.get(f"{prefix}.blstm.bias_hh_l0{suffix}")
+                H = whh.shape[1]
+                cell: Dict[str, Any] = {}
+                for gi, g in enumerate(("i", "f", "g", "o")):
+                    rows = slice(gi * H, (gi + 1) * H)
+                    cell[f"i{g}"] = {"kernel": np.ascontiguousarray(
+                        wih[rows].T)}
+                    hg: Dict[str, Any] = {"kernel": np.ascontiguousarray(
+                        whh[rows].T)}
+                    if bih is not None and bhh is not None:
+                        hg["bias"] = bih[rows] + bhh[rows]
+                    cell[f"h{g}"] = hg
+                pred[name] = cell
     return pred
 
 

@@ -52,6 +52,10 @@ class CifPredictorV3(nn.Module):
     noise_threshold2: float = 0.01
     upsample_times: int = 3
     use_cif1_cnn: bool = False
+    # published BiCif/SeACo/aligner checkpoints use "cnn_blstm"
+    # (reference bicif template.yaml:61: ConvTranspose1d -> 1-layer
+    # bidirectional LSTM -> Linear(2D, 1)); "cnn" skips the BLSTM
+    upsample_type: str = "cnn"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -92,6 +96,19 @@ class CifPredictorV3(nn.Module):
                           self.param_dtype)
         up = jnp.einsum("btd,udo->btuo", src, up_w.astype(jnp.float32)) + up_b
         up = up.reshape(B, T * u, D)
+        if self.upsample_type == "cnn_blstm":
+            # reference cif_predictor.py:138-145: 1-layer BLSTM over the
+            # upsampled track, cif_output2 on the (2D) concat.  Torch runs
+            # it unpacked over padded frames; same here, so parity holds.
+            fwd = nn.RNN(nn.OptimizedLSTMCell(D, param_dtype=jnp.float32,
+                                              name="blstm_fwd"))
+            bwd = nn.RNN(nn.OptimizedLSTMCell(D, param_dtype=jnp.float32,
+                                              name="blstm_bwd"),
+                         reverse=True, keep_order=True)
+            up = jnp.concatenate([fwd(up), bwd(up)], axis=-1)
+        elif self.upsample_type != "cnn":
+            raise NotImplementedError(
+                f"upsample_type {self.upsample_type!r} (cnn / cnn_blstm)")
         out2 = nn.Dense(1, name="cif_output2", dtype=jnp.float32,
                         param_dtype=self.param_dtype)(up)
         alphas2 = nn.relu(nn.sigmoid(out2[..., 0]) * self.smooth_factor2

@@ -1,13 +1,14 @@
 """gRPC ASR server (reference runtime/grpc/paraformer-server.cc: streaming
 Recognize service over the paraformer pipeline).
 
-The reference defines ``paraformer.proto`` (Request{audio_data, user,
-language, speaking} / Response{sentence, user, action, language}).  This
-sandbox has grpcio but no protoc python plugin, so the same service is
-exposed through gRPC *generic handlers* with JSON payloads — wire-level
-gRPC (HTTP/2 framing, deadlines, streaming) with a self-describing message
-encoding.  A client sends length-delimited JSON messages on
-``/funasr.ASR/Recognize`` (bidirectional stream):
+TWO services on one port:
+
+- ``/paraformer.ASR/Recognize`` — the REFERENCE protobuf wire format
+  (runtime/python/grpc/proto/paraformer.proto), hand-coded in
+  runtime/proto.py since no protoc python plugin exists in this image;
+  reference protobuf clients connect unchanged.
+- ``/funasr.ASR/Recognize`` — a JSON-payload variant of the same
+  bidirectional stream (self-describing, curl/python-friendly):
 
     {"user": ..., "language": "zh-CN", "speaking": true,
      "audio_data": "<base64 pcm16>", "audio_fs": 16000}
@@ -95,6 +96,45 @@ class AsrGrpcServer:
                 yield _ser({"sentence": "", "user": user,
                             "action": "partial", "language": language})
 
+    # ---------------------------------------------- proto-wire service
+    def _recognize_proto(self, request_iterator: Iterator[bytes],
+                         context) -> Iterator[bytes]:
+        """``/paraformer.ASR/Recognize`` with the REFERENCE protobuf wire
+        format (runtime/python/grpc/proto/paraformer.proto, hand-coded in
+        runtime/proto.py) — reference protobuf clients connect unchanged.
+        Offline semantics: pcm accumulates until ``is_final``; online/
+        two_pass emit empty partials per chunk and the offline result at
+        the end (the 2-pass final-correction contract)."""
+        from funasr_tpu.runtime import proto
+
+        buf = bytearray()
+        fs = 16000
+        mode = proto.MODE_OFFLINE
+        for msg in request_iterator:
+            req = proto.decode_request(msg)
+            mode = req["mode"] or mode
+            if req["sampling_rate"]:
+                fs = req["sampling_rate"]
+            if req["audio_data"]:
+                buf.extend(req["audio_data"])
+            if req["is_final"]:
+                wav = (np.frombuffer(bytes(buf), "<i2").astype(np.float32)
+                       / 32768.0)
+                if fs != 16000:
+                    from funasr_tpu.utils.audio import resample_linear
+
+                    wav = resample_linear(wav, fs, 16000)
+                text = ""
+                if len(wav) >= 400:
+                    res = self.decode_model.generate(wav, key=["grpc"])
+                    text = res[0].get("text", "") if res else ""
+                buf = bytearray()
+                yield proto.encode_response(mode=mode, text=text,
+                                            is_final=True)
+            elif req["audio_data"] and mode != proto.MODE_OFFLINE:
+                yield proto.encode_response(mode=proto.MODE_ONLINE, text="",
+                                            is_final=False)
+
     def _make_handler(self):
         import grpc
 
@@ -103,11 +143,18 @@ class AsrGrpcServer:
             request_deserializer=lambda b: b,
             response_serializer=lambda b: b,
         )
+        proto_method = grpc.stream_stream_rpc_method_handler(
+            self._recognize_proto,
+            request_deserializer=lambda b: b,
+            response_serializer=lambda b: b,
+        )
 
         class Handler(grpc.GenericRpcHandler):
             def service(self, handler_call_details):
                 if handler_call_details.method == f"/{SERVICE}/{METHOD}":
                     return method
+                if handler_call_details.method == "/paraformer.ASR/Recognize":
+                    return proto_method
                 return None
 
         return Handler()
@@ -133,6 +180,33 @@ class AsrGrpcServer:
     def wait(self):
         if self._server is not None:
             self._server.wait_for_termination()
+
+
+def recognize_client_proto(target: str, pcm16: bytes,
+                           audio_fs: int = 16000, chunk: int = 32000,
+                           mode: int = 0):
+    """Client for the reference-wire protobuf service (proto.py codec)."""
+    import grpc
+
+    from funasr_tpu.runtime import proto
+
+    channel = grpc.insecure_channel(target)
+    stub = channel.stream_stream(
+        "/paraformer.ASR/Recognize",
+        request_serializer=lambda b: b,
+        response_deserializer=lambda b: b,
+    )
+
+    def gen():
+        for i in range(0, max(len(pcm16), 1), chunk):
+            yield proto.encode_request(mode=mode, sampling_rate=audio_fs,
+                                       audio_data=pcm16[i: i + chunk])
+        yield proto.encode_request(mode=mode, sampling_rate=audio_fs,
+                                   is_final=True)
+
+    out = [proto.decode_response(r) for r in stub(gen())]
+    channel.close()
+    return out
 
 
 def recognize_client(target: str, pcm16: bytes, user: str = "cli",

