@@ -52,6 +52,12 @@ def main():
     t0 = time.perf_counter()
     am = AutoModel(model=cfg, quantize=True)
     be = am.engine
+    # AutoModel flips the int8 flag only inside generate(); this bench
+    # traces the beam program directly, so mirror the serving config
+    # (trace-time flag — CLAUDE.md quant trap, same as bench_pipeline)
+    from funasr_tpu.ops import quant
+
+    quant.enable(True)
     build_s = time.perf_counter() - t0
 
     T = FS * (2 if TINY else UTT_S)

@@ -308,13 +308,17 @@ def main():
         pm._punc_ids_batch = real_pib
         pm._punc_ids = real_pi
 
-    # device: one batched round forward at the dominant (B, W) bucket,
-    # K-slope timed, times the number of rounds
-    Bp = 1 << (max((b for b, _ in rounds), default=1) - 1).bit_length()
-    Lw = max(8, 8 * ((max((w for _, w in rounds), default=8) + 7) // 8))
-    tok_ids = jnp.asarray(
-        rng.integers(3, 8404, size=(Bp, Lw)), jnp.int32)
-    tlen = jnp.asarray(np.full((Bp,), Lw), jnp.int32)
+    # device: rounds run at quantized (B, W) buckets (the real
+    # inference_batch shapes — later rounds have few active segments and
+    # are much cheaper than the first); slope-time each DISTINCT bucket
+    # and charge rounds by count
+    from collections import Counter
+
+    def bucket(b, w):
+        return (1 << max(b - 1, 0).bit_length(),
+                max(8, 8 * ((w + 7) // 8)))
+
+    counts = Counter(bucket(b, w) for b, w in rounds)
 
     @jax.jit
     def punc_k(params, t, l, k):
@@ -326,12 +330,17 @@ def main():
                                  .astype(jnp.int32))
         return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.int32))
 
-    np.asarray(punc_k(pm.params, tok_ids, tlen, 1))
-    np.asarray(punc_k(pm.params, tok_ids, tlen, 6))
-    t_punc_one = slope(lambda k: np.asarray(punc_k(pm.params, tok_ids,
-                                                   tlen, k)))
+    t_punc_dev = 0.0
+    for (Bp, Lw), cnt in counts.items():
+        tok_ids = jnp.asarray(
+            rng.integers(3, 8404, size=(Bp, Lw)), jnp.int32)
+        tlen = jnp.asarray(np.full((Bp,), Lw), jnp.int32)
+        np.asarray(punc_k(pm.params, tok_ids, tlen, 1))
+        np.asarray(punc_k(pm.params, tok_ids, tlen, 6))
+        t_punc_dev += cnt * slope(
+            lambda k, ti=tok_ids, tl=tlen:
+            np.asarray(punc_k(pm.params, ti, tl, k)))
     n_windows = sum(b for b, _ in rounds)
-    t_punc_dev = t_punc_one * max(len(rounds), 1)
 
     # ---------------- totals
     # serial = one utterance's stages end to end (latency bound).

@@ -744,7 +744,12 @@ class AutoModel:
             result["timestamp"] = all_ts
 
         do_itn = use_itn or self.kwargs.get("use_itn")
-        if do_itn:
+        punc_mode = kwargs.get("punc_mode", "segment")
+        seg_punc = (self.punc_engine is not None and text
+                    and punc_mode == "segment")
+        if do_itn and not seg_punc:
+            # the segment-punc branch ITNs per segment itself; a joined
+            # pass here would be immediately overwritten (wasted work)
             from funasr_tpu.text.itn import inverse_normalize
 
             text = inverse_normalize(text, itn_lang)
@@ -758,10 +763,11 @@ class AutoModel:
         # segment).  "joint" reproduces the reference OFFLINE python path
         # exactly: one sequential window chain over the whole joined text
         # (funasr/auto/auto_model.py:540).  The two differ only where a
-        # sentence straddles a VAD silence boundary.
-        punc_mode = kwargs.get("punc_mode", "segment")
+        # sentence straddles a VAD silence boundary — pass
+        # generate(punc_mode="joint") for reference-offline-exact output
+        # (documented in docs/USAGE.md "Long-audio pipeline").
         punc_out = None
-        if self.punc_engine is not None and text and punc_mode == "segment":
+        if seg_punc:
             seg_texts = texts
             if do_itn:
                 from funasr_tpu.text.itn import inverse_normalize

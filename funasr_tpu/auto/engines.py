@@ -176,12 +176,17 @@ class ParaformerEngine(BatchedAsrEngine):
 
             self._run_sp = _run_sp
 
+    def _max_tokens(self, n_samples: int) -> int:
+        """Token budget for an utterance bucket: max_tokens_per_15s per
+        started 15 s window, floor 16 (one definition — the sync and async
+        paths must trace IDENTICAL device programs to share jit cache)."""
+        dur_s = n_samples / self.frontend.fs
+        return max(16, int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+
     def decode_fn(self, params, wav, lens):
         """Export surface: (params, wav, lens) -> (tokens, token_lengths)
         with static shapes (used by auto/export.py)."""
-        dur_s = wav.shape[1] / self.frontend.fs
-        max_tokens = max(
-            16, int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+        max_tokens = self._max_tokens(wav.shape[1])
         tokens, tok_lens, _, _ = self._run(params, wav, lens, max_tokens)
         return tokens, tok_lens
 
@@ -192,8 +197,7 @@ class ParaformerEngine(BatchedAsrEngine):
         if not len(wavs):
             return []
         wav_d, lens_d = self._pack(wavs)
-        dur_s = wav_d.shape[1] / self.frontend.fs
-        max_tokens = max(16, int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+        max_tokens = self._max_tokens(wav_d.shape[1])
         if self.sp_mesh is not None and not with_timestamp:
             tokens, tok_lens, _ = self._run_sp(self.params, wav_d, lens_d,
                                                max_tokens)
@@ -227,9 +231,7 @@ class ParaformerEngine(BatchedAsrEngine):
                 wavs, with_timestamp=with_timestamp,
                 vad_offsets=vad_offsets, **kw)
         wav_d, lens_d = self._pack(wavs)
-        dur_s = wav_d.shape[1] / self.frontend.fs
-        max_tokens = max(16, int(np.ceil(dur_s / 15.0))
-                         * self.max_tokens_per_15s)
+        max_tokens = self._max_tokens(wav_d.shape[1])
         out = self._run(self.params, wav_d, lens_d, max_tokens)
         return lambda: self._host_results(len(wavs), *out, with_timestamp,
                                           vad_offsets)
@@ -289,9 +291,7 @@ class BiCifEngine(ParaformerEngine):
         if not with_timestamp:
             return super().transcribe(wavs, with_timestamp=False)
         wav_d, lens_d = self._pack(wavs)
-        dur_s = wav_d.shape[1] / self.frontend.fs
-        max_tokens = max(16,
-                         int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+        max_tokens = self._max_tokens(wav_d.shape[1])
         tokens, tok_lens, us_alphas, us_peaks = self._run_ts(
             self.params, wav_d, lens_d, max_tokens)
         return self._ts_results(wavs, tokens, tok_lens, us_alphas, us_peaks,
@@ -308,9 +308,7 @@ class BiCifEngine(ParaformerEngine):
                 self, wavs, with_timestamp=False, vad_offsets=vad_offsets,
                 **kw)
         wav_d, lens_d = self._pack(wavs)
-        dur_s = wav_d.shape[1] / self.frontend.fs
-        max_tokens = max(16, int(np.ceil(dur_s / 15.0))
-                         * self.max_tokens_per_15s)
+        max_tokens = self._max_tokens(wav_d.shape[1])
         out = self._run_ts(self.params, wav_d, lens_d, max_tokens)
         return lambda: self._ts_results(wavs, *out, vad_offsets)
 
@@ -413,9 +411,7 @@ class HotwordEngine(BiCifEngine):
                 vad_offsets=vad_offsets)
         hw_pad, hw_lens = self._encode_hotwords(hotword)
         wav_d, lens_d = self._pack(wavs)
-        dur_s = wav_d.shape[1] / self.frontend.fs
-        max_tokens = max(16,
-                         int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+        max_tokens = self._max_tokens(wav_d.shape[1])
         out = self._run_hw(self.params, wav_d, lens_d, hw_pad, hw_lens,
                            max_tokens)
         if self.seaco:

@@ -197,19 +197,20 @@ class CachedScamaDecoder:
     equivalent of reference decoder.py:430 ``forward_one_step`` + the
     MultiHeadedAttentionSANMDecoder cache, attention.py:521-537).
 
-    ``cross_mask`` (B, U_max, T) — per UTTERANCE (chunk windows come from
-    the predictor's fire alignment, shared by all beam rows) — applies the
-    per-token SCAMA chunk mask row at each step (offline chunk-aware
-    decoding); without it the memory length mask alone gates
-    cross-attention (streaming serving, where the visible memory IS the
-    chunk window).
+    ``cross_mask`` must be (B, U_max, T) — per UTTERANCE ONLY (chunk
+    windows come from the predictor's fire alignment, shared by all beam
+    rows; a per-hypothesis mask is not supported — the shared-key
+    attention broadcasts a (B, T) key mask).  It applies the per-token
+    SCAMA chunk mask row at each step (offline chunk-aware decoding);
+    without it the memory length mask alone gates cross-attention
+    (streaming serving, where the visible memory IS the chunk window).
     """
 
     def __init__(self, dec_params, memory, memory_lengths, *, n_head,
                  kernel_size, dtype=jnp.float32, cross_mask=None, beam=1):
         """memory (B, T, D) per utterance; hypothesis axis N = B*beam
-        (cross K/V beam-shared; ``cross_mask`` is per hypothesis row when
-        beam > 1, i.e. (B*beam, U, T), or per utterance (B, U, T))."""
+        (cross K/V beam-shared; ``cross_mask`` must be per utterance,
+        (B, U, T) — see the class docstring)."""
         self.p = dec_params
         self.n_head = n_head
         self.K = kernel_size
@@ -234,7 +235,7 @@ class CachedScamaDecoder:
                                ["linear_k_v"])
         self.ck, self.cv = ck, cv  # (L1, N, T, F)
         self.mem_valid = (jnp.arange(T)[None, :]
-                          < memory_lengths[:, None])  # (N, T)
+                          < memory_lengths[:, None])  # (B, T)
 
     def init_state(self) -> ScamaState:
         return ScamaState(fsmn=jnp.zeros(

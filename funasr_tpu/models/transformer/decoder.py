@@ -3,9 +3,10 @@ funasr/models/transformer/decoder.py ``TransformerDecoder``).
 
 embed + scaled positional encoding -> N x (causal self-attn, cross-attn,
 FFN) pre-norm -> after_norm -> output projection.  ``__call__`` scores whole
-padded target grids (teacher forcing and in-loop beam rescoring both reuse
-it; the beam loop recomputes prefixes each step — simple, static shapes,
-and at ASR target lengths the L^2 cost is negligible next to the encoder).
+padded target grids (teacher forcing); beam decoding scores incrementally
+through the KV-cached step scorer over this module's param tree
+(ops/cached_decoder.py — reference decoder.py:291 ``forward_one_step``
+semantics, exact-parity tested).
 """
 
 from __future__ import annotations

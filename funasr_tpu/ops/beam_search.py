@@ -3,19 +3,29 @@
 The reference beam search (funasr/models/transformer/search.py:34
 ``BeamSearch`` + scorers/ctc_prefix_score.py:12 ``CTCPrefixScoreTH``) drives
 Python ``Hypothesis`` objects per utterance.  Here the whole search is one
-jitted ``lax.scan`` over decode steps with fixed beam tensors:
+jitted ``lax.while_loop`` over decode steps with fixed beam tensors:
 
-- hypotheses: (B, K, L+1) token grid, (B, K) scores, (B, K) finished flags,
-- attention scores from a full-prefix decoder call per step (static shapes;
-  at ASR target lengths the L^2 recompute is negligible vs. the encoder),
-- CTC prefix scores via the standard (r_nb, r_b) recurrence scanned over
-  encoder frames, evaluated only for the ``pre_beam`` best attention
-  candidates per hyp (espnet pre-beam semantics),
+- hypotheses: (B, K, L+1) token grid, (B, K) scores, (B, K) finished flags;
+  the loop exits as soon as every hypothesis emitted eos,
+- attention scores per step either from a KV-CACHED incremental scorer
+  (``step_score_fn`` — ops/cached_decoder.py, the reference
+  forward_one_step semantics; cache pytree gathered on beam reorder) or
+  from a full-prefix decoder call (``decode_fn`` fallback),
+- CTC prefix scores via the standard (r_nb, r_b) recurrence over encoder
+  frames — ONE fused Pallas kernel per step on TPU
+  (ops/ctc_prefix_pallas.py) or a lax.scan elsewhere — evaluated only for
+  the ``pre_beam`` best attention candidates per hyp (espnet pre-beam
+  semantics),
 - length bonus added per emitted token.
 
 Frame masking: CTC log-probs must be prepared with ``mask_ctc_frames`` so
 padded frames are (blank: 0, others: -inf) — they then leave prefix scores
 unchanged.
+
+Measured on the real chip (BENCH_BEAM.json): 643.6 audio-s/s at B=8 and
+878.6 at the saturated B=32 serving batch for the full conformer_hybrid
+config (r3 full-prefix form: 72.1; reference 32-thread Xeon ONNX server:
+562).
 """
 
 from __future__ import annotations

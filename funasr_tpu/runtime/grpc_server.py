@@ -113,7 +113,7 @@ class AsrGrpcServer:
         for msg in request_iterator:
             req = proto.decode_request(msg)
             mode = req["mode"] or mode
-            if req["sampling_rate"]:
+            if req["sampling_rate"] > 0:  # negative = invalid int32
                 fs = req["sampling_rate"]
             if req["audio_data"]:
                 buf.extend(req["audio_data"])

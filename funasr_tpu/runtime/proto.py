@@ -62,6 +62,17 @@ def _tag(field: int, wire: int) -> bytes:
     return _varint((field << 3) | wire)
 
 
+def _sint32(v: int) -> int:
+    """proto3 int32 semantics: varints are 64-bit two's complement, then
+    truncated to the signed 32-bit range (a negative rate must decode as
+    negative — recognizably invalid — not as ~4.3e9)."""
+    v &= (1 << 64) - 1
+    if v >= 1 << 63:
+        v -= 1 << 64
+    v = ((v + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)
+    return v
+
+
 def _skip(data: bytes, pos: int, wire: int) -> int:
     if wire == _WIRE_VARINT:
         _, pos = _read_varint(data, pos)
@@ -131,7 +142,7 @@ def decode_request(data: bytes) -> Dict[str, Any]:
         elif field == 2 and wire == _WIRE_VARINT:
             req["wav_format"] = int(val)
         elif field == 3 and wire == _WIRE_VARINT:
-            req["sampling_rate"] = int(val) & 0xFFFFFFFF
+            req["sampling_rate"] = _sint32(int(val))
         elif field == 4 and wire == _WIRE_LEN:  # packed repeated int32
             pos = 0
             while pos < len(val):
