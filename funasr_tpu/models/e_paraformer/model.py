@@ -2,22 +2,56 @@
 Paraformer body with the parallel integrate-and-fire (PIF) predictor and a
 stronger CTC branch, per the Interspeech 2024 E-Paraformer paper).
 
-Everything except the predictor is the Paraformer machinery; on TPU the
-PIF predictor is strictly better-shaped than CIF (one softmax-matmul
-instead of a cumsum-driven overlap contraction), so this family is the
-preferred high-throughput configuration.
+The reference directory's 2.5k LoC are mostly verbatim copies of the
+paraformer decoder/search (its DecoderLayerSANM/ParaformerSANMDecoder/
+BeamSearchPara classes are byte-identical duplicates kept for module
+independence); the GENUINE differences, all implemented here:
+
+- the PIF predictor (pif_predictor.py:18 — predictor.py here),
+- ``predictor_bias = 2``: targets are <sos> y <eos> (model.py:315
+  ``add_sos_and_eos``), so the predictor counts U+2 tokens,
+- ``use_1st_decoder_loss`` (model.py:76,327): the GLM sampler's FIRST
+  decoder pass runs WITH gradients (``sampler_with_grad``) and its
+  logits take an additional label-smoothed CE term ``pre_loss_att``
+  added to the total loss (model.py:235-236).
+
+On TPU the PIF predictor is strictly better-shaped than CIF (one
+softmax-matmul instead of a cumsum-driven overlap contraction), so this
+family is the preferred high-throughput configuration.
 """
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+
+from funasr_tpu import losses
 from funasr_tpu.models.e_paraformer.predictor import PifPredictor
 from funasr_tpu.models.paraformer.model import Paraformer
+from funasr_tpu.ops.masks import sequence_mask
 from funasr_tpu.registry import tables
+
+
+def add_sos_and_eos(text, text_lengths, sos, eos, ignore_id=-1):
+    """<sos> y <eos> with ignore_id padding (reference
+    transformer/utils/add_sos_eos.py ``add_sos_and_eos`` used by the
+    predictor_bias=2 path)."""
+    B, U = text.shape
+    valid = sequence_mask(text_lengths, U, jnp.bool_)
+    y = jnp.where(valid, text, ignore_id)
+    out = jnp.full((B, U + 2), ignore_id, text.dtype)
+    out = out.at[:, 0].set(sos)
+    out = out.at[:, 1:U + 1].set(y)
+    pos = jnp.arange(U + 2)[None, :]
+    out = jnp.where(pos == (text_lengths + 1)[:, None], eos, out)
+    return out, text_lengths + 2
 
 
 @tables.register("model_classes", "EParaformer")
 class EParaformer(Paraformer):
     ctc_weight: float = 0.5
+    predictor_bias: int = 2
+    use_1st_decoder_loss: bool = True
 
     def make_predictor(self, d_model: int):
         conf = dict(self.predictor_conf or {})
@@ -25,3 +59,104 @@ class EParaformer(Paraformer):
         conf.pop("tail_threshold", None)
         return PifPredictor(dtype=self.dtype, param_dtype=self.param_dtype,
                             name="predictor", **conf)
+
+    def __call__(self, speech, speech_lengths, text, text_lengths,
+                 deterministic: bool = False, encoded=None):
+        """Reference e_paraformer objective (model.py:222-236): Paraformer
+        CE/MAE/CTC plus ``pre_loss_att`` on the sampler's first decoder
+        pass, with <sos> y <eos> targets when ``predictor_bias == 2``."""
+        B = speech.shape[0]
+        enc, enc_lens = (encoded if encoded is not None
+                         else self.encode(speech, speech_lengths,
+                                          deterministic))
+        if self.predictor_bias == 2:
+            ys_pad, ys_lens = add_sos_and_eos(
+                text, text_lengths, self.sos, self.eos, self.ignore_id)
+        else:
+            from funasr_tpu.models.paraformer.model import add_eos
+
+            ys_pad, ys_lens = add_eos(text, text_lengths, self.eos,
+                                      self.ignore_id)
+        U = ys_pad.shape[1]
+        pred = self.predictor(
+            enc, enc_lens, max_tokens=U,
+            target_length=ys_lens.astype(jnp.float32),
+            deterministic=deterministic)
+
+        glat_logits = None
+        if self.sampling_ratio > 0.0 and not deterministic:
+            semantic, glat_logits = self._glm_sampler(
+                enc, enc_lens, ys_pad, ys_lens, pred.acoustic_embeds,
+                with_grad=self.use_1st_decoder_loss)
+        else:
+            semantic = pred.acoustic_embeds
+
+        logits = self.decoder(enc, enc_lens, semantic, ys_lens,
+                              deterministic)
+        loss_att = losses.label_smoothing_loss(
+            logits, ys_pad, self.ignore_id, self.lsm_weight,
+            self.length_normalized_loss)
+        loss_pre = losses.mae_length_loss(
+            ys_lens, pred.token_num, self.length_normalized_loss)
+        acc = losses.th_accuracy(
+            glat_logits if glat_logits is not None else logits,
+            ys_pad, self.ignore_id)
+        stats = {"loss_att": loss_att, "loss_pre": loss_pre, "acc": acc}
+
+        pre_loss_att = None
+        if self.use_1st_decoder_loss:
+            first = glat_logits if glat_logits is not None else logits
+            pre_loss_att = losses.label_smoothing_loss(
+                first, ys_pad, self.ignore_id, self.lsm_weight,
+                self.length_normalized_loss)
+            stats["pre_loss_att"] = pre_loss_att
+
+        if self.ctc_weight > 0.0:
+            ctc_logits = self.ctc_lo(enc)
+            loss_ctc = losses.ctc_loss(
+                ctc_logits, enc_lens, text, text_lengths,
+                self.ignore_id, self.blank_id)
+            loss = (self.ctc_weight * loss_ctc
+                    + (1.0 - self.ctc_weight) * loss_att
+                    + self.predictor_weight * loss_pre)
+            stats["loss_ctc"] = loss_ctc
+        else:
+            loss = loss_att + self.predictor_weight * loss_pre
+        if pre_loss_att is not None:
+            loss = loss + pre_loss_att
+        stats["loss"] = loss
+        stats["batch_size"] = jnp.asarray(B)
+        return loss, stats
+
+    def _glm_sampler(self, enc, enc_lens, ys_pad, ys_lens, acoustic_embeds,
+                     with_grad: bool = False):
+        """GLM sampler; ``with_grad`` keeps the first decoder pass in the
+        grad graph (reference sampler_with_grad, model.py:399) so
+        ``pre_loss_att`` can train it — the swap mask itself stays
+        non-differentiable either way."""
+        if not with_grad:
+            return super()._glm_sampler(enc, enc_lens, ys_pad, ys_lens,
+                                        acoustic_embeds)
+        U = ys_pad.shape[1]
+        tgt_mask = sequence_mask(ys_lens, U, dtype=jnp.float32)[:, :, None]
+        ys_masked = jnp.where(ys_pad == self.ignore_id, 0, ys_pad)
+        ys_embed = self.decoder.embed_tokens(ys_masked)
+        logits = self.decoder(enc, enc_lens, acoustic_embeds, ys_lens,
+                              False)  # NO stop_gradient: pre_loss_att path
+        pred = jnp.argmax(logits, axis=-1)
+        nonpad = ys_pad != self.ignore_id
+        same = jnp.sum((pred == ys_pad) & nonpad, axis=-1)
+        seq_lens = jnp.sum(nonpad, axis=-1)
+        target_num = (
+            (seq_lens - same).astype(jnp.float32) * self.sampling_ratio
+        ).astype(jnp.int32)
+        rng = self.make_rng("sampler")
+        noise = jax.random.uniform(rng, ys_pad.shape)
+        noise = jnp.where(nonpad, noise, jnp.inf)
+        order = jnp.argsort(noise, axis=-1)
+        ranks = jnp.argsort(order, axis=-1)
+        swap = (ranks < target_num[:, None]) & nonpad
+        semantic = jnp.where(
+            swap[:, :, None], ys_embed.astype(acoustic_embeds.dtype),
+            acoustic_embeds)
+        return semantic * tgt_mask.astype(semantic.dtype), logits

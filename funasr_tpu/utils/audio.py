@@ -137,10 +137,19 @@ def load_audio(
         elif ext in (".ogg", ".oga", ".opus"):
             wav, in_fs = load_ogg(source)
         else:
-            raise ValueError(
-                f"unsupported audio format {ext!r} (wav/pcm/mp3/flac/"
-                "ogg/opus supported natively)"
-            )
+            # any other container (mp4/m4a/aac/webm/...) through the
+            # system ffmpeg 5.x libraries (utils/ffmpeg_audio.py ctypes
+            # driver — the reference's load_utils.py:28 ffmpeg fallback)
+            from funasr_tpu.utils import ffmpeg_audio
+
+            if ffmpeg_audio.is_available():
+                wav, in_fs = ffmpeg_audio.decode(source)
+            else:
+                raise ValueError(
+                    f"unsupported audio format {ext!r} (wav/pcm/mp3/flac/"
+                    "ogg/opus natively; mp4/m4a/... need the system "
+                    "ffmpeg libraries)"
+                )
     else:
         raise TypeError(f"cannot load audio from {type(source)}")
     return resample_linear(wav, in_fs, fs)

@@ -53,3 +53,55 @@ def test_eparaformer_train_and_decode(rng):
     toks, n, sc = jax.jit(lambda p, x, l: model.apply(
         p, x, l, max_tokens=8, method=model.greedy_decode))(params, x, lens)
     assert toks.shape == (2, 8)
+
+
+def test_eparaformer_r4_objective(rng):
+    """The genuine e_paraformer training differences (reference
+    model.py:76,235,315): predictor_bias=2 targets (<sos> y <eos>) and the
+    with-grad first-decoder-pass loss pre_loss_att added to the total."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from funasr_tpu.models.e_paraformer.model import (EParaformer,
+                                                      add_sos_and_eos)
+
+    # add_sos_and_eos semantics
+    text = jnp.array([[5, 6, -1], [7, -1, -1]])
+    lens = jnp.array([2, 1])
+    out, olens = add_sos_and_eos(text, lens, 1, 2)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  [[1, 5, 6, 2, -1], [1, 7, 2, -1, -1]])
+    np.testing.assert_array_equal(np.asarray(olens), [4, 3])
+
+    m = EParaformer(
+        vocab_size=16, input_size=20,
+        encoder_conf=dict(output_size=16, attention_heads=2,
+                          linear_units=32, num_blocks=2, kernel_size=5,
+                          dropout_rate=0.0),
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=1,
+                          att_layer_num=1, kernel_size=5, dropout_rate=0.0),
+        predictor_conf=dict(idim=16, dropout=0.0, sigma_heads=2),
+        sampling_ratio=0.75, ctc_weight=0.3,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 24, 20)), jnp.float32)
+    xl = jnp.array([24, 18])
+    t = jnp.asarray(rng.integers(3, 15, (2, 4)), jnp.int32)
+    tl = jnp.array([4, 3])
+    t = jnp.where(jnp.arange(4)[None] < tl[:, None], t, -1)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "sampler": jax.random.PRNGKey(2)}
+    vs = m.init(rngs, x, xl, t, tl)
+    loss, stats = m.apply(vs, x, xl, t, tl, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(3),
+                                "sampler": jax.random.PRNGKey(4)})
+    assert np.isfinite(float(loss))
+    assert "pre_loss_att" in stats and np.isfinite(float(stats["pre_loss_att"]))
+    # the 1st-pass loss contributes gradients (with-grad sampler)
+    g = jax.grad(lambda p: m.apply(
+        p, x, xl, t, tl, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(3),
+              "sampler": jax.random.PRNGKey(4)})[0])(vs)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)

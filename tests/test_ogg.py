@@ -213,3 +213,137 @@ def test_ogg_garbage_rejected():
         native_audio.ogg_decode(b"OggS" + b"\x00" * 100)
     with pytest.raises(ValueError):
         native_audio.ogg_decode(b"not an ogg at all" * 10)
+
+
+# --------------------------------------- generic ffmpeg container decode
+from funasr_tpu.utils import ffmpeg_audio
+
+FF_OK = ffmpeg_audio.is_available()
+
+
+@pytest.mark.skipif(not FF_OK, reason="system ffmpeg libs unavailable")
+def test_ffmpeg_decode_stereo_wav(tmp_path):
+    """The ctypes ffmpeg driver (the reference's load_utils ffmpeg
+    fallback): stereo wav demux + decode + downmix, validating the whole
+    avformat/avcodec integration the mp4/m4a path rides."""
+    import wave
+
+    fs = 16000
+    w = _sine(fs, 1.0)
+    p = tmp_path / "st.wav"
+    with wave.open(str(p), "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(fs)
+        st = np.stack([w, w], 1).reshape(-1)
+        wf.writeframes((np.clip(st, -1, 1) * 32767).astype("<i2").tobytes())
+    out, rate = ffmpeg_audio.decode(str(p))
+    assert rate == fs and abs(len(out) - fs) < 10
+    np.testing.assert_allclose(out, w, atol=2e-4)
+
+
+@pytest.mark.skipif(not FF_OK, reason="system ffmpeg libs unavailable")
+def test_ffmpeg_decode_real_codecs(tmp_path):
+    """Real CODEC decode through avcodec: mp3 (libmp3lame-encoded) and the
+    Ogg-Opus file from this module's writer both round-trip."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_native_audio import _lame_encode
+
+    fs = 16000
+    w = _sine(fs, 0.5)
+    p3 = tmp_path / "x.mp3"
+    p3.write_bytes(_lame_encode(w, fs))
+    out, rate = ffmpeg_audio.decode(str(p3))
+    assert 8000 <= rate <= 48000
+    assert len(out) > 0.4 * fs
+    t = np.arange(len(out)) / rate
+    c = np.hypot(np.mean(out * np.sin(2 * np.pi * 440 * t)),
+                 np.mean(out * np.cos(2 * np.pi * 440 * t)))
+    assert c > 0.1
+
+    if OPUS_OK:
+        po = tmp_path / "x.opus"
+        _make_opus_file(str(po), _sine(48000, 0.5), 48000)
+        out2, rate2 = ffmpeg_audio.decode(str(po))
+        assert rate2 == 48000 and len(out2) > 0.4 * 48000
+
+
+@pytest.mark.skipif(not FF_OK, reason="system ffmpeg libs unavailable")
+def test_ffmpeg_garbage_rejected(tmp_path):
+    p = tmp_path / "junk.m4a"
+    p.write_bytes(b"definitely not an mp4" * 100)
+    with pytest.raises(ValueError):
+        ffmpeg_audio.decode(str(p))
+
+
+def _make_mov_sowt(path, wav, fs):
+    """Minimal valid .m4a (ISO-BMFF 'sowt' 16-bit PCM track) written by
+    hand — exercises the MP4 demuxer specifically, no encoder needed."""
+    n = len(wav)
+    pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ, ver, flags, payload):
+        return box(typ, struct.pack(">B3s", ver,
+                                    flags.to_bytes(3, "big")) + payload)
+
+    ftyp = box(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42isom")
+    mvhd = full(b"mvhd", 0, 0,
+                struct.pack(">IIIIII", 0, 0, fs, n, 0x00010000, 0)
+                + b"\x00" * 10
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", 0, 7, struct.pack(">IIIII", 0, 0, 1, 0, n)
+                + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0x0100, 0)
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + struct.pack(">II", 0, 0))
+    mdhd = full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fs, n,
+                                           0x55C4, 0))
+    hdlr = full(b"hdlr", 0, 0,
+                b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"Sound\x00")
+    smhd = full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = full(b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1,
+                                                           b""))
+    dinf = box(b"dinf", dref)
+    sowt = box(b"sowt", b"\x00" * 6 + struct.pack(">H", 1)
+               + struct.pack(">HHI", 0, 0, 0)
+               + struct.pack(">HHHH", 1, 16, 0, 0)
+               + struct.pack(">I", fs << 16))
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + sowt)
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full(b"stsz", 0, 0, struct.pack(">III", 2, n, 0))
+
+    def build(stco_off):
+        stco = full(b"stco", 0, 0, struct.pack(">II", 1, stco_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", smhd + dinf + stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        return box(b"moov", mvhd + trak)
+
+    moov = build(0)
+    moov = build(len(ftyp) + len(moov) + 8)  # mdat payload offset
+    with open(path, "wb") as f:
+        f.write(ftyp + moov + box(b"mdat", pcm))
+
+
+@pytest.mark.skipif(not FF_OK, reason="system ffmpeg libs unavailable")
+def test_ffmpeg_decode_m4a_and_load_audio(tmp_path):
+    """A hand-built .m4a decodes through the MP4 demuxer and load_audio
+    routes the extension there (reference load_utils ffmpeg role)."""
+    fs = 16000
+    w = _sine(fs, 1.0)
+    p = tmp_path / "x.m4a"
+    _make_mov_sowt(str(p), w, fs)
+    out, rate = ffmpeg_audio.decode(str(p))
+    assert rate == fs and abs(len(out) - fs) < 4
+    np.testing.assert_allclose(out, w, atol=2e-4)
+    got = load_audio(str(p), fs=16000)
+    np.testing.assert_allclose(got, w, atol=2e-4)
