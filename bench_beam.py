@@ -98,7 +98,7 @@ def main():
     # B=8 = the pipeline column's per-VAD-segment batch; B=32 = the
     # saturated serving batch (the single-chip analogue of the
     # reference's 32-thread CPU server concurrency)
-    sizes = (2,) if TINY else (8, 32)
+    sizes = (2,) if TINY else (8, 32, 64)
     rows = {B: measure(B) for B in sizes}
     B_head = sizes[-1]
     rate, t_beam, compile_s = rows[B_head]
