@@ -149,3 +149,56 @@ def test_scama_mask_semantics_vs_reference_builder(data):
         int(ref.shape[1]), chunk=4, look_back=1, n_frames=T))
     np.testing.assert_array_equal(got[:, :ref.shape[1], :ref.shape[2]],
                                   ref.numpy())
+
+
+def test_scama_streaming_reveal_equivalence(jax_decoder, data):
+    """The streaming contract: scoring step i with ONLY the revealed
+    encoder frames (memory truncated to token i's window end) equals
+    scoring with full memory under the chunk mask with unlimited
+    look-back — i.e. chunk-synchronised decoding never needs frames that
+    have not arrived yet (reference generate_chunk semantics,
+    scama/model.py:520)."""
+    memory, mlens, ys_in, ylens, mask, peaks = data
+    dec, params = jax_decoder
+    b = 0
+    mem1 = memory[b:b + 1]
+    peaks1 = jnp.asarray(peaks[b:b + 1])
+    chunk, U_dec = 4, 4
+
+    full_mask = scama_cross_mask(
+        peaks1, jnp.asarray([T]), jnp.asarray([U_dec]), U_dec,
+        chunk=chunk, look_back=-1, n_frames=T)
+    scorer_full = CachedScamaDecoder(
+        params["params"], jnp.asarray(mem1), jnp.asarray([T]),
+        n_head=DEC["attention_heads"], kernel_size=DEC["kernel_size"],
+        cross_mask=full_mask, beam=1)
+    state_f = scorer_full.init_state()
+
+    # per-token window ends from the fire alignment (same math as the
+    # mask builder)
+    cum = np.cumsum(np.asarray(peaks1)[0])
+    ends = []
+    for i in range(U_dec):
+        ff = int(np.sum(cum < i + 1))
+        ff = min(ff, T - 1)
+        ends.append(min(T, (ff // chunk + 1) * chunk))
+
+    # streaming: rebuild the scorer per step over the REVEALED prefix
+    # only (no mask), reusing the FSMN state
+    state_s = None
+    tok = jnp.asarray(np.asarray(ys_in)[b:b + 1, 0].astype(np.int32))
+    for i in range(U_dec):
+        revealed = np.zeros_like(np.asarray(mem1))
+        revealed[:, :ends[i]] = np.asarray(mem1)[:, :ends[i]]
+        scorer_i = CachedScamaDecoder(
+            params["params"], jnp.asarray(revealed),
+            jnp.asarray([ends[i]]),
+            n_head=DEC["attention_heads"], kernel_size=DEC["kernel_size"],
+            beam=1)
+        if state_s is None:
+            state_s = scorer_i.init_state()
+        tok_i = jnp.asarray(np.asarray(ys_in)[b:b + 1, i].astype(np.int32))
+        lp_s, state_s = scorer_i.step(tok_i, jnp.asarray(i), state_s)
+        lp_f, state_f = scorer_full.step(tok_i, jnp.asarray(i), state_f)
+        np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_f),
+                                   rtol=1e-5, atol=1e-5)
