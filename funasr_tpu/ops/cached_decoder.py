@@ -209,9 +209,13 @@ class CachedTransformerDecoder:
             h = _dense(h, lp["feed_forward"]["w_2"], dtype)
             return x + h, (k_l, v_l)
 
+        # unroll: the per-layer step is ~10 tiny ops; inlining all layers
+        # lets XLA fuse across them (the beam step is dispatch-bound,
+        # docs/ROOFLINE.md r4 section)
         x, (k_new, v_new) = lax.scan(
             layer, x, (p["decoders"], self.wqkv, self.bqkv,
-                       self.ck, self.cv, state.k, state.v))
+                       self.ck, self.cv, state.k, state.v),
+            unroll=True)
         x = _ln(x, p["after_norm"]).astype(dtype)
         logits = _dense(x, p["output_layer"], dtype)[:, 0]  # (N, V)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
