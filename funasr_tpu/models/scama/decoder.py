@@ -282,9 +282,11 @@ class CachedScamaDecoder:
             x, buf = self._layer(x, lp, buf, ck_l, cv_l, key_valid)
             return x, buf
 
+        # unrolled: dispatch-bound step, same finding as
+        # ops/cached_decoder (docs/ROOFLINE.md r4)
         x, buf1 = lax.scan(
             layer1, x, (p["decoders"], self.ck, self.cv,
-                        state.fsmn[:self.L1]))
+                        state.fsmn[:self.L1]), unroll=True)
         if self.has_dec2:
             def layer2(x, xs):
                 lp, buf = xs
@@ -292,7 +294,8 @@ class CachedScamaDecoder:
                 return x, buf
 
             x, buf2 = lax.scan(layer2, x,
-                               (p["decoders2"], state.fsmn[self.L1:]))
+                               (p["decoders2"], state.fsmn[self.L1:]),
+                               unroll=True)
             fsmn = jnp.concatenate([buf1, buf2], axis=0)
         else:
             fsmn = buf1
