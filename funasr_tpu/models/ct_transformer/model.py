@@ -67,6 +67,9 @@ class CTTransformer(nn.Module):
         conf.setdefault("attention_heads", 8)
         conf.setdefault("linear_units", 1024)
         conf.setdefault("num_blocks", 4)
+        # punc windows are small + dispatch-bound: unroll the 4-layer
+        # stack so XLA fuses across layers (same r4 finding as the beam)
+        conf.setdefault("unroll_layers", True)
         conf.setdefault("kernel_size", 11)
         input_layer = conf.pop("input_layer", "pe")
         sanm_shift = conf.pop("sanm_shfit", 0)

@@ -467,6 +467,10 @@ class SANMEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    # unroll the layer scan (small stacks on dispatch-bound paths — the
+    # punc windows, cached beam steps; docs/ROOFLINE.md r4).  Keep False
+    # for deep stacks: a 50-layer unrolled flagship explodes compile time.
+    unroll_layers: bool = False
 
     @nn.compact
     def __call__(self, xs, lengths, deterministic: bool = True,
@@ -616,6 +620,7 @@ class SANMEncoder(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 length=n_rest,
                 in_axes=(nn.broadcast, nn.broadcast),
+                unroll=n_rest if self.unroll_layers else 1,
             )
             x, _ = ScanStack(
                 self.output_size, self.output_size, self.attention_heads,
