@@ -132,6 +132,16 @@ class ParaformerEngine(BatchedAsrEngine):
         self.module = module
         self.params = params
         self.blank_id = blank_id
+        # NAR decodes include the trained sos/eos positions inside the
+        # predictor's token count; the reference filters them BY ID
+        # (e_paraformer/model.py:628 filters sos/eos/blank) rather than
+        # relying on "<...>"-shaped token strings, so vocabularies whose
+        # ids 1/2 aren't angle-bracketed can't leak them into text.
+        # (Timestamp paths keep the string-based handling — their fire/
+        # token alignment is torch-parity-pinned.)
+        self._special_ids = {blank_id,
+                             int(getattr(module, "sos", 1) or 1),
+                             int(getattr(module, "eos", 2) or 2)}
         self.max_tokens_per_15s = max_tokens_per_15s
 
         def _run(params, wav, lens, max_tokens):
@@ -206,7 +216,7 @@ class ParaformerEngine(BatchedAsrEngine):
             results = []
             for i in range(len(wavs)):
                 ids = [t for t in tokens[i, : int(tok_lens[i])].tolist()
-                       if t != self.blank_id]
+                       if t not in self._special_ids]
                 toks = self.tokenizer.ids2tokens(ids)
                 text, words = sentence_postprocess(toks)
                 results.append({"text": text, "raw_tokens": words})
@@ -257,7 +267,9 @@ class ParaformerEngine(BatchedAsrEngine):
                 res["timestamp"] = ts_kept
                 res["raw_tokens"] = words
             else:
-                text, words = sentence_postprocess(toks)
+                text, words = sentence_postprocess(
+                    [tk for t, tk in zip(ids, toks)
+                     if t not in self._special_ids])
                 res["raw_tokens"] = words
             res["text"] = text
             results.append(res)

@@ -72,11 +72,13 @@ class EParaformer(Paraformer):
         if self.predictor_bias == 2:
             ys_pad, ys_lens = add_sos_and_eos(
                 text, text_lengths, self.sos, self.eos, self.ignore_id)
-        else:
+        elif self.predictor_bias == 1:
             from funasr_tpu.models.paraformer.model import add_eos
 
             ys_pad, ys_lens = add_eos(text, text_lengths, self.eos,
                                       self.ignore_id)
+        else:  # bias 0: raw targets (reference _calc_att_loss gates both)
+            ys_pad, ys_lens = text, text_lengths
         U = ys_pad.shape[1]
         pred = self.predictor(
             enc, enc_lens, max_tokens=U,
@@ -87,7 +89,7 @@ class EParaformer(Paraformer):
         if self.sampling_ratio > 0.0 and not deterministic:
             semantic, glat_logits = self._glm_sampler(
                 enc, enc_lens, ys_pad, ys_lens, pred.acoustic_embeds,
-                with_grad=self.use_1st_decoder_loss)
+                stop_grad=not self.use_1st_decoder_loss)
         else:
             semantic = pred.acoustic_embeds
 
@@ -103,11 +105,15 @@ class EParaformer(Paraformer):
             ys_pad, self.ignore_id)
         stats = {"loss_att": loss_att, "loss_pre": loss_pre, "acc": acc}
 
+        # pre_loss_att only when a distinct first pass exists (training
+        # with sampling): at eval `first` would just be `logits` and the
+        # term would double-count loss_att (the repo gates the sampler on
+        # deterministic — a documented divergence from the reference,
+        # which runs it in eval too)
         pre_loss_att = None
-        if self.use_1st_decoder_loss:
-            first = glat_logits if glat_logits is not None else logits
+        if self.use_1st_decoder_loss and glat_logits is not None:
             pre_loss_att = losses.label_smoothing_loss(
-                first, ys_pad, self.ignore_id, self.lsm_weight,
+                glat_logits, ys_pad, self.ignore_id, self.lsm_weight,
                 self.length_normalized_loss)
             stats["pre_loss_att"] = pre_loss_att
 
@@ -127,36 +133,3 @@ class EParaformer(Paraformer):
         stats["loss"] = loss
         stats["batch_size"] = jnp.asarray(B)
         return loss, stats
-
-    def _glm_sampler(self, enc, enc_lens, ys_pad, ys_lens, acoustic_embeds,
-                     with_grad: bool = False):
-        """GLM sampler; ``with_grad`` keeps the first decoder pass in the
-        grad graph (reference sampler_with_grad, model.py:399) so
-        ``pre_loss_att`` can train it — the swap mask itself stays
-        non-differentiable either way."""
-        if not with_grad:
-            return super()._glm_sampler(enc, enc_lens, ys_pad, ys_lens,
-                                        acoustic_embeds)
-        U = ys_pad.shape[1]
-        tgt_mask = sequence_mask(ys_lens, U, dtype=jnp.float32)[:, :, None]
-        ys_masked = jnp.where(ys_pad == self.ignore_id, 0, ys_pad)
-        ys_embed = self.decoder.embed_tokens(ys_masked)
-        logits = self.decoder(enc, enc_lens, acoustic_embeds, ys_lens,
-                              False)  # NO stop_gradient: pre_loss_att path
-        pred = jnp.argmax(logits, axis=-1)
-        nonpad = ys_pad != self.ignore_id
-        same = jnp.sum((pred == ys_pad) & nonpad, axis=-1)
-        seq_lens = jnp.sum(nonpad, axis=-1)
-        target_num = (
-            (seq_lens - same).astype(jnp.float32) * self.sampling_ratio
-        ).astype(jnp.int32)
-        rng = self.make_rng("sampler")
-        noise = jax.random.uniform(rng, ys_pad.shape)
-        noise = jnp.where(nonpad, noise, jnp.inf)
-        order = jnp.argsort(noise, axis=-1)
-        ranks = jnp.argsort(order, axis=-1)
-        swap = (ranks < target_num[:, None]) & nonpad
-        semantic = jnp.where(
-            swap[:, :, None], ys_embed.astype(acoustic_embeds.dtype),
-            acoustic_embeds)
-        return semantic * tgt_mask.astype(semantic.dtype), logits

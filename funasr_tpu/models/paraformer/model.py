@@ -204,11 +204,14 @@ class Paraformer(nn.Module):
         stats["batch_size"] = jnp.asarray(B)
         return loss, stats
 
-    def _glm_sampler(self, enc, enc_lens, ys_pad, ys_lens, acoustic_embeds):
+    def _glm_sampler(self, enc, enc_lens, ys_pad, ys_lens, acoustic_embeds,
+                     stop_grad: bool = True):
         """Glancing-LM sampler (reference model.py:339 ``sampler``): run the
         decoder on the raw CIF embeddings without grad, count wrong tokens,
         and swap a random ``ratio * #wrong`` subset of positions for
-        ground-truth token embeddings."""
+        ground-truth token embeddings.  ``stop_grad=False`` keeps the first
+        pass in the grad graph (e_paraformer's sampler_with_grad,
+        e_paraformer/model.py:399 — its logits take an extra CE term)."""
         U = ys_pad.shape[1]
         tgt_mask = sequence_mask(ys_lens, U, dtype=jnp.float32)[:, :, None]
         ys_masked = jnp.where(ys_pad == self.ignore_id, 0, ys_pad)
@@ -217,9 +220,9 @@ class Paraformer(nn.Module):
         # dropout stays LIVE in this pass: the reference wraps it in
         # torch.no_grad() with the module in train() mode (model.py:357),
         # so the wrong-token count is computed on dropout-noised logits
-        logits = jax.lax.stop_gradient(
-            self.decoder(enc, enc_lens, acoustic_embeds, ys_lens, False)
-        )
+        logits = self.decoder(enc, enc_lens, acoustic_embeds, ys_lens, False)
+        if stop_grad:
+            logits = jax.lax.stop_gradient(logits)
         pred = jnp.argmax(logits, axis=-1)
         nonpad = ys_pad != self.ignore_id
         same = jnp.sum((pred == ys_pad) & nonpad, axis=-1)

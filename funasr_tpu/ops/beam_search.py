@@ -22,10 +22,10 @@ Frame masking: CTC log-probs must be prepared with ``mask_ctc_frames`` so
 padded frames are (blank: 0, others: -inf) — they then leave prefix scores
 unchanged.
 
-Measured on the real chip (BENCH_BEAM.json): 643.6 audio-s/s at B=8 and
-878.6 at the saturated B=32 serving batch for the full conformer_hybrid
-config (r3 full-prefix form: 72.1; reference 32-thread Xeon ONNX server:
-562).
+Measured on the real chip (BENCH_BEAM.json): 1,028 audio-s/s at B=8
+(the best operating point — the unrolled cached step is compute-bound by
+B=32, where ~850-930 holds) for the full conformer_hybrid config (r3
+full-prefix form: 72.1; reference 32-thread Xeon ONNX server: 562).
 """
 
 from __future__ import annotations

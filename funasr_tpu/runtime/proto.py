@@ -62,10 +62,10 @@ def _tag(field: int, wire: int) -> bytes:
     return _varint((field << 3) | wire)
 
 
-def _sint32(v: int) -> int:
-    """proto3 int32 semantics: varints are 64-bit two's complement, then
-    truncated to the signed 32-bit range (a negative rate must decode as
-    negative — recognizably invalid — not as ~4.3e9)."""
+def _int32(v: int) -> int:
+    """proto3 *int32* (NOT zigzag sint32) semantics: varints are 64-bit
+    two's complement, truncated to the signed 32-bit range (a negative
+    value must decode as negative — recognizably invalid — not ~4.3e9)."""
     v &= (1 << 64) - 1
     if v >= 1 << 63:
         v -= 1 << 64
@@ -142,14 +142,14 @@ def decode_request(data: bytes) -> Dict[str, Any]:
         elif field == 2 and wire == _WIRE_VARINT:
             req["wav_format"] = int(val)
         elif field == 3 and wire == _WIRE_VARINT:
-            req["sampling_rate"] = _sint32(int(val))
+            req["sampling_rate"] = _int32(int(val))
         elif field == 4 and wire == _WIRE_LEN:  # packed repeated int32
             pos = 0
             while pos < len(val):
                 v, pos = _read_varint(val, pos)
-                req["chunk_size"].append(v)
+                req["chunk_size"].append(_int32(v))
         elif field == 4 and wire == _WIRE_VARINT:  # unpacked writer
-            req["chunk_size"].append(int(val))
+            req["chunk_size"].append(_int32(int(val)))
         elif field == 5 and wire == _WIRE_VARINT:
             req["is_final"] = bool(val)
         elif field == 6 and wire == _WIRE_LEN:

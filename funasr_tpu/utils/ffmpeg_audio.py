@@ -17,14 +17,17 @@ module reports unavailable and callers fall back to the clear
 
     AVFormatContext.nb_streams @ 44, .streams @ 48   (lavf 59)
     AVStream.codecpar          @ 208                  (lavf 59)
+    AVCodecParameters.channels @ 112, .sample_rate @ 116  (lavc 59,
+        validated at open: rate must equal the decoded frames' rate)
     AVPacket.stream_index      @ 36                   (lavc 59)
     AVFrame.extended_data @ 96, .nb_samples @ 112,
             .format @ 116, .sample_rate @ 208         (lavu 57)
 
-Channel count is derived WITHOUT further offsets: planar frames carry one
-``extended_data``/``data`` pointer per channel; packed frames encode
-channels in ``linesize[0] / (nb_samples * bytes_per_sample)``.  Sample
-values convert per AVSampleFormat in numpy (no swresample).
+The stream's channel count comes from codecpar (validated 1..32) — NOT
+from linesize[0] (decoders align it up, so small tail frames would
+mis-derive it) and NOT by walking data[] for a NULL (the 8-entry array is
+not NULL-terminated at exactly 8 channels).  Sample values convert per
+AVSampleFormat in numpy (no swresample).
 
 Decoded sample rate is validated (8k..384k) so a broken offset can only
 fail loudly, never silently corrupt audio.
@@ -56,6 +59,7 @@ _O_PKT_STREAM_INDEX = 36
 _O_FRM_EXT_DATA, _O_FRM_NB_SAMPLES = 96, 112
 _O_FRM_FORMAT, _O_FRM_SAMPLE_RATE = 116, 208
 _O_FRM_DATA, _O_FRM_LINESIZE = 0, 64
+_O_PAR_CHANNELS, _O_PAR_SAMPLE_RATE = 112, 116
 
 
 class _Libs:
@@ -128,7 +132,7 @@ def _ptr(ptr: int, off: int) -> int:
     return ctypes.cast(ptr + off, ctypes.POINTER(ctypes.c_void_p))[0] or 0
 
 
-def _frame_to_mono(L: _Libs, frm: int) -> Tuple[np.ndarray, int]:
+def _frame_to_mono(L: _Libs, frm: int, nch: int) -> Tuple[np.ndarray, int]:
     n = _i32(frm, _O_FRM_NB_SAMPLES)
     fmt = _i32(frm, _O_FRM_FORMAT)
     rate = _i32(frm, _O_FRM_SAMPLE_RATE)
@@ -148,21 +152,19 @@ def _frame_to_mono(L: _Libs, frm: int) -> Tuple[np.ndarray, int]:
         return x
 
     if planar:
+        # exactly nch planes: data[] for the first 8, extended_data past
+        # that (reading a fixed count never walks off either array)
         ext = _ptr(frm, _O_FRM_EXT_DATA)
         chans = []
-        ci = 0
-        while True:
-            p = _ptr(ext, 8 * ci) if ext else 0
-            if not p or ci >= 32:
-                break
+        for ci in range(nch):
+            p = (_ptr(frm + _O_FRM_DATA, 8 * ci) if ci < 8
+                 else _ptr(ext, 8 * ci))
+            if not p:
+                raise ValueError("ffmpeg planar frame missing plane "
+                                 f"{ci}/{nch}")
             chans.append(read(p, n))
-            ci += 1
-        if not chans:
-            raise ValueError("ffmpeg planar frame with no channel planes")
         mono = np.mean(chans, axis=0)
     else:
-        linesize0 = _i32(frm, _O_FRM_LINESIZE)
-        nch = max(1, linesize0 // max(n * bps, 1))
         p = _ptr(frm, _O_FRM_DATA)
         x = read(p, n * nch).reshape(n, nch)
         mono = x.mean(axis=1)
@@ -194,6 +196,11 @@ def decode(path: str) -> Tuple[np.ndarray, int]:
             raise ValueError("ffmpeg: stream index out of range")
         stream = _ptr(streams, 8 * idx)
         codecpar = _ptr(stream, _O_CODECPAR)
+        nch = _i32(codecpar, _O_PAR_CHANNELS)
+        par_rate = _i32(codecpar, _O_PAR_SAMPLE_RATE)
+        if not (1 <= nch <= 32) or not (8000 <= par_rate <= 384000):
+            raise ValueError(f"ffmpeg codecpar out of range (channels="
+                             f"{nch}, rate={par_rate}) — ABI mismatch?")
         cctx = ctypes.c_void_p(L.cod.avcodec_alloc_context3(dec))
         if (L.cod.avcodec_parameters_to_context(cctx, codecpar) < 0
                 or L.cod.avcodec_open2(cctx, dec, None) < 0):
@@ -212,9 +219,9 @@ def decode(path: str) -> Tuple[np.ndarray, int]:
                     return
                 if rc < 0:
                     raise ValueError(f"ffmpeg decode error {rc}")
-                mono, r = _frame_to_mono(L, frm.value)
-                if rate and r != rate:
-                    raise ValueError("ffmpeg: sample rate changed mid-file")
+                mono, r = _frame_to_mono(L, frm.value, nch)
+                if r != par_rate:
+                    raise ValueError("ffmpeg: frame rate != codecpar rate")
                 rate = r
                 pieces.append(mono)
                 L.utl.av_frame_unref(frm)

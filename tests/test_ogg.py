@@ -347,3 +347,26 @@ def test_ffmpeg_decode_m4a_and_load_audio(tmp_path):
     np.testing.assert_allclose(out, w, atol=2e-4)
     got = load_audio(str(p), fs=16000)
     np.testing.assert_allclose(got, w, atol=2e-4)
+
+
+@pytest.mark.skipif(not FF_OK, reason="system ffmpeg libs unavailable")
+def test_ffmpeg_channels_from_codecpar(tmp_path):
+    """Channel count comes from codecpar, not linesize (decoders align
+    linesize up, which mis-derived channels for small tail frames): a
+    3-channel wav with an odd total length downmixes exactly."""
+    import wave
+
+    fs = 16000
+    n = 16000 + 37  # ragged tail
+    t = np.arange(n) / fs
+    chans = [0.3 * np.sin(2 * np.pi * f * t) for f in (300.0, 300.0, 300.0)]
+    p = tmp_path / "c3.wav"
+    with wave.open(str(p), "wb") as wf:
+        wf.setnchannels(3)
+        wf.setsampwidth(2)
+        wf.setframerate(fs)
+        st = np.stack(chans, 1).reshape(-1)
+        wf.writeframes((np.clip(st, -1, 1) * 32767).astype("<i2").tobytes())
+    out, rate = ffmpeg_audio.decode(str(p))
+    assert rate == fs and len(out) == n
+    np.testing.assert_allclose(out, chans[0], atol=3e-4)

@@ -145,6 +145,11 @@ def test_proto_codec_roundtrip():
     assert back["is_final"] is True
     assert back["audio_data"] == b"\x01\x02\xff"
 
+    # negative int32 chunk_size decodes as negative (proto int32
+    # two's-complement varint), matching sampling_rate semantics
+    neg = proto.encode_request(chunk_size=[-1, 10])
+    assert proto.decode_request(neg)["chunk_size"] == [-1, 10]
+
     res = proto.encode_response(mode=1, text="你好 world", is_final=True)
     rb = proto.decode_response(res)
     assert rb == {"mode": 1, "text": "你好 world", "is_final": True}
