@@ -204,6 +204,9 @@ def beam_search(
     step_score_fn: Optional[Callable] = None,
     dec_state=None,
     state_reorder_fn: Optional[Callable] = None,
+    lm_step_fn: Optional[Callable] = None,
+    lm_state=None,
+    lm_reorder_fn: Optional[Callable] = None,
 ) -> BeamResult:
     """Batched fixed-beam search; jit-compatible (static maxlen/beam).
 
@@ -217,6 +220,10 @@ def beam_search(
       incremental cached path (reference transformer/decoder.py:291
       ``forward_one_step`` semantics; see ops/cached_decoder.py).
 
+    The LM shallow-fusion term mirrors the same pair: ``lm_fn(ys, step)``
+    full-prefix, or ``lm_step_fn``/``lm_state``/``lm_reorder_fn`` cached
+    (ops/cached_decoder.CachedTransformerLM).
+
     The decode loop is a ``lax.while_loop`` that exits as soon as every
     hypothesis has emitted eos (the reference's ``end_detect``), which the
     fixed-trip scan it replaced could not.
@@ -227,6 +234,9 @@ def beam_search(
         raise ValueError("need decode_fn or step_score_fn")
     if incremental and state_reorder_fn is None:
         raise ValueError("step_score_fn requires state_reorder_fn")
+    lm_incremental = lm_step_fn is not None
+    if lm_incremental and lm_reorder_fn is None:
+        raise ValueError("lm_step_fn requires lm_reorder_fn")
     use_ctc = ctc_logp is not None and ctc_weight > 0.0
     use_hw = hotword_tables is not None and hotword_weight != 0.0
     if use_hw:
@@ -250,7 +260,7 @@ def beam_search(
 
     def step_fn(carry, step):
         (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
-         dstate) = carry
+         dstate, lstate) = carry
         N = B * K
         last = jnp.take_along_axis(
             ys, jnp.broadcast_to(step[None, None, None], (B, K, 1)), axis=2
@@ -266,7 +276,10 @@ def beam_search(
         else:
             att_w = 1.0
         lm_term = 0.0
-        if lm_fn is not None and lm_weight != 0.0:
+        if lm_incremental and lm_weight != 0.0:
+            lm_logp, lstate = lm_step_fn(last.reshape(N), step, lstate)
+            lm_term = lm_weight * lm_logp.reshape(B, K, V).astype(jnp.float32)
+        elif lm_fn is not None and lm_weight != 0.0:
             lm_logp = lm_fn(ys.reshape(N, -1), step).reshape(B, K, V)
             lm_term = lm_weight * lm_logp.astype(jnp.float32)
 
@@ -316,10 +329,13 @@ def beam_search(
             )
 
         ys = gather_hyp(ys)
-        if incremental:
+        if incremental or lm_incremental:
             src_flat = (jnp.arange(B, dtype=src_hyp.dtype)[:, None] * K
                         + src_hyp).reshape(B * K)
-            dstate = state_reorder_fn(dstate, src_flat)
+            if incremental:
+                dstate = state_reorder_fn(dstate, src_flat)
+            if lm_incremental:
+                lstate = lm_reorder_fn(lstate, src_flat)
         finished = jnp.take_along_axis(finished, src_hyp, axis=1)
         lengths = jnp.take_along_axis(lengths, src_hyp, axis=1)
         ys = ys.at[:, :, step + 1].set(jnp.where(finished, eos, tok))
@@ -349,10 +365,10 @@ def beam_search(
         finished = finished | (tok == eos)
         scores = top_scores
         return (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
-                dstate)
+                dstate, lstate)
 
     carry = (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
-             dec_state)
+             dec_state, lm_state)
 
     def loop_cond(sc):
         step, carry = sc
@@ -365,7 +381,7 @@ def beam_search(
     _, carry = lax.while_loop(loop_cond, loop_body,
                               (jnp.asarray(0, jnp.int32), carry))
     (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
-     dec_state) = carry
+     dec_state, lm_state) = carry
 
     # forced-eos finalization: hypotheses still running at maxlen must pay
     # the eos term before ranking against finished ones (the reference
@@ -380,7 +396,12 @@ def beam_search(
     final_eos = final_logp.reshape(B, K, V)[..., eos].astype(jnp.float32)
     att_w_final = 1.0 - ctc_weight if use_ctc else 1.0
     eos_term = att_w_final * final_eos + length_bonus
-    if lm_fn is not None and lm_weight != 0.0:
+    if lm_incremental and lm_weight != 0.0:
+        lm_eos, _ = lm_step_fn(ys[:, :, maxlen].reshape(B * K),
+                               jnp.asarray(maxlen), lm_state)
+        eos_term = eos_term + lm_weight * (
+            lm_eos.reshape(B, K, V)[..., eos].astype(jnp.float32))
+    elif lm_fn is not None and lm_weight != 0.0:
         lm_eos = lm_fn(ys.reshape(B * K, -1), jnp.asarray(maxlen))
         eos_term = eos_term + lm_weight * (
             lm_eos.reshape(B, K, V)[..., eos].astype(jnp.float32))

@@ -226,3 +226,78 @@ class CachedTransformerDecoder:
                       ) -> DecoderState:
         """Gather the cache along the hypothesis axis (N,) after top-k."""
         return DecoderState(k=state.k[:, src_flat], v=state.v[:, src_flat])
+
+
+class CachedTransformerLM:
+    """Step scorer over a TransformerLM param tree for beam shallow fusion
+    (reference transformer_lm.py scored through espnet's ``batch_score``
+    cache; here the same KV-cache treatment as the decoder scorer so the
+    LM term stops re-running the full prefix every step).
+
+    ``n_hyps`` is the flat hypothesis count (B*beam); there is no
+    cross-attention so the whole state is the self-KV cache.
+    """
+
+    def __init__(self, lm_params, n_hyps: int, *, n_head, maxlen,
+                 dtype=jnp.float32):
+        from funasr_tpu.ops.posenc import transformer_encoding
+
+        self.p = lm_params
+        self.n_head = n_head
+        self.maxlen = maxlen
+        self.dtype = dtype
+        self.N = n_hyps
+        self.F = lm_params["encoders"]["self_attn"]["linear_q"][
+            "kernel"].shape[-1]
+        self.L = lm_params["encoders"]["self_attn"]["linear_q"][
+            "kernel"].shape[0]
+        self.att = lm_params["after_norm"]["scale"].shape[-1]
+        sa = lm_params["encoders"]["self_attn"]
+        self.wqkv = jnp.concatenate(
+            [sa["linear_q"]["kernel"], sa["linear_k"]["kernel"],
+             sa["linear_v"]["kernel"]], axis=2).astype(dtype)
+        self.bqkv = jnp.concatenate(
+            [sa["linear_q"]["bias"], sa["linear_k"]["bias"],
+             sa["linear_v"]["bias"]], axis=1).astype(dtype)
+        self.pe = transformer_encoding(maxlen + 1, self.att)
+
+    def init_state(self) -> DecoderState:
+        z = jnp.zeros((self.L, self.N, self.maxlen + 1, self.F), self.dtype)
+        return DecoderState(k=z, v=z)
+
+    def step(self, y_tok: jnp.ndarray, pos, state: DecoderState):
+        p, dtype = self.p, self.dtype
+        emb = p["embed"]["embedding"][y_tok].astype(dtype)
+        x = _dense(emb, p["input_layer"], dtype)
+        x = x * (self.att ** 0.5) + lax.dynamic_slice_in_dim(
+            self.pe, pos, 1, axis=0).astype(dtype)
+        x = x[:, None, :]
+        kv_valid = jnp.broadcast_to(
+            jnp.arange(self.maxlen + 1)[None, :] <= pos,
+            (self.N, self.maxlen + 1))
+
+        def layer(x, xs):
+            lp, wqkv, bqkv, k_l, v_l = xs
+            h = _ln(x, lp["norm1"]).astype(dtype)
+            qkv = maybe_int8_dot_general(
+                h.astype(dtype), wqkv, (((2,), (0,)), ((), ()))) + bqkv
+            qs, ks, vs = jnp.split(qkv, 3, axis=-1)
+            k_l = lax.dynamic_update_slice_in_dim(k_l, ks, pos, axis=1)
+            v_l = lax.dynamic_update_slice_in_dim(v_l, vs, pos, axis=1)
+            ctx = _mha_step(qs, k_l, v_l, kv_valid, self.n_head, dtype)
+            x = x + _dense(ctx, lp["self_attn"]["linear_out"], dtype)
+            h = _ln(x, lp["norm2"]).astype(dtype)
+            h = _dense(h, lp["feed_forward"]["w_1"], dtype)
+            h = jax.nn.relu(h)
+            h = _dense(h, lp["feed_forward"]["w_2"], dtype)
+            return x + h, (k_l, v_l)
+
+        x, (k_new, v_new) = lax.scan(
+            layer, x, (p["encoders"], self.wqkv, self.bqkv,
+                       state.k, state.v), unroll=True)
+        x = _ln(x, p["after_norm"]).astype(dtype)
+        logits = _dense(x, p["decoder"], dtype)[:, 0]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return logp, DecoderState(k=k_new, v=v_new)
+
+    reorder_state = staticmethod(CachedTransformerDecoder.reorder_state)
