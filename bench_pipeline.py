@@ -300,10 +300,15 @@ def main():
     pm._punc_ids_batch = stub_pib
     pm._punc_ids = lambda ids: stub_pib([ids])[0]
     try:
-        t_punc_host = min(
-            _timed(lambda: pm.inference_batch(seg_texts,
-                                              am.punc_engine.tokenizer))
-            for _ in range(3))
+        times = []
+        for _rep in range(3):
+            # one pass's rounds only: accumulating across the timing reps
+            # overcharged punc_device 3x (r4.0 accounting bug)
+            rounds.clear()
+            t0 = time.time()
+            pm.inference_batch(seg_texts, am.punc_engine.tokenizer)
+            times.append(time.time() - t0)
+        t_punc_host = min(times)
     finally:
         pm._punc_ids_batch = real_pib
         pm._punc_ids = real_pi
