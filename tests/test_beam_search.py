@@ -280,3 +280,33 @@ def test_cached_beam_matches_full_recompute(rng):
                          decoding_ctc_weight=0.0)
     np.testing.assert_array_equal(np.asarray(res_c2.tokens),
                                   np.asarray(res_f2.tokens))
+
+
+def test_cached_beam_quant_flag_invariant(rng):
+    """Serving engines trace decode_beam under the process int8 flag
+    (AutoModel quantize=True); the cached step's row counts sit below the
+    int8 min_m/min_n gates, so the flag must not change beam output.
+    Pins the gate assumption against future threshold changes."""
+    from funasr_tpu.ops import quant
+
+    model = Conformer(**CONF)
+    B, T = 2, 40
+    speech = jnp.asarray(rng.standard_normal((B, T, 20)), jnp.float32)
+    slens = jnp.array([T, T - 8])
+    text = jnp.asarray(rng.integers(3, 16, (B, 5)), jnp.int32)
+    tlens = jnp.array([5, 4])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, slens, text, tlens,
+    )
+    kw = dict(beam=3, maxlen=8, decoding_ctc_weight=0.3)
+    res_fp = model.apply(variables, speech, slens,
+                         method=model.decode_beam, **kw)
+    with quant.quantized(True):
+        res_q = model.apply(variables, speech, slens,
+                            method=model.decode_beam, **kw)
+    np.testing.assert_array_equal(np.asarray(res_q.tokens),
+                                  np.asarray(res_fp.tokens))
+    np.testing.assert_allclose(np.asarray(res_q.scores),
+                               np.asarray(res_fp.scores), rtol=2e-3,
+                               atol=2e-3)
