@@ -1,0 +1,5 @@
+#!/usr/bin/env bash
+# AISHELL-1 e_branchformer recipe: shared driver, family config (reference
+# examples/aishell/e_branchformer/run.sh).
+exec "$(dirname "$0")/../paraformer/run.sh" \
+  --config "$(dirname "$0")/conf/e_branchformer_12e_6d_2048_256.yaml" "$@"
