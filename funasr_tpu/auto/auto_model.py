@@ -225,6 +225,8 @@ class AutoModel:
             )
             if cfg.get("decoder"):  # keep the class default otherwise
                 kw["decoder_name"] = cfg["decoder"]
+            if cfg.get("encoder"):
+                kw["encoder_name"] = cfg["encoder"]
             module = cls(**kw, **common, **(cfg.get("model_conf") or {}))
             params = _load_params(cfg)
             if params is None:
@@ -258,6 +260,7 @@ class AutoModel:
             module = cls(
                 decoder_conf=cfg.get("decoder_conf"),
                 predictor_conf=cfg.get("predictor_conf"),
+                encoder_name=cfg.get("encoder"),
                 **common, **(cfg.get("model_conf") or {}),
             )
             params = _load_params(cfg)
@@ -280,6 +283,7 @@ class AutoModel:
             # EParaformer's PIF predictor has no cif peaks -> timestamps
             # come from the BiCif family instead
             module = cls(
+                encoder_name=cfg.get("encoder"),
                 decoder_name=cfg.get("decoder"),
                 decoder_conf=cfg.get("decoder_conf"),
                 predictor_conf=cfg.get("predictor_conf"),

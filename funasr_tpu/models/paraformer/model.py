@@ -54,6 +54,7 @@ class Paraformer(nn.Module):
 
     vocab_size: int
     input_size: int = 560
+    encoder_name: Optional[str] = None  # registry override (default SANM)
     encoder_conf: Dict[str, Any] = None
     decoder_name: Optional[str] = None  # registry override (default SANM)
     decoder_conf: Dict[str, Any] = None
@@ -72,21 +73,38 @@ class Paraformer(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
-        enc_conf = dict(self.encoder_conf or {})
-        enc_conf.pop("pos_enc_class", None)
-        enc_conf.pop("selfattention_layer_type", None)
-        enc_conf.setdefault("input_layer", "pe")
-        enc_conf.pop("positional_dropout_rate", None)
-        sanm_shift = enc_conf.pop("sanm_shfit", 0)
-        self.encoder = SANMEncoder(
-            input_size=self.input_size,
-            sanm_shift=sanm_shift,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            name="encoder", **enc_conf,
-        )
-        d_model = self.encoder.output_size
-
         import dataclasses
+
+        from funasr_tpu.registry import tables as _tables
+
+        enc_conf = dict(self.encoder_conf or {})
+        # encoder selectable by registry name, like the reference
+        # (paraformer/model.py builds encoder from tables.encoder_classes
+        # — the AISHELL academic recipe uses a Conformer encoder under
+        # Paraformer, examples/aishell/paraformer/conf)
+        if self.encoder_name in (None, "SANMEncoder"):
+            enc_conf.pop("pos_enc_class", None)
+            enc_conf.pop("selfattention_layer_type", None)
+            enc_conf.setdefault("input_layer", "pe")
+            enc_conf.pop("positional_dropout_rate", None)
+            sanm_shift = enc_conf.pop("sanm_shfit", 0)
+            self.encoder = SANMEncoder(
+                input_size=self.input_size,
+                sanm_shift=sanm_shift,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="encoder", **enc_conf,
+            )
+        else:
+            enc_cls = _tables.get("encoder_classes", self.encoder_name)
+            enc_fields = {f.name for f in dataclasses.fields(enc_cls)}
+            enc_conf = {k: v for k, v in enc_conf.items()
+                        if k in enc_fields}
+            self.encoder = enc_cls(
+                input_size=self.input_size,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="encoder", **enc_conf,
+            )
+        d_model = self.encoder.output_size
 
         dec_conf = dict(self.decoder_conf or {})
         dec_conf.pop("positional_dropout_rate", None)
@@ -97,8 +115,6 @@ class Paraformer(nn.Module):
             # (kernel-1)//2-causal for FsmnDecoderSCAMAOpt) — forcing 0
             # here would silently de-causalise the SCAMA decoder
             pass
-        from funasr_tpu.registry import tables as _tables
-
         dec_cls = (ParaformerSANMDecoder if self.decoder_name is None
                    else _tables.get("decoder_classes", self.decoder_name))
         fields = {f.name for f in dataclasses.fields(dec_cls)}
