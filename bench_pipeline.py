@@ -8,27 +8,38 @@ What runs (all at reference flagship shapes, random weights):
 - FSMN-VAD (configs/fsmn_vad.yaml, 4x250 FSMN, 80 mel LFR5) over the full
   long wav + the C-parity host state machine, merge_vad, slicing;
 - BiCifParaformer-large int8 (paraformer_large.yaml + CifPredictorV3)
-  batched under the batch_size_s=300 token budget, WITH 20 ms timestamps
+  batched under the serving budget, WITH 20 ms timestamps
   (upsampled fire track + ts_prediction_lfr6_standard host math);
-- CT-Transformer punc (ct_transformer_punc.yaml, 272727-token embed) with
-  the real 20-token mini-sentence / 200-token cache loop;
+- CT-Transformer punc (ct_transformer_punc.yaml, 272727-token embed,
+  bf16 serving compute) with the real 20-token mini-sentence / 200-token
+  cache loop;
 - plus a hybrid CTC/attention BEAM column (conformer_hybrid.yaml, device
   tensor beam=10) — the WFST-replacement path's own RTF.
+
+r5 pipeline architecture (the shared frontend, auto_model.py
+_inference_with_vad `shared` path): fbank is computed ONCE over the whole
+recording inside the VAD program (Pallas kernel) and the ASR stage gathers
+its per-segment frames from that grid — bit-identical to fbank-of-slice
+(engines.FrontendConfig.raw_fbank), pinned by
+tests/test_auto_model.py::test_transcribe_from_fbank_engine_parity.
 
 Timing methodology (same as bench.py): the axon tunnel makes per-call
 dispatch ~100 ms and block_until_ready a no-op, so every DEVICE program is
 timed by chaining K iterations inside one jitted program and taking the
 K-slope; HOST work (state machine, batching, timestamp/punc assembly) is
-wall-timed directly on real-size data.  Pipeline time = sum of stage
-times; a production server hides dispatch by overlapping streams, which
-is exactly what the slope measures.
+wall-timed directly on real-size data.  r5 honesty fix: every K-loop body
+consumes EVERY output tensor (jnp.sum over all of them) — the r4 bodies
+summed single rows, which let XLA dead-code-eliminate most of the VAD
+frontend (r5 profile: the 600 s XLA fbank is 183 ms fully consumed, the
+r4 vfe slope was ~0).
 
 Segmentation caveat: weights are random (no egress), so the VAD's
 DECISIONS are not meaningful; the VAD forward + state-machine COST is
 input-independent and timed for real, while the segment plan fed to the
 ASR batcher is drawn from a realistic distribution (2-12 s speech,
-0.3-0.8 s gaps, merged to <=15 s by the real merge_vad).  Same class of
-caveat as BENCH_INT8_ACCURACY (kernel-level bound, not a CER claim).
+0.3-0.8 s gaps, 10 ms-aligned like real VAD output, merged to <=15 s by
+the real merge_vad).  Same class of caveat as BENCH_INT8_ACCURACY
+(kernel-level bound, not a CER claim).
 
 Prints ONE JSON line and writes BENCH_PIPELINE.json.
 """
@@ -76,12 +87,14 @@ def slope(call, k_small=1, k_big=6, reps=3):
 
 
 def plan_segments(rng, total_s):
-    """Realistic long-form segmentation: 2-12 s speech, 0.3-0.8 s gaps."""
+    """Realistic long-form segmentation: 2-12 s speech, 0.3-0.8 s gaps,
+    10 ms-aligned boundaries (real VAD emits 10 ms frame-granular times —
+    the alignment the shared-frontend frame gather rests on)."""
     segs, t = [], 0.3
     while t < total_s - 2.0:
         dur = float(rng.uniform(2.0, 12.0))
         end = min(t + dur, total_s - 0.1)
-        segs.append([int(t * 1000), int(end * 1000)])
+        segs.append([int(t * 100) * 10, int(end * 100) * 10])
         t = end + float(rng.uniform(0.3, 0.8))
     return segs
 
@@ -90,7 +103,7 @@ def main():
     from funasr_tpu.auto.auto_model import AutoModel
     from funasr_tpu.config import load_config
     from funasr_tpu.ops import quant
-    from funasr_tpu.utils.vad_utils import merge_vad, slice_audio_by_segments
+    from funasr_tpu.utils.vad_utils import merge_vad
 
     rng = np.random.default_rng(0)
     t_all = time.time()
@@ -135,46 +148,48 @@ def main():
     wav = (0.1 * np.sin(2 * np.pi * 260 * np.arange(n) / FS)
            + 0.02 * rng.standard_normal(n)).astype(np.float32)
 
-    # ---------------- stage 1: FSMN-VAD forward (device, K-slope)
-    vadm = am.vad_engine.model
-    vfe = am.vad_engine.frontend
+    # ---------------- stage 1: VAD shared front (fbank ONCE + LFR5 +
+    # frame decibels in one program — engines.VadEngine._front_shared) +
+    # FSMN scorer, K-slope with EVERY output consumed
+    ve = am.vad_engine
+    vadm = ve.model
     wav_d = jnp.asarray(wav[None, :])
     vlens = jnp.asarray([n], jnp.int32)
-    feats, flens = vfe.device_features(wav_d, vlens)
-    feats = jax.device_put(np.asarray(feats))  # settle
 
     @jax.jit
-    def vad_k(params, feats, k):
-        def body(i, acc):
-            f = feats + i.astype(jnp.float32) * 1e-8
-            post = vadm.scorer.apply(params, f)
-            return acc + jnp.sum(post[:, -1])
-        return jax.lax.fori_loop(0, k, body, jnp.zeros(()))
-
-    # also time the frontend (fbank+LFR+frame energies on 600 s) as part
-    # of the VAD device cost (the engine computes all three in one call)
-    from funasr_tpu.models.fsmn_vad.model import frame_decibel_device
-
-    @jax.jit
-    def vfe_k(wav, lens, k):
+    def vfront_k(wav, lens, k):
         def body(i, acc):
             w = wav + i.astype(jnp.float32) * 1e-9
-            f, fl = vfe.device_features(w, lens)
-            db = frame_decibel_device(w)
-            return acc + jnp.sum(f[:, -1, :1]) + jnp.sum(db[:, :1])
+            raw, rlens, feats, flens, db = ve._front_shared(w, lens)
+            return (acc + jnp.sum(raw) + jnp.sum(feats) + jnp.sum(db)
+                    + jnp.sum(rlens + flens).astype(jnp.float32))
         return jax.lax.fori_loop(0, k, body, jnp.zeros(()))
 
+    np.asarray(vfront_k(wav_d, vlens, 1)); np.asarray(vfront_k(wav_d, vlens, 6))
+    t_vfront = slope(lambda k: np.asarray(vfront_k(wav_d, vlens, k)))
+
+    raw, rlens_d, feats, flens, db_d = ve._front_shared(wav_d, vlens)
+    raw = jax.device_put(np.asarray(raw)[0])  # (F, n_mels) grid
+    total_frames = int(rlens_d[0])
+    feats = jax.device_put(np.asarray(feats))
     vp = vadm.params
-    np.asarray(vad_k(vp, feats, 1)); np.asarray(vad_k(vp, feats, 6))
-    np.asarray(vfe_k(wav_d, vlens, 1)); np.asarray(vfe_k(wav_d, vlens, 6))
-    t_vad_dev = slope(lambda k: np.asarray(vad_k(vp, feats, k))) \
-        + slope(lambda k: np.asarray(vfe_k(wav_d, vlens, k)))
+
+    @jax.jit
+    def vscore_k(params, feats, k):
+        def body(i, acc):
+            post = vadm.scorer.apply(params,
+                                     feats + i.astype(jnp.float32) * 1e-8)
+            return acc + jnp.sum(post)
+        return jax.lax.fori_loop(0, k, body, jnp.zeros(()))
+
+    np.asarray(vscore_k(vp, feats, 1)); np.asarray(vscore_k(vp, feats, 6))
+    t_vscore = slope(lambda k: np.asarray(vscore_k(vp, feats, k)))
+    t_vad_dev = t_vfront + t_vscore
 
     # VAD host: sil-probs + state machine + merge (real code, real frame
-    # count; decisions are random-weight but cost is not).  Decibels come
-    # from the device program above (engine _front).
+    # count; decisions are random-weight but cost is not).
     post_h = np.asarray(vadm.score(feats))
-    db_h = np.asarray(frame_decibel_device(jnp.asarray(wav[None, :])))[0]
+    db_h = np.asarray(db_d)[0]
 
     def vad_host():
         sil = vadm.sil_probs(post_h)[0]
@@ -186,70 +201,71 @@ def main():
 
     t_vad_host = min(_timed(vad_host) for _ in range(3))
 
-    # ---------------- stage 2: ASR int8 + 20 ms timestamps (device slope)
+    # ---------------- stage 2: ASR int8 + 20 ms timestamps straight from
+    # the shared fbank grid (engines.BiCifEngine.transcribe_from_fbank)
     segments = merge_vad(plan_segments(rng, AUDIO_S), MERGE_S * 1000)
-    clips = slice_audio_by_segments(wav, segments, FS)
-    order = sorted(range(len(clips)), key=lambda i: -len(clips[i]))
+    seg_len = [(e - s) * (FS // 1000) for s, e in segments]
+    order = sorted(range(len(segments)), key=lambda i: -seg_len[i])
 
     def plan(budget_s):
         budget = budget_s * FS
         batches, cur, cur_max = [], [], 0
         for i in order:
-            m = max(cur_max, len(clips[i]))
+            m = max(cur_max, seg_len[i])
             if cur and m * (len(cur) + 1) > budget:
                 batches.append(cur); cur, cur_max = [], 0
-                m = len(clips[i])
+                m = seg_len[i]
             cur.append(i); cur_max = m
         if cur:
             batches.append(cur)
         return batches
 
-    eng = am.engine  # BiCifEngine (int8, timestamps)
-    Tpad = MERGE_S * FS
-    max_tokens = 128
-
-    @jax.jit
-    def asr_k(params, wavb, lensb, k):
-        def body(i, acc):
-            w = wavb + i.astype(jnp.float32) * 1e-8
-            feats, flens = eng.frontend.device_features(w, lensb)
-            toks, tl, ua, up = eng.module.apply(
-                params, feats, flens, max_tokens=max_tokens,
-                method=eng.module.timestamps)
-            return acc + jnp.sum(tl) + jnp.sum(toks[:, :1])
-        return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.int32))
-
-    def pack(batch):
-        B = len(batch)
-        wavb = np.zeros((B, Tpad), np.float32)
-        lensb = np.zeros((B,), np.int32)
-        for j, i in enumerate(batch):
-            c = clips[i][:Tpad]
-            wavb[j, : len(c)] = c
-            lensb[j] = len(c)
-        return jnp.asarray(wavb), jnp.asarray(lensb)
+    eng = am.engine  # BiCifEngine (int8, timestamps, fbank-domain path)
 
     def time_asr(batches, collect=False):
         total = 0.0
         outs = []
         for batch in batches:
-            wav_b, len_b = pack(batch)
-            np.asarray(asr_k(eng.params, wav_b, len_b, 1))
-            np.asarray(asr_k(eng.params, wav_b, len_b, 6))
+            starts, nframes = eng.pack_segments_frames(
+                [segments[i] for i in batch], total_frames)
+            fmax = eng.quantize_frames(int(nframes.max()))
+            max_tokens = eng._max_tokens(int(nframes.max()) * 160 + 240)
+            starts_d = jnp.asarray(starts)
+            nframes_d = jnp.asarray(nframes)
+
+            @jax.jit
+            def asr_k(params, raw, starts, nframes, k, fmax=fmax,
+                      max_tokens=max_tokens):
+                def body(i, acc):
+                    idx = starts[:, None] + jnp.arange(fmax)[None, :]
+                    idx = jnp.clip(idx, 0, raw.shape[0] - 1)
+                    frames = raw[idx] + i.astype(jnp.float32) * 1e-8
+                    f, fl = eng.frontend.features_from_fbank(frames,
+                                                             nframes)
+                    toks, tl, ua, up = eng.module.apply(
+                        params, f, fl, max_tokens=max_tokens,
+                        method=eng.module.timestamps)
+                    return (acc + jnp.sum(tl).astype(jnp.float32)
+                            + jnp.sum(toks).astype(jnp.float32)
+                            + jnp.sum(ua) + jnp.sum(up))
+                return jax.lax.fori_loop(0, k, body, jnp.zeros(()))
+
+            np.asarray(asr_k(eng.params, raw, starts_d, nframes_d, 1))
+            np.asarray(asr_k(eng.params, raw, starts_d, nframes_d, 6))
             total += slope(
-                lambda k: np.asarray(asr_k(eng.params, wav_b, len_b, k)))
+                lambda k: np.asarray(asr_k(eng.params, raw, starts_d,
+                                           nframes_d, k)))
             if collect:
-                feats, flens = eng.frontend.device_features(wav_b, len_b)
-                out = eng.module.apply(eng.params, feats, flens,
-                                       max_tokens=max_tokens,
-                                       method=eng.module.timestamps)
-                outs.append((batch, [np.asarray(o) for o in out]))
+                out = eng._fb_runner()(eng.params, raw, starts_d,
+                                       nframes_d, max_tokens, fmax)
+                outs.append((batch, [np.asarray(o) for o in out],
+                             nframes))
         return total, outs
 
     batches_ref = plan(BATCH_SIZE_S)       # reference budget (300 s)
     batches_sat = plan(BATCH_SIZE_S_SAT)   # saturated serving batch
-    t_asr_ref, asr_outputs = time_asr(batches_ref, collect=True)
-    t_asr_sat, _ = time_asr(batches_sat)
+    t_asr_sat, asr_outputs = time_asr(batches_sat, collect=True)
+    t_asr_ref, _ = time_asr(batches_ref)
     # the server is free to pick its batch plan: headline = the faster
     # of the reference 300 s budget and the saturated single batch
     if t_asr_ref <= t_asr_sat:
@@ -257,32 +273,31 @@ def main():
     else:
         t_asr_dev, batches = t_asr_sat, batches_sat
 
-    # ASR host: detokenize + 20 ms timestamp assembly (real math)
-    def asr_host():
-        from funasr_tpu.utils.postprocess import (join_segment_texts,
-                                                  sentence_postprocess)
-        from funasr_tpu.utils.timestamp_tools import \
-            ts_prediction_lfr6_standard
+    # ASR host: the engine's real host stage (_ts_results: detokenize +
+    # pad-invariant 20 ms timestamp assembly + postprocess)
+    from funasr_tpu.utils.postprocess import join_segment_texts
 
-        texts, all_ts, all_tokens = [], [], []
-        for batch, (toks, tls, uas, ups) in asr_outputs:
-            for j, i in enumerate(batch):
-                ids = [t for t in toks[j, : int(tls[j])].tolist() if t != 0]
-                words = eng.tokenizer.ids2tokens(ids)
-                _, ts = ts_prediction_lfr6_standard(
-                    uas[j], ups[j], list(words),
-                    vad_offset=segments[i][0])
-                text, ts_kept, raw = sentence_postprocess(words, ts)
-                if text:
-                    texts.append(text)
-                all_ts.extend(ts_kept); all_tokens.extend(raw)
+    def asr_host():
+        texts_by_idx = {}
+        all_ts, all_tokens = [], []
+        for batch, (toks, tls, uas, ups), nframes in asr_outputs:
+            res = eng._ts_results(
+                [None] * len(batch), toks, tls, uas, ups,
+                [segments[i][0] for i in batch],
+                us_lens=eng._us_lens(nframes, in_frames=True))
+            for i, r in zip(batch, res):
+                texts_by_idx[i] = r["text"]
+                all_ts.extend(r["timestamp"])
+                all_tokens.extend(r["raw_tokens"])
+        texts = [texts_by_idx[i] for i in range(len(segments))
+                 if texts_by_idx.get(i)]
         return join_segment_texts(texts), all_ts, all_tokens, texts
 
     t_asr_host = min(_timed(asr_host) for _ in range(3))
     text, all_ts, all_tokens, text_by_seg = asr_host()
 
-    # ---------------- stage 3: CT-Transformer punc (r4 path: per-VAD-
-    # segment batched rounds, CTTransformerModel.inference_batch)
+    # ---------------- stage 3: CT-Transformer punc (per-VAD-segment
+    # batched rounds, CTTransformerModel.inference_batch, bf16 serving)
     pm = am.punc_engine.model
     seg_texts = [t for t in (text_by_seg if text_by_seg else [text]) if t]
 
@@ -316,7 +331,7 @@ def main():
     # device: rounds run at quantized (B, W) buckets (the real
     # inference_batch shapes — later rounds have few active segments and
     # are much cheaper than the first); slope-time each DISTINCT bucket
-    # and charge rounds by count
+    # and charge rounds by count.  Full logits consumed.
     from collections import Counter
 
     def bucket(b, w):
@@ -329,10 +344,9 @@ def main():
     def punc_k(params, t, l, k):
         def body(i, acc):
             tok = (t + i) % 8404
-            with quant.quantized(False):  # punc pins the fp path
+            with quant.quantized(False):  # punc pins fp (bf16) compute
                 logits = pm.module.apply(params, tok, l)
-            return acc + jnp.sum(jnp.argmax(logits[0, :4], -1)
-                                 .astype(jnp.int32))
+            return acc + jnp.sum(jnp.argmax(logits, -1).astype(jnp.int32))
         return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.int32))
 
     t_punc_dev = 0.0
@@ -354,9 +368,7 @@ def main():
     # of OTHER utterances runs under them, so throughput is bound by
     # max(device stage sum, host stage sum) — the single-chip analogue of
     # the A10 benchmark's 20-way-concurrency row (which is itself a
-    # saturated-concurrency number).  r3 comparability note: r3's
-    # punc_device figure (0.5 ms total) undercounted the per-window
-    # forward; r4 measures the real batched-round cost.
+    # saturated-concurrency number).
     t_total_serial = (t_vad_dev + t_vad_host + t_asr_dev + t_asr_host
                       + t_punc_dev + t_punc_host)
     t_device_sum = t_vad_dev + t_asr_dev + t_punc_dev
@@ -382,6 +394,7 @@ def main():
         am_b = AutoModel(model=hyb_cfg, quantize=True)
         be = am_b.engine
         Bb = 8
+        Tpad = MERGE_S * FS
         wav_bb = jnp.asarray(
             0.1 * np.sin(2 * np.pi * 260 *
                          np.arange(Tpad) / FS)[None, :].repeat(Bb, 0)
@@ -416,7 +429,7 @@ def main():
         "vs_baseline": round(pipeline_rate / BASE_20WAY, 2),
         "detail": {
             "audio_s": AUDIO_S,
-            "segments": len(clips),
+            "segments": len(segments),
             "asr_batches": [len(b) for b in batches],
             "asr_device_s_at_300s_budget": round(t_asr_ref, 4),
             "asr_device_s_at_960s_budget": round(t_asr_sat, 4),
@@ -428,12 +441,16 @@ def main():
                 "punc_device": round(t_punc_dev, 4),
                 "punc_host": round(t_punc_host, 4),
             },
+            "vad_front_s": round(t_vfront, 4),
+            "vad_scorer_s": round(t_vscore, 4),
             "punc_windows": n_windows,
             "punc_rounds": len(rounds),
             "serial_stage_sum_s": round(t_total_serial, 4),
             "serial_audio_s_per_s": round(serial_rate, 1),
             "device_stage_sum_s": round(t_device_sum, 4),
             "host_stage_sum_s": round(t_host_sum, 4),
+            "host_over_device_pct": round(100 * t_host_sum
+                                          / max(t_device_sum, 1e-9), 1),
             "rtf": round(1.0 / pipeline_rate, 6),
             "vs_a10_single_stream": round(pipeline_rate / BASE_SINGLE, 1),
             "vs_a10_20way": round(pipeline_rate / BASE_20WAY, 1),
@@ -442,12 +459,14 @@ def main():
             "build_s": round(build_s, 1),
             "total_wall_s": round(time.time() - t_all, 1),
             "note": ("random weights; VAD decisions pinned to a realistic"
-                     " segment plan (see module docstring); device stages"
-                     " K-slope timed, host stages wall timed; headline ASR"
-                     " = faster of the reference 300 s batch budget and"
-                     " the saturated 960 s serving batch (the single-chip"
-                     " analogue of the A10 row's 20-way concurrency);"
-                     " both timings in detail"),
+                     " 10 ms-aligned segment plan (see module docstring);"
+                     " r5: shared frontend (fbank once, Pallas kernel;"
+                     " ASR gathers segment frames from the grid), bf16"
+                     " punc, every device K-loop consumes all outputs"
+                     " (r4 bodies were partially DCE'd); device stages"
+                     " K-slope timed, host stages wall timed; headline"
+                     " ASR = faster of the reference 300 s batch budget"
+                     " and the saturated 960 s serving batch"),
         },
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -430,6 +430,13 @@ class AutoModel:
             embed_unit=cfg.get("embed_unit", 256),
             att_unit=cfg.get("att_unit", 256),
             encoder_conf=cfg.get("encoder_conf"),
+            # serving (quantize=True) runs the punc encoder in bf16
+            # compute (fp32 layernorm/softmax per house convention);
+            # int8 row-quant stays off for these tiny matmuls — measured
+            # pure loss (CLAUDE.md punc note), but bf16 halves the HBM
+            # traffic of the fp path at no dispatch cost
+            dtype=cfg.get("dtype",
+                          "bfloat16" if self._quantize else "float32"),
         )
         params = _load_params(cfg)
         if params is not None:
@@ -672,24 +679,52 @@ class AutoModel:
     ) -> Dict[str, Any]:
         use_itn = kwargs.pop("use_itn", False)
         itn_lang = kwargs.pop("language", "zh")
-        segments = self.vad_engine.segments(wav)
+
+        # shared frontend: fbank is computed ONCE over the whole recording
+        # inside the VAD program and the ASR stage gathers per-segment
+        # frames from that grid (bit-identical to fbank-of-slice — see
+        # engines.FrontendConfig.raw_fbank).  Eligible when the main
+        # engine decodes from fbank and both frontends share the mel
+        # settings; hotword calls keep the waveform path (their program
+        # signature carries the hotword grids).
+        afe = getattr(self.engine, "frontend", None)
+        vfe = self.vad_engine.frontend
+        shared = (hasattr(self.engine, "transcribe_from_fbank_async")
+                  and not os.environ.get(
+                      "FUNASR_TPU_DISABLE_SHARED_FRONTEND")
+                  and "hotword" not in kwargs
+                  and afe is not None
+                  and afe.fs == vfe.fs and afe.n_mels == vfe.n_mels
+                  and afe.window == vfe.window
+                  and afe.use_pallas == vfe.use_pallas)
+        raw_fbank = total_frames = None
+        if shared:
+            segments, raw_fbank, total_frames = \
+                self.vad_engine.segments_shared(wav)
+        else:
+            segments = self.vad_engine.segments(wav)
         segments = merge_vad(segments, merge_length_s * 1000)
         if not segments:
             return {"key": key, "text": ""}
-        clips = slice_audio_by_segments(wav, segments, fs)
+        # raw audio clips are only needed off the shared path and for the
+        # speaker branch (1.5 s sv chunks slice waveforms)
+        clips = None
+        if not shared or self.spk_engine is not None:
+            clips = slice_audio_by_segments(wav, segments, fs)
+        seg_len = [int((e - s) * (fs // 1000)) for s, e in segments]
 
         # sort by length desc, greedy batch under the seconds budget
-        order = sorted(range(len(clips)), key=lambda i: -len(clips[i]))
+        order = sorted(range(len(seg_len)), key=lambda i: -seg_len[i])
         budget = batch_size_s * fs
         batches: List[List[int]] = []
         cur: List[int] = []
         cur_max = 0
         for i in order:
-            m = max(cur_max, len(clips[i]))
+            m = max(cur_max, seg_len[i])
             if cur and m * (len(cur) + 1) > budget:
                 batches.append(cur)
                 cur, cur_max = [], 0
-                m = len(clips[i])
+                m = seg_len[i]
             cur.append(i)
             cur_max = m
         if cur:
@@ -720,6 +755,12 @@ class AutoModel:
                 if with_timestamp else None,
                 **kwargs,
             )
+            if shared:
+                pending.append((batch, self.engine.transcribe_from_fbank_async(
+                    raw_fbank, [segments[i] for i in batch],
+                    total_frames=total_frames,
+                    **args)))
+                continue
             clips_b = [clips[i] for i in batch]
             afn = getattr(self.engine, "transcribe_async", None)
             if afn is not None:
@@ -733,7 +774,7 @@ class AutoModel:
                 seg_results[i] = r
 
         texts, all_ts, all_tokens = [], [], []
-        for i in range(len(clips)):
+        for i in range(len(segments)):
             r = seg_results.get(i, {})
             if r.get("text"):
                 texts.append(r["text"])

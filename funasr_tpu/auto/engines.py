@@ -48,7 +48,7 @@ def quantize(n: int, step: int = 2000, minimum: int = 4000) -> int:
 
 class FrontendConfig:
     def __init__(self, fs=16000, n_mels=80, lfr_m=7, lfr_n=6, cmvn=None,
-                 window="hamming", dither=0.0, use_pallas=False, **kw):
+                 window="hamming", dither=0.0, use_pallas="auto", **kw):
         self.fs = fs
         self.n_mels = n_mels
         self.lfr_m = lfr_m
@@ -60,29 +60,53 @@ class FrontendConfig:
         # deterministic (dither=0), matching the reference C++ runtime's
         # kaldi-native-fbank inference configs.
         self.dither = dither
-        # fused Pallas fbank kernel (TPU): same semantics, ~1.4x faster and
-        # no materialized frame tensor; requires 16k/hamming/25ms/10ms
-        self.use_pallas = use_pallas and fs == 16000 and window == "hamming"
+        # fused Pallas fbank kernel (TPU): same semantics, no materialized
+        # frame tensor; requires 16k/hamming/25ms/10ms.  XLA's fbank
+        # lowering is catastrophically slow on TPU (183 ms vs 3.2 ms for
+        # 600 s of audio, r5 profile) so "auto" turns the kernel on
+        # whenever the default backend is a TPU; CPU (tests) keeps the
+        # reference XLA path, which is parity-pinned against the Pallas
+        # one by tests/test_fbank_pallas.py.
+        if use_pallas == "auto":
+            try:  # same gate as the other Pallas ops (ops/*_pallas.py)
+                use_pallas = jax.devices()[0].platform != "cpu"
+            except Exception:
+                use_pallas = False
+        self.use_pallas = bool(use_pallas) and fs == 16000 \
+            and window == "hamming"
         if cmvn is None:
             dim = n_mels * lfr_m
             cmvn = np.stack([np.zeros(dim, np.float32), np.ones(dim, np.float32)])
         self.cmvn = jnp.asarray(cmvn)
 
-    def device_features(self, wav: jnp.ndarray, lengths: jnp.ndarray):
+    def raw_fbank(self, wav: jnp.ndarray, lengths: jnp.ndarray):
+        """Mel fbank only — no LFR/CMVN.  Kaldi frames are windowed
+        independently (each output frame is a function of exactly its 400
+        samples), so a slice of this grid at a 160-sample-aligned offset
+        is BIT-IDENTICAL to running fbank on the sliced waveform — the
+        long-audio pipeline computes it once over the whole recording and
+        gathers per-VAD-segment frames from it (``features_from_fbank``)
+        instead of re-running fbank per segment."""
         if self.use_pallas:
             from funasr_tpu.ops.fbank_pallas import fbank_pallas
 
-            feats, flens = fbank_pallas(wav, lengths, num_mel_bins=self.n_mels)
-        else:
-            feats, flens = F.fbank(
-                wav, lengths, num_mel_bins=self.n_mels, fs=self.fs,
-                window_type=self.window, dither=0.0,
-            )
+            return fbank_pallas(wav, lengths, num_mel_bins=self.n_mels)
+        return F.fbank(
+            wav, lengths, num_mel_bins=self.n_mels, fs=self.fs,
+            window_type=self.window, dither=0.0,
+        )
+
+    def features_from_fbank(self, feats: jnp.ndarray, flens: jnp.ndarray):
+        """LFR + CMVN + frame padding on a precomputed raw fbank grid."""
         if self.lfr_m != 1 or self.lfr_n != 1:
             feats, flens = F.apply_lfr(feats, flens, self.lfr_m, self.lfr_n)
         feats = F.apply_cmvn(feats, self.cmvn)
         feats = F.pad_frames(feats, 128)
         return feats, flens
+
+    def device_features(self, wav: jnp.ndarray, lengths: jnp.ndarray):
+        feats, flens = self.raw_fbank(wav, lengths)
+        return self.features_from_fbank(feats, flens)
 
 
 class BatchedAsrEngine:
@@ -187,11 +211,16 @@ class ParaformerEngine(BatchedAsrEngine):
             self._run_sp = _run_sp
 
     def _max_tokens(self, n_samples: int) -> int:
-        """Token budget for an utterance bucket: max_tokens_per_15s per
-        started 15 s window, floor 16 (one definition — the sync and async
-        paths must trace IDENTICAL device programs to share jit cache)."""
+        """Token budget for an utterance bucket: max_tokens_per_15s/15
+        tokens per second, rounded up to 16 (one definition — the sync and
+        async paths must trace IDENTICAL device programs to share jit
+        cache).  Finer than per-15 s-window so a short-segment batch (the
+        long-audio pipeline's bucketed packing) carries a proportionally
+        short decoder grid: at 15 s this is exactly max_tokens_per_15s, at
+        4 s it is 48, not 128 — the NAR decoder+CIF cost scales with it."""
         dur_s = n_samples / self.frontend.fs
-        return max(16, int(np.ceil(dur_s / 15.0)) * self.max_tokens_per_15s)
+        need = dur_s * self.max_tokens_per_15s / 15.0
+        return max(16, int(np.ceil(need / 16.0)) * 16)
 
     def decode_fn(self, params, wav, lens):
         """Export surface: (params, wav, lens) -> (tokens, token_lengths)
@@ -307,7 +336,8 @@ class BiCifEngine(ParaformerEngine):
         tokens, tok_lens, us_alphas, us_peaks = self._run_ts(
             self.params, wav_d, lens_d, max_tokens)
         return self._ts_results(wavs, tokens, tok_lens, us_alphas, us_peaks,
-                                vad_offsets)
+                                vad_offsets,
+                                us_lens=self._us_lens([len(w) for w in wavs]))
 
     def transcribe_async(self, wavs, with_timestamp: bool = True,
                          vad_offsets=None, **kw):
@@ -322,10 +352,102 @@ class BiCifEngine(ParaformerEngine):
         wav_d, lens_d = self._pack(wavs)
         max_tokens = self._max_tokens(wav_d.shape[1])
         out = self._run_ts(self.params, wav_d, lens_d, max_tokens)
-        return lambda: self._ts_results(wavs, *out, vad_offsets)
+        us_lens = self._us_lens([len(w) for w in wavs])
+        return lambda: self._ts_results(wavs, *out, vad_offsets,
+                                        us_lens=us_lens)
+
+    # ---- shared-frontend path: decode VAD segments straight from a
+    # precomputed whole-recording fbank grid (see FrontendConfig.raw_fbank:
+    # slice-of-fbank == fbank-of-slice bit-exactly at 160-sample-aligned
+    # segment starts, which VAD's 10 ms frame granularity guarantees).
+    # The long-audio pipeline computes fbank ONCE (Pallas kernel) instead
+    # of once per segment batch — the ASR stage's own fbank was ~1/3 of
+    # its device time (r5 profile: 36.0 ms full vs 23.2 ms model-only).
+
+    @staticmethod
+    def quantize_frames(n: int, step: int = 96) -> int:
+        return max(step, step * ((n + step - 1) // step))
+
+    def _fb_runner(self):
+        if not hasattr(self, "_run_ts_fb"):
+            @functools.partial(jax.jit,
+                               static_argnames=("max_tokens", "fmax"))
+            def _run_ts_fb(params, raw, starts, nframes, max_tokens, fmax):
+                idx = starts[:, None] + jnp.arange(fmax)[None, :]
+                idx = jnp.clip(idx, 0, raw.shape[0] - 1)
+                frames = raw[idx]  # (B, fmax, n_mels)
+                feats, flens = self.frontend.features_from_fbank(
+                    frames, nframes)
+                return self.module.apply(params, feats, flens,
+                                         max_tokens=max_tokens,
+                                         method=self.module.timestamps)
+
+            self._run_ts_fb = _run_ts_fb
+        return self._run_ts_fb
+
+    def pack_segments_frames(self, segments_ms, total_frames,
+                             frame_shift_ms: int = 10):
+        """[[start_ms, end_ms], ...] -> (starts, nframes) int32 arrays in
+        fbank-frame units (25 ms window / 10 ms shift, snip-edges count)."""
+        starts = np.asarray([s // frame_shift_ms for s, _ in segments_ms],
+                            np.int32)
+        ends = np.asarray([e for _, e in segments_ms], np.int64)
+        seg_samples = (ends - np.asarray(
+            [s for s, _ in segments_ms], np.int64)) * (self.frontend.fs
+                                                       // 1000)
+        win = int(0.025 * self.frontend.fs)
+        shift = int(0.010 * self.frontend.fs)
+        nframes = np.maximum((seg_samples - win) // shift + 1, 1)
+        nframes = np.minimum(nframes,
+                             np.maximum(total_frames - starts, 1))
+        return starts, nframes.astype(np.int32)
+
+    def transcribe_from_fbank(self, raw_fbank, segments_ms,
+                              vad_offsets=None, total_frames=None, **kw):
+        """BiCif decode of VAD segments from the shared fbank grid.
+        ``raw_fbank``: (F, n_mels) device array (may be padded past the
+        true frame count — pass ``total_frames``); ``segments_ms``:
+        [[start_ms, end_ms], ...].  Returns the same records as
+        ``transcribe(with_timestamp=True)``."""
+        return self.transcribe_from_fbank_async(
+            raw_fbank, segments_ms, vad_offsets,
+            total_frames=total_frames, **kw)()
+
+    def transcribe_from_fbank_async(self, raw_fbank, segments_ms,
+                                    vad_offsets=None, total_frames=None,
+                                    **kw):
+        if not len(segments_ms):
+            return lambda: []
+        starts, nframes = self.pack_segments_frames(
+            segments_ms, int(total_frames
+                             if total_frames is not None
+                             else raw_fbank.shape[0]))
+        fmax = self.quantize_frames(int(nframes.max()))
+        # token budget from the TRUE longest segment (not the padded fmax
+        # grid) so this path clips at the same budget as the waveform path
+        max_tokens = self._max_tokens(int(nframes.max()) * 160 + 240)
+        out = self._fb_runner()(
+            self.params, raw_fbank, jnp.asarray(starts),
+            jnp.asarray(nframes), max_tokens, fmax)
+        wavs = [None] * len(segments_ms)  # only len() used downstream
+        us_lens = self._us_lens(nframes, in_frames=True)
+        return lambda: self._ts_results(wavs, *out, vad_offsets,
+                                        us_lens=us_lens)
+
+    def _us_lens(self, n_samples_or_frames, in_frames: bool = False):
+        """True upsampled-fire-track lengths per utterance: fbank frames ->
+        LFR rows (ceil(frames/lfr_n)) -> x3 upsample.  Used to slice the
+        padded (B, T*3) fire tracks so timestamps are PAD-INVARIANT (the
+        tail-silence rule in ts_prediction_lfr6_standard reads the track
+        length; without slicing, the last token's end drifted with the
+        batch padding bucket)."""
+        arr = np.asarray(n_samples_or_frames, np.int64)
+        frames = arr if in_frames else np.maximum((arr - 400) // 160 + 1, 1)
+        lfr = -(-frames // self.frontend.lfr_n)
+        return (lfr * 3).astype(np.int64)
 
     def _ts_results(self, wavs, tokens, tok_lens, us_alphas, us_peaks,
-                    vad_offsets):
+                    vad_offsets, us_lens=None):
         tokens = np.asarray(tokens)
         tok_lens = np.asarray(tok_lens)
         us_alphas = np.asarray(us_alphas)
@@ -336,8 +458,11 @@ class BiCifEngine(ParaformerEngine):
             ids = [t for t in tokens[i, :n].tolist() if t != self.blank_id]
             toks = self.tokenizer.ids2tokens(ids)
             offset = (0 if vad_offsets is None or not len(vad_offsets) else vad_offsets[i])
+            m = int(us_lens[i]) if us_lens is not None \
+                else us_alphas.shape[1]
             _, ts = ts_prediction_lfr6_standard(
-                us_alphas[i], us_peaks[i], list(toks), vad_offset=offset)
+                us_alphas[i, :m], us_peaks[i, :m], list(toks),
+                vad_offset=offset, build_text=False)
             text, ts_kept, words = sentence_postprocess(toks, ts)
             results.append({"text": text, "timestamp": ts_kept,
                             "raw_tokens": words})
@@ -429,8 +554,10 @@ class HotwordEngine(BiCifEngine):
         if self.seaco:
             tokens, tok_lens, us_alphas, us_peaks = out
             if with_timestamp:
-                return self._ts_results(wavs, tokens, tok_lens, us_alphas,
-                                        us_peaks, vad_offsets)
+                return self._ts_results(
+                    wavs, tokens, tok_lens, us_alphas, us_peaks,
+                    vad_offsets,
+                    us_lens=self._us_lens([len(w) for w in wavs]))
         else:
             tokens, tok_lens = out
         tokens = np.asarray(tokens)
@@ -702,11 +829,50 @@ class VadEngine:
 
         self._front = _front
 
+        # shared-frontend variant: ALSO returns the raw (pre-LFR/CMVN)
+        # fbank grid so the downstream ASR engine can gather its segment
+        # features from it instead of re-running fbank per batch
+        # (engines.BiCifEngine.transcribe_from_fbank).  On the Pallas path
+        # the VAD decibel track comes out of the SAME kernel pass
+        # (fbank_pallas with_energy — the raw frame rows are already in
+        # VMEM; a separate XLA energy pass cost 2.6 ms on 600 s, r5).
+        @jax.jit
+        def _front_shared(wav, lens):
+            from funasr_tpu.models.fsmn_vad.model import \
+                frame_decibel_device
+
+            if self.frontend.use_pallas:
+                from funasr_tpu.ops.fbank_pallas import fbank_pallas
+
+                raw, rlens, db = fbank_pallas(
+                    wav, lens, num_mel_bins=self.frontend.n_mels,
+                    with_energy=True)
+            else:
+                raw, rlens = self.frontend.raw_fbank(wav, lens)
+                db = frame_decibel_device(wav)
+            feats, flens = self.frontend.features_from_fbank(raw, rlens)
+            return raw, rlens, feats, flens, db
+
+        self._front_shared = _front_shared
+
     def segments(self, wav: np.ndarray) -> List[List[int]]:
         lens = jnp.asarray([len(wav)], jnp.int32)
         feats, flens, db = self._front(jnp.asarray(wav[None, :]), lens)
         return self.model.segments_offline(feats, wav,
                                            decibels=np.asarray(db)[0])
+
+    def segments_shared(self, wav: np.ndarray):
+        """(segments, raw_fbank (F, n_mels) device array) in one device
+        program — the raw grid feeds the ASR stage's shared frontend."""
+        lens = jnp.asarray([len(wav)], jnp.int32)
+        raw, rlens, feats, flens, db = self._front_shared(
+            jnp.asarray(wav[None, :]), lens)
+        segs = self.model.segments_offline(feats, wav,
+                                           decibels=np.asarray(db)[0])
+        # raw stays padded on device (slicing to rlens would compile one
+        # tiny program per distinct length); callers bound frame use with
+        # the returned true frame count
+        return segs, raw[0], int(rlens[0])
 
     def transcribe(self, wavs: Sequence[np.ndarray], **kw
                    ) -> List[Dict[str, Any]]:

@@ -27,23 +27,17 @@ from funasr_tpu.registry import tables
 Dtype = Any
 
 
+#  one CJK char | a run of non-CJK non-space chars — C-level equivalent of
+#  the per-char loop (long-audio punc host hot spot, BENCH_PIPELINE r4)
+#  (single-char class starts at U+3001: U+3000 is whitespace and was a
+#  split()-separator in the loop form, never a token)
+_SPLIT_RE = re.compile("[一-鿿、-〿]|[^一-鿿　-〿\\s]+")
+
+
 def split_words(text: str) -> List[str]:
     """CJK chars as single tokens, ascii words kept whole
     (reference funasr/models/ct_transformer/utils.py split_words)."""
-    out: List[str] = []
-    for chunk in text.strip().split():
-        buf = ""
-        for ch in chunk:
-            if "一" <= ch <= "鿿" or "　" <= ch <= "〿":
-                if buf:
-                    out.append(buf)
-                    buf = ""
-                out.append(ch)
-            else:
-                buf += ch
-        if buf:
-            out.append(buf)
-    return out
+    return _SPLIT_RE.findall(text)
 
 
 def split_to_mini_sentence(words: List, word_limit: int = 20) -> List[List]:
@@ -120,15 +114,21 @@ class CTTransformerModel:
         encoder_conf: Optional[Dict] = None,
         sentence_end_id: int = 3,
         params=None,
+        dtype: str = "float32",
         **kwargs,
     ):
         self.module = CTTransformer(
             vocab_size=vocab_size, punc_size=len(punc_list),
             embed_unit=embed_unit, att_unit=att_unit,
             encoder_conf=encoder_conf,
+            dtype=jnp.dtype(dtype),  # bf16 serving compute (params fp32)
         )
         self.punc_list = list(punc_list)
         self.sentence_end_id = sentence_end_id
+        self._end_ids = np.asarray(
+            [i for i, p in enumerate(self.punc_list) if p in ("。", "？")])
+        self._comma_ids = np.asarray(
+            [i for i, p in enumerate(self.punc_list) if p == "，"])
         self.params = params
         def _fwd(p, t, l):
             # punc matmuls are tiny (att_unit 256, <=208-token windows):
@@ -210,20 +210,37 @@ class CTTransformerModel:
                                    + st["mini_ids"][st["wi"]], np.int32)
                         for st in active]
             puncs_list = self._punc_ids_batch(ids_list)
+            end_ids = self._end_ids
+            comma_ids = self._comma_ids
             for st, ids, puncs in zip(active, ids_list, puncs_list):
                 wi = st["wi"]
                 sent = st["cache_sent"] + st["mini"][wi]
                 if wi < len(st["mini"]) - 1:
-                    # carry the tail after the last sentence end as cache
+                    # carry the tail after the last sentence end as cache.
+                    # (numpy max-index form of the reference's backward
+                    # scan over positions [2, len-2]: the scan stopped at
+                    # the FIRST 。/？ from the right, i.e. the max index,
+                    # and last_comma — only consulted when no sentence end
+                    # exists — is then simply the max comma index.)
                     sentence_end = -1
                     last_comma = -1
-                    for i in range(len(puncs) - 2, 1, -1):
-                        p = self.punc_list[puncs[i]]
-                        if p in ("。", "？"):
-                            sentence_end = i
-                            break
-                        if last_comma < 0 and p == "，":
-                            last_comma = i
+                    win = np.asarray(puncs[2:-1])
+                    if win.size:
+                        # tiny id sets: chained == beats np.isin's set
+                        # machinery by ~15 us/window (r5 bench regression)
+                        hit = np.zeros(win.shape, bool)
+                        for e in end_ids:
+                            hit |= win == e
+                        idx = np.flatnonzero(hit)
+                        if idx.size:
+                            sentence_end = int(idx[-1]) + 2
+                        else:
+                            hit[:] = False
+                            for e in comma_ids:
+                                hit |= win == e
+                            idx = np.flatnonzero(hit)
+                            if idx.size:
+                                last_comma = int(idx[-1]) + 2
                     if (sentence_end < 0
                             and len(sent) > cache_pop_trigger_limit
                             and last_comma >= 0):
@@ -233,8 +250,10 @@ class CTTransformerModel:
                     st["cache_ids"] = list(ids[sentence_end + 1:])
                     sent = sent[: sentence_end + 1]
                     puncs = puncs[: sentence_end + 1]
-                st["out_text"] += self._assemble(sent, puncs)
-                st["punc_array"].extend(int(p) for p in puncs)
+                puncs_l = puncs.tolist() if hasattr(puncs, "tolist") \
+                    else list(puncs)
+                st["out_text"] += self._assemble(sent, puncs_l)
+                st["punc_array"].extend(puncs_l)
                 st["wi"] = wi + 1
 
         results = []
@@ -261,16 +280,19 @@ class CTTransformerModel:
 
     def _assemble(self, words: List[str], puncs) -> str:
         """Join words + predicted puncs with CJK/ascii spacing rules
-        (model.py:326-353)."""
+        (model.py:326-353).  ``puncs`` should be a plain list (per-element
+        numpy indexing costs ~100 ns x 2 per word — r5 host profile)."""
+        if hasattr(puncs, "tolist"):
+            puncs = puncs.tolist()
         parts: List[str] = []
         for i, w in enumerate(words):
-            ascii_w = len(w[0].encode()) == 1
+            ascii_w = w[0] < "\x80"  # == len(w[0].encode()) == 1
             # reference model.py:330 capitalizes the window's FIRST ascii
             # word too, not only words after sentence-final punctuation
             if ascii_w and (i == 0
                             or self.punc_list[puncs[i - 1]] in ("。", "？")):
                 w = w.capitalize()
-            if ascii_w and (i == 0 or len(words[i - 1][0].encode()) == 1):
+            if ascii_w and (i == 0 or words[i - 1][0] < "\x80"):
                 w = " " + w
             parts.append(w)
             p = self.punc_list[puncs[i]]

@@ -349,15 +349,26 @@ def frame_decibel_device(wav: jnp.ndarray, frame_length: int = 400,
     from the host float64 path by <1e-5 dB — tests pin the bound).
 
     wav: (B, N) float in [-1, 1].  Returns (B, n_frames) dB.
-    """
-    from jax import lax as jlax
 
+    Implementation: two-level block sum instead of ``lax.reduce_window``
+    (whose overlapping-window lowering walked all 400 samples per frame —
+    5.9 ms on a 600 s input, r5 profile).  gcd(400, 160) = 80, so each
+    frame energy is the sum of 5 consecutive 80-sample block partials at
+    stride 2 — one reshape-sum over the waveform plus 5 strided adds.
+    """
+    g = np.gcd(frame_length, frame_shift)          # 80
+    per = frame_length // g                        # 5 blocks per frame
+    step = frame_shift // g                        # 2 blocks per shift
+    B, N = wav.shape
+    n_frames = max((N - frame_length) // frame_shift + 1, 0)
+    if n_frames == 0:
+        return jnp.zeros((B, 0), wav.dtype)
     w = wav.astype(jnp.float32) * float(1 << 15)
     sq = w * w
-    e = jlax.reduce_window(sq, 0.0, jlax.add,
-                           window_dimensions=(1, frame_length),
-                           window_strides=(1, frame_shift),
-                           padding="VALID")
+    m = (n_frames - 1) * step + per                # blocks actually used
+    blk = sq[:, : m * g].reshape(B, m, g).sum(-1)  # (B, m) partials
+    e = sum(blk[:, k : k + (n_frames - 1) * step + 1 : step]
+            for k in range(per))
     return 10.0 * jnp.log10(e + 1e-6)
 
 

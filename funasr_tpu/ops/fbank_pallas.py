@@ -94,7 +94,8 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _fbank_kernel(fr, a_hi, a_lo, mel_ref, out_ref, *, precision):
+def _fbank_kernel(fr, a_hi, a_lo, mel_ref, out_ref, *, precision,
+                  with_energy=False):
     # bf16x3 DFT: frames w = whi + wlo (bf16 split, cheap — tile only),
     # basis A = a_hi + a_lo (pre-split OUTSIDE the kernel: per-cell basis
     # splitting was measured as the kernel's VPU bottleneck).
@@ -125,7 +126,17 @@ def _fbank_kernel(fr, a_hi, a_lo, mel_ref, out_ref, *, precision):
         # mel is a positive triangle average: 1-pass bf16 (~0.4% rel) is
         # below the log-feature noise floor
         mel = _dot(power.astype(jnp.bfloat16), mel_ref[:, :])
-    out_ref[0, :, :] = jnp.log(jnp.maximum(mel, _LOG_EPS))
+    logmel = jnp.log(jnp.maximum(mel, _LOG_EPS))
+    if with_energy:
+        # VAD frame decibels for free: the raw (pre-preemph, pre-window)
+        # frame samples are already in VMEM (cols 400..511 are zero pad,
+        # so the full-row sum IS the 400-sample energy) — replaces a
+        # separate 2.6 ms XLA block-sum pass over the 600 s waveform
+        # (models/fsmn_vad/model.py compute_decibel semantics)
+        e = jnp.sum(w * w, axis=1, keepdims=True)
+        db = 10.0 * (jnp.log(e + 1e-6) / np.log(10.0).astype(np.float32))
+        logmel = jnp.concatenate([logmel, db], axis=1)
+    out_ref[0, :, :] = logmel
 
 
 def fbank_pallas(
@@ -135,24 +146,30 @@ def fbank_pallas(
     tile_t: int = 256,
     preemph: float = 0.97,
     precision: str = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_energy: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Fused kaldi fbank (hamming, dither=0, 25ms/10ms, snip_edges).
 
     ``precision``: see :func:`_dft_precision` (resolved here, OUTSIDE jit,
-    so the env override is honored per call, not per trace)."""
+    so the env override is honored per call, not per trace).
+    ``with_energy=True`` additionally returns the per-frame RAW-sample
+    decibel track (VAD compute_decibel semantics) as a third output —
+    computed inside the kernel from the frame rows already in VMEM."""
     return _fbank_pallas(waveform, lengths, num_mel_bins, tile_t, preemph,
-                         precision or _dft_precision())
+                         precision or _dft_precision(), with_energy)
 
 
 @functools.partial(jax.jit, static_argnames=("num_mel_bins", "tile_t",
-                                             "preemph", "precision"))
+                                             "preemph", "precision",
+                                             "with_energy"))
 def _fbank_pallas(waveform, lengths, num_mel_bins, tile_t, preemph,
-                  precision):
+                  precision, with_energy=False):
     B, N = waveform.shape
     T = num_fbank_frames(N, FRAME_LEN, FRAME_SHIFT)
     if T == 0:
-        return (jnp.zeros((B, 0, num_mel_bins), jnp.float32),
-                jnp.zeros((B,), jnp.int32))
+        z = (jnp.zeros((B, 0, num_mel_bins), jnp.float32),
+             jnp.zeros((B,), jnp.int32))
+        return z + (jnp.zeros((B, 0), jnp.float32),) if with_energy else z
     n_tiles = (T + tile_t - 1) // tile_t
     H = n_tiles * tile_t + 2  # hops needed incl. 2-hop lookahead
     need = (H + 2) * FRAME_SHIFT
@@ -187,8 +204,10 @@ def _fbank_pallas(waveform, lengths, num_mel_bins, tile_t, preemph,
                               memory_space=pltpu.VMEM)
     basis_spec = pl.BlockSpec((PADDED, 2 * nb), lambda b, t: (0, 0),
                               memory_space=pltpu.VMEM)
+    n_out = num_mel_bins + (1 if with_energy else 0)
     out = pl.pallas_call(
-        functools.partial(_fbank_kernel, precision=precision),
+        functools.partial(_fbank_kernel, precision=precision,
+                          with_energy=with_energy),
         grid=(B, n_tiles),
         in_specs=[
             frame_spec,
@@ -196,10 +215,10 @@ def _fbank_pallas(waveform, lengths, num_mel_bins, tile_t, preemph,
             pl.BlockSpec((nb, num_mel_bins), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_t, num_mel_bins),
+        out_specs=pl.BlockSpec((1, tile_t, n_out),
                                lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_t, num_mel_bins),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_t, n_out),
                                        jnp.float32),
     )(
         frames,
@@ -210,4 +229,7 @@ def _fbank_pallas(waveform, lengths, num_mel_bins, tile_t, preemph,
     feat_lengths = num_fbank_frames(
         lengths.astype(jnp.int32), FRAME_LEN, FRAME_SHIFT
     ).astype(jnp.int32)
+    if with_energy:
+        return out[:, :T, :num_mel_bins], feat_lengths, out[:, :T,
+                                                            num_mel_bins]
     return out[:, :T, :], feat_lengths

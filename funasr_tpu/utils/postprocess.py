@@ -52,13 +52,35 @@ def _is_cjk(ch: str) -> bool:
     )
 
 
+_CJK_ONLY = None  # lazily-compiled regex, see sentence_postprocess
+
+
 def sentence_postprocess(
     tokens: List[str], timestamps: Optional[List] = None
 ) -> Tuple:
     """Join tokens into a sentence: CJK without spaces, ascii words with
     spaces, "@@"-suffixed BPE pieces merged; drops <s>/</s>/<unk>-style
     special tokens.  Returns (text, kept_tokens[, timestamps])."""
-    words: List[str] = []
+    # Fast path for the dominant long-audio case — every token a single
+    # CJK char (no specials, no BPE merges, no drops): one C-level regex
+    # over the joined string replaces the per-token Python loop
+    # (BENCH_PIPELINE asr_host hot spot).  Output-identical to the loop:
+    # CJK tokens join bare and keep their own timestamp rows.
+    global _CJK_ONLY
+    joined = "".join(tokens)
+    if len(joined) == len(tokens) and joined:
+        if _CJK_ONLY is None:
+            import re
+
+            # exactly the _is_cjk ranges
+            _CJK_ONLY = re.compile(
+                "[一-鿿㐀-䶿豈-﫿]+\\Z")
+        if _CJK_ONLY.match(joined):
+            words = list(tokens)
+            if timestamps is not None:
+                return joined, list(timestamps[: len(tokens)]), words
+            return joined, words
+    words = []
     kept_ts: List = []
     merge_prev = False
     for i, tok in enumerate(tokens):

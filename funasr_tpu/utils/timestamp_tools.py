@@ -30,6 +30,7 @@ def ts_prediction_lfr6_standard(
     vad_offset: int = 0,
     force_time_shift: float = -1.5,
     upsample_rate: int = 3,
+    build_text: bool = True,
 ) -> Tuple[str, List[List[int]]]:
     """Frame-accurate token timestamps from BiCif's upsampled fire track
     (reference timestamp_tools.py:31): cif2 fires when a token STARTS, so
@@ -40,8 +41,112 @@ def ts_prediction_lfr6_standard(
     over-long (> MAX_TOKEN_DURATION) gaps become <sil> segments excluded
     from the returned list.
 
+    Vectorized over fires (the long-audio pipeline calls this once per VAD
+    segment; the per-fire Python loop was the asr_host hot spot,
+    BENCH_PIPELINE r4).  ``build_text=False`` skips the kaldi-style string
+    (the pipeline discards it).  Output-equal to the scalar form — pinned
+    by tests/test_metrics_tools.py fuzz vs ``_ts_prediction_lfr6_scalar``.
+
     Returns (kaldi-style string, [[start_ms, end_ms], ...] per token).
     """
+    char_list = list(tokens)
+    if not char_list:
+        return "", []
+    if char_list[-1] == "</s>":
+        char_list = char_list[:-1]
+    START_END_THRESHOLD = 5
+    MAX_TOKEN_DURATION = 12  # upsampled frames
+    time_rate = 10.0 * 6 / 1000 / upsample_rate  # s per upsampled frame
+    alphas = np.asarray(us_alphas, np.float64).reshape(-1)
+    peaks = np.asarray(us_peaks, np.float64).reshape(-1)
+    fire_place = np.nonzero(peaks >= 1.0 - 1e-4)[0] + force_time_shift
+    if len(fire_place) != len(char_list) + 1 and alphas.sum() > 0:
+        alphas = alphas / (alphas.sum() / (len(char_list) + 1))
+        fires = _cif_fire_track(alphas, 1.0 - 1e-4)
+        fire_place = np.nonzero(fires)[0] + force_time_shift
+    if len(fire_place) < 2:
+        # degenerate fallback: one uniform span per token
+        n = max(len(char_list), 1)
+        T = len(peaks)
+        ts = [[int(i * T / n * time_rate * 1000) + vad_offset,
+               int((i + 1) * T / n * time_rate * 1000) + vad_offset]
+              for i in range(len(char_list))]
+        txt = ";".join(f"{c} {b/1000.0:.3f} {e/1000.0:.3f}"
+                       for c, (b, e) in zip(char_list, ts)) if build_text \
+            else ""
+        return txt, ts
+
+    num_frames = len(peaks)
+    n = min(len(fire_place) - 1, len(char_list))
+    starts = fire_place[:n]
+    ends = fire_place[1 : n + 1]
+    over = (ends - starts) > MAX_TOKEN_DURATION  # split: token + <sil>
+    lead = bool(fire_place[0] > START_END_THRESHOLD)
+    n_rows = int(lead) + n + int(over.sum())
+    span_b = np.empty(n_rows, np.float64)
+    span_e = np.empty(n_rows, np.float64)
+    sil = np.zeros(n_rows, bool)
+    # row positions: lead sil at 0; token i at lead + i + (#over before i);
+    # its overflow <sil> (if any) immediately after
+    off = np.concatenate(([0], np.cumsum(over[:-1]))) if n else \
+        np.zeros(0, np.int64)
+    pos = int(lead) + np.arange(n) + off
+    if lead:
+        span_b[0] = 0.0
+        span_e[0] = fire_place[0]
+        sil[0] = True
+    span_b[pos] = starts
+    span_e[pos] = np.where(over, starts + MAX_TOKEN_DURATION, ends)
+    if over.any():
+        pos2 = pos[over] + 1
+        span_b[pos2] = starts[over] + MAX_TOKEN_DURATION
+        span_e[pos2] = ends[over]
+        sil[pos2] = True
+    span_b *= time_rate
+    span_e *= time_rate
+    tail = num_frames - fire_place[-1] > START_END_THRESHOLD
+    if tail:
+        end = (num_frames + fire_place[-1]) * 0.5
+        if n_rows:
+            span_e[-1] = end * time_rate
+        span_b = np.append(span_b, end * time_rate)
+        span_e = np.append(span_e, num_frames * time_rate)
+        sil = np.append(sil, True)
+    elif n_rows:
+        span_e[-1] = num_frames * time_rate
+    if vad_offset:
+        span_b = span_b + vad_offset / 1000.0
+        span_e = span_e + vad_offset / 1000.0
+    tok_b = span_b[~sil]
+    tok_e = span_e[~sil]
+    ts_arr = np.stack([(tok_b * 1000).astype(np.int64),
+                       (tok_e * 1000).astype(np.int64)], axis=1)
+    ts = ts_arr.tolist()
+    if not build_text:
+        return "", ts
+    chars: List[str] = (["<sil>"] if lead else [])
+    for i in range(n):
+        chars.append(char_list[i])
+        if over[i]:
+            chars.append("<sil>")
+    if tail:
+        chars.append("<sil>")
+    txt = ";".join(f"{c} {b + 0.0005:.3f} {e + 0.0005:.3f}"
+                   for c, b, e in zip(chars, span_b, span_e))
+    return txt, ts
+
+
+def _ts_prediction_lfr6_scalar(
+    us_alphas: np.ndarray,
+    us_peaks: np.ndarray,
+    tokens: List[str],
+    vad_offset: int = 0,
+    force_time_shift: float = -1.5,
+    upsample_rate: int = 3,
+) -> Tuple[str, List[List[int]]]:
+    """Scalar reference form of ``ts_prediction_lfr6_standard`` (the loop
+    transliteration of reference timestamp_tools.py:31) — kept as the fuzz
+    oracle for the vectorized production path."""
     char_list = list(tokens)
     if not char_list:
         return "", []

@@ -457,3 +457,64 @@ def test_tensor_parallel_serving_matches_plain(rng):
     r0 = plain.generate(wavs, key=["a", "b"])
     r1 = tp.generate(wavs, key=["a", "b"])
     assert [r["text"] for r in r1] == [r["text"] for r in r0]
+
+
+def test_fbank_slice_of_grid_equals_fbank_of_slice(rng):
+    """Kaldi fbank frames are functions of exactly their 400 samples, so
+    slicing the whole-recording fbank grid at a 160-sample-aligned offset
+    is bit-identical to running fbank on the sliced waveform — the
+    invariant the shared-frontend long-audio path rests on
+    (engines.FrontendConfig.raw_fbank)."""
+    import jax.numpy as jnp
+
+    from funasr_tpu.ops import fbank as F
+
+    wav = _wav(rng, 4.0)
+    whole, wlens = F.fbank(jnp.asarray(wav[None]),
+                           jnp.asarray([len(wav)]), num_mel_bins=20)
+    # segment [1.0 s, 3.0 s): starts at sample 16000 = frame 100
+    seg = wav[16000:48000]
+    part, plens = F.fbank(jnp.asarray(seg[None]),
+                          jnp.asarray([len(seg)]), num_mel_bins=20)
+    n = int(plens[0])
+    np.testing.assert_array_equal(
+        np.asarray(whole[0, 100 : 100 + n]), np.asarray(part[0, :n]))
+
+
+def test_shared_frontend_pipeline_matches_waveform_path(rng, monkeypatch):
+    """The long-audio pipeline's shared-frontend path (fbank once, ASR
+    gathers segment frames from the grid) returns the same text and
+    timestamps as the per-segment waveform path."""
+    am = AutoModel(model=BICIF_CFG, vad_model=VAD_CFG)
+    wav = np.concatenate([
+        np.zeros(6000, np.float32), _wav(rng, 2.5),
+        np.zeros(12000, np.float32), _wav(rng, 1.5),
+        np.zeros(6000, np.float32),
+    ])
+    got = am.generate(wav, key=["s"])[0]
+    monkeypatch.setenv("FUNASR_TPU_DISABLE_SHARED_FRONTEND", "1")
+    want = am.generate(wav, key=["s"])[0]
+    assert got["text"] == want["text"]
+    assert got.get("timestamp") == want.get("timestamp")
+
+
+def test_transcribe_from_fbank_engine_parity(rng):
+    """BiCifEngine.transcribe_from_fbank == transcribe on the sliced
+    waveforms (text, tokens and pad-invariant timestamps)."""
+    import jax.numpy as jnp
+
+    am = AutoModel(model=BICIF_CFG)
+    eng = am.engine
+    wav = np.concatenate([_wav(rng, 2.0), _wav(rng, 3.0),
+                          _wav(rng, 1.2)])
+    segments = [[0, 2000], [2000, 5000], [5000, 6200]]
+    raw, rlens = eng.frontend.raw_fbank(
+        jnp.asarray(wav[None]), jnp.asarray([len(wav)]))
+    got = eng.transcribe_from_fbank(
+        raw[0], segments, vad_offsets=[s for s, _ in segments],
+        total_frames=int(rlens[0]))
+    clips = [wav[s * 16 : e * 16] for s, e in segments]
+    want = eng.transcribe(clips, with_timestamp=True,
+                          vad_offsets=[s for s, _ in segments])
+    assert [r["text"] for r in got] == [r["text"] for r in want]
+    assert [r["timestamp"] for r in got] == [r["timestamp"] for r in want]

@@ -27,3 +27,26 @@ def test_fbank_pallas_matches_xla(rng, precision, atol):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=atol
     )
+
+
+def test_fbank_pallas_with_energy_matches_compute_decibel(rng):
+    """with_energy=True returns the VAD decibel track (compute_decibel
+    semantics) alongside the mel features, from the same kernel pass."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from funasr_tpu.models.fsmn_vad.model import compute_decibel
+    from funasr_tpu.ops.fbank_pallas import fbank_pallas
+
+    wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    lens = jnp.array([16000, 9000])
+    ref, ref_lens = F.fbank(jnp.asarray(wav), lens, dither=0.0)
+    with pltpu.force_tpu_interpret_mode():
+        got, got_lens, db = fbank_pallas(jnp.asarray(wav), lens, tile_t=32,
+                                         precision="highest",
+                                         with_energy=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
+    for i, n in enumerate([16000, 9000]):
+        want = compute_decibel(wav[i, :n])
+        np.testing.assert_allclose(np.asarray(db)[i, : len(want)], want,
+                                   atol=1e-3)

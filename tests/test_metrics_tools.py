@@ -103,3 +103,109 @@ def test_ts_prediction_lfr6_matches_reference_torch():
         got_txt, got = ts_prediction_lfr6_standard(
             alphas.copy(), peaks.copy(), list(chars), vad_offset=120)
         assert got == want, (case, got, want)
+
+
+def test_ts_prediction_vectorized_matches_scalar_fuzz():
+    """The vectorized ts_prediction_lfr6_standard (r5 host-stage
+    optimization) is output-identical — ts list AND kaldi text — to the
+    scalar loop transliteration across random fire tracks covering lead/
+    tail silence, over-long splits, renorm fallback and fire shortfall."""
+    import numpy as np
+
+    from funasr_tpu.utils.timestamp_tools import (
+        _ts_prediction_lfr6_scalar, ts_prediction_lfr6_standard)
+
+    rng = np.random.default_rng(7)
+    for case in range(200):
+        T = int(rng.integers(12, 400))
+        n_tok = int(rng.integers(1, max(T // 4, 2)))
+        alphas = rng.uniform(0.0, 0.2, T)
+        peaks = np.zeros(T)
+        kind = case % 4
+        if kind == 0:  # exact fire count
+            k = min(n_tok + 1, T - 2)
+            pos = np.sort(rng.choice(np.arange(1, T - 1), k, replace=False))
+            peaks[pos] = 1.0
+        elif kind == 1:  # mismatch -> renorm path
+            peaks[rng.choice(T, size=min(3, T), replace=False)] = 1.0
+        elif kind == 2:  # sparse fires -> long spans / splits
+            k = min(n_tok + 1, max(T // 24, 2))
+            pos = np.sort(rng.choice(np.arange(0, T, 12), k, replace=False))
+            peaks[pos] = 1.0
+            alphas[:] = 0.0  # force the no-renorm branch on mismatch
+        else:  # degenerate: <2 fires, zero alphas
+            if rng.random() < 0.5:
+                peaks[int(rng.integers(T))] = 1.0
+            alphas[:] = 0.0
+        chars = [f"c{i}" for i in range(n_tok)]
+        if rng.random() < 0.3:
+            chars.append("</s>")
+        off = int(rng.choice([0, 120, 5000]))
+        want_txt, want = _ts_prediction_lfr6_scalar(
+            alphas.copy(), peaks.copy(), list(chars), vad_offset=off)
+        got_txt, got = ts_prediction_lfr6_standard(
+            alphas.copy(), peaks.copy(), list(chars), vad_offset=off)
+        assert got == want, (case, got, want)
+        assert got_txt == want_txt, (case, got_txt, want_txt)
+        # build_text=False returns the same spans without the string
+        _, got2 = ts_prediction_lfr6_standard(
+            alphas.copy(), peaks.copy(), list(chars), vad_offset=off,
+            build_text=False)
+        assert got2 == want
+
+
+def test_split_words_regex_matches_loop():
+    """The regex split_words == the reference per-char loop, including the
+    U+3000 ideographic-space separator case."""
+    from funasr_tpu.models.ct_transformer.model import split_words
+
+    def loop_form(text):
+        out = []
+        for chunk in text.strip().split():
+            buf = ""
+            for ch in chunk:
+                if "一" <= ch <= "鿿" or "　" <= ch <= "〿":
+                    if buf:
+                        out.append(buf)
+                        buf = ""
+                    out.append(ch)
+                else:
+                    buf += ch
+            if buf:
+                out.append(buf)
+        return out
+
+    cases = [
+        "你好世界",
+        "hello world",
+        "我的name是bob的」朋友",
+        "abc你 好def  ghi。",
+        "mixed　ideographic　space与ascii",  # U+3000 separators
+        "、标点〿边界",
+        "",
+        "   ",
+        "a",
+        "tail你",
+    ]
+    for text in cases:
+        assert split_words(text) == loop_form(text), text
+
+
+def test_sentence_postprocess_cjk_fast_path():
+    """The single-CJK-char fast path returns exactly what the loop form
+    returns (text, kept timestamps, words)."""
+    from funasr_tpu.utils.postprocess import sentence_postprocess
+
+    toks = list("你好世界")
+    ts = [[0, 60], [60, 120], [120, 180], [180, 240]]
+    text, kept, words = sentence_postprocess(toks, ts)
+    assert text == "你好世界" and kept == ts and words == toks
+    # non-CJK falls back to the loop (spacing + BPE merge)
+    text2, words2 = sentence_postprocess(["he@@", "llo", "你"])
+    assert text2 == "hello你" and words2 == ["hello", "你"]
+    # specials dropped on the loop path
+    text3, words3 = sentence_postprocess(["<s>", "你", "</s>"])
+    assert text3 == "你" and words3 == ["你"]
+    # mixed single chars (one ascii) must NOT take the fast path
+    text4, words4 = sentence_postprocess(list("你a好"))
+    assert text4 == "你 a好"
