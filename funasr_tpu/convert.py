@@ -1197,3 +1197,184 @@ def whisper_from_openai_pt(ckpt, dtype=None):
         config, dtype=dtype or jnp.float32, _do_init=True)
     params = convert_pytorch_state_dict_to_flax(hf_sd, flax_model)
     return config, params
+
+
+def _lstm_cell(sd, tprefix: str, tree: Dict, jcell: str, layer: int = 0):
+    """One torch LSTM layer -> one flax OptimizedLSTMCell at an explicit
+    cell path (the EDA has two independent single-layer LSTMs that land on
+    OptimizedLSTMCell_0/_1 of the same module scope)."""
+    wih = sd[f"{tprefix}.weight_ih_l{layer}"]
+    whh = sd[f"{tprefix}.weight_hh_l{layer}"]
+    bih = sd.get(f"{tprefix}.bias_ih_l{layer}")
+    bhh = sd.get(f"{tprefix}.bias_hh_l{layer}")
+    H = whh.shape[1]
+    for gi, g in enumerate(("i", "f", "g", "o")):
+        rows = slice(gi * H, (gi + 1) * H)
+        _set(tree, f"{jcell}/i{g}/kernel", np.ascontiguousarray(wih[rows].T))
+        _set(tree, f"{jcell}/h{g}/kernel", np.ascontiguousarray(whh[rows].T))
+        if bih is not None and bhh is not None:
+            _set(tree, f"{jcell}/h{g}/bias", bih[rows] + bhh[rows])
+
+
+def eend_ola_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """DiarEENDOLAModel (reference eend/e2e_diar_eend_ola.py:67): encoder
+    (eend/encoder.py:84 naming: lnorm1_i/self_att_i/lnorm2_i/ff_i),
+    encoder-decoder attractor LSTMs + counter, PostNet LSTM +
+    output_layer.  The reference's unused ``enc.lnorm_in`` is skipped."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    enc: Dict[str, Any] = {}
+    _linear(sd, "enc.linear_in", enc, "linear_in")
+    n_layers = 0
+    while f"enc.lnorm1_{n_layers}.weight" in sd:
+        n_layers += 1
+    for i in range(n_layers):
+        _norm(sd, f"enc.lnorm1_{i}", enc, f"lnorm1_{i}")
+        for part in ("linearQ", "linearK", "linearV", "linearO"):
+            _linear(sd, f"enc.self_att_{i}.{part}", enc,
+                    f"self_att_{i}/{part}")
+        _norm(sd, f"enc.lnorm2_{i}", enc, f"lnorm2_{i}")
+        _linear(sd, f"enc.ff_{i}.linear1", enc, f"ff_{i}_linear1")
+        _linear(sd, f"enc.ff_{i}.linear2", enc, f"ff_{i}_linear2")
+    _norm(sd, "enc.lnorm_out", enc, "lnorm_out")
+
+    eda: Dict[str, Any] = {}
+    _lstm_cell(sd, "encoder_decoder_attractor.encoder", eda,
+               "OptimizedLSTMCell_0")
+    _lstm_cell(sd, "encoder_decoder_attractor.decoder", eda,
+               "OptimizedLSTMCell_1")
+    _linear(sd, "encoder_decoder_attractor.counter", eda, "counter")
+
+    post: Dict[str, Any] = {}
+    _lstm_cell(sd, "postnet", post, "OptimizedLSTMCell_0")
+    _linear(sd, "output_layer", post, "output_layer")
+    return {"params": {"enc": enc, "eda": eda, "postnet": post}}
+
+
+def _bn2(sd, tprefix: str, ptree: Dict, stree: Dict, jprefix: str):
+    """torch BatchNorm(1d/2d) -> flax params {scale,bias} +
+    batch_stats {mean,var}."""
+    _set(ptree, f"{jprefix}/scale", sd[f"{tprefix}.weight"])
+    _set(ptree, f"{jprefix}/bias", sd[f"{tprefix}.bias"])
+    _set(stree, f"{jprefix}/mean", sd[f"{tprefix}.running_mean"])
+    _set(stree, f"{jprefix}/var", sd[f"{tprefix}.running_var"])
+
+
+def _conv2d(sd, tprefix: str, tree: Dict, jprefix: str, bias=False):
+    w = sd[f"{tprefix}.weight"]  # (O, I, kh, kw)
+    _set(tree, f"{jprefix}/kernel",
+         np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))))
+    if bias and f"{tprefix}.bias" in sd:
+        _set(tree, f"{jprefix}/bias", sd[f"{tprefix}.bias"])
+
+
+def _sond_resnet(sd, tprefix: str, p: Dict, s: Dict):
+    """ResNet34Diar / ResNet34SpL2RegDiar -> ResNet34DiarEncoder tree."""
+    _conv2d(sd, f"{tprefix}.pre_conv", p, "trunk/pre_conv")
+    _bn2(sd, f"{tprefix}.pre_conv_bn", p, s, "trunk/pre_conv_bn")
+    i = 0
+    while f"{tprefix}.block_{i}.layer_0.conv1.weight" in sd:
+        j = 0
+        while f"{tprefix}.block_{i}.layer_{j}.conv1.weight" in sd:
+            tp = f"{tprefix}.block_{i}.layer_{j}"
+            jp = f"trunk/block_{i}_layer_{j}"
+            _conv2d(sd, f"{tp}.conv1", p, f"{jp}/conv1")
+            _conv2d(sd, f"{tp}.conv2", p, f"{jp}/conv2")
+            _bn2(sd, f"{tp}.bn1", p, s, f"{jp}/bn1")
+            _bn2(sd, f"{tp}.bn2", p, s, f"{jp}/bn2")
+            if f"{tp}.conv_sc.weight" in sd:
+                _conv2d(sd, f"{tp}.conv_sc", p, f"{jp}/conv_sc")
+                _bn2(sd, f"{tp}.bn_sc", p, s, f"{jp}/bn_sc")
+            j += 1
+        i += 1
+    w0 = sd[f"{tprefix}.resnet0_dense.weight"]
+    if w0.ndim == 3:  # SpL2Reg: Conv1d (O, F*C, 1)
+        _set(p, "resnet0_dense/kernel", np.ascontiguousarray(w0[:, :, 0].T))
+    else:  # plain: Conv2d (O, C, 1, 1) applied as dense over channels
+        _set(p, "resnet0_dense/kernel",
+             np.ascontiguousarray(w0[:, :, 0, 0].T))
+    _set(p, "resnet0_dense/bias", sd[f"{tprefix}.resnet0_dense.bias"])
+    _bn2(sd, f"{tprefix}.resnet0_bn", p, s, "resnet0_bn")
+    for name in ("resnet1", "resnet2"):
+        _linear(sd, f"{tprefix}.{name}_dense", p, f"{name}_dense")
+        _bn2(sd, f"{tprefix}.{name}_bn", p, s, f"{name}_bn")
+
+
+def _sond_san(sd, tprefix: str, p: Dict):
+    """sond SelfAttentionEncoder -> SondSANEncoder tree."""
+    if f"{tprefix}.embed.weight" in sd:  # input_layer=None, in != out
+        _linear(sd, f"{tprefix}.embed", p, "embed")
+    if f"{tprefix}.embed.0.weight" in sd:  # input_layer="linear"
+        _linear(sd, f"{tprefix}.embed.0", p, "embed_0")
+        _norm(sd, f"{tprefix}.embed.1", p, "embed_1")
+    i = 0
+    while f"{tprefix}.encoders.{i}.norm1.weight" in sd:
+        tp = f"{tprefix}.encoders.{i}"
+        _norm(sd, f"{tp}.norm1", p, f"l{i}_norm1")
+        _norm(sd, f"{tp}.norm2", p, f"l{i}_norm2")
+        _linear(sd, f"{tp}.self_attn.linear_q_k_v", p,
+                f"l{i}_self_attn/linear_q_k_v")
+        _linear(sd, f"{tp}.self_attn.linear_out", p,
+                f"l{i}_self_attn/linear_out")
+        _linear(sd, f"{tp}.feed_forward.w_1", p, f"l{i}_ff_w1")
+        _linear(sd, f"{tp}.feed_forward.w_2", p, f"l{i}_ff_w2")
+        i += 1
+    _norm(sd, f"{tprefix}.after_norm", p, "after_norm")
+    if f"{tprefix}.output_linear.weight" in sd:
+        _linear(sd, f"{tprefix}.output_linear", p, "output_linear")
+
+
+def _sond_fsmn(sd, tprefix: str, p: Dict):
+    """sond FsmnEncoder -> SondFsmnEncoder tree."""
+    i = 0
+    while f"{tprefix}.fsmn_layers.{i}.ffn.w_1.weight" in sd:
+        tp = f"{tprefix}.fsmn_layers.{i}"
+        _set(p, f"fsmn{i}_ffn_w1/kernel",
+             np.ascontiguousarray(sd[f"{tp}.ffn.w_1.weight"][:, :, 0].T))
+        _set(p, f"fsmn{i}_ffn_w1/bias", sd[f"{tp}.ffn.w_1.bias"])
+        _norm(sd, f"{tp}.ffn.norm", p, f"fsmn{i}_ffn_norm")
+        _set(p, f"fsmn{i}_ffn_w2/kernel",
+             np.ascontiguousarray(sd[f"{tp}.ffn.w_2.weight"][:, :, 0].T))
+        w = sd[f"{tp}.memory.fsmn_block.weight"]  # (C, 1, K) depthwise
+        _set(p, f"fsmn{i}_mem", np.ascontiguousarray(
+            np.transpose(w, (2, 1, 0))))
+        i += 1
+    j = 0
+    while f"{tprefix}.dnn_layers.{j}.w_1.weight" in sd:
+        tp = f"{tprefix}.dnn_layers.{j}"
+        _set(p, f"dnn{j}_w1/kernel",
+             np.ascontiguousarray(sd[f"{tp}.w_1.weight"][:, :, 0].T))
+        _set(p, f"dnn{j}_w1/bias", sd[f"{tp}.w_1.bias"])
+        _norm(sd, f"{tp}.norm", p, f"dnn{j}_norm")
+        _set(p, f"dnn{j}_w2/kernel",
+             np.ascontiguousarray(sd[f"{tp}.w_2.weight"][:, :, 0].T))
+        j += 1
+    if f"{tprefix}.conv1d.weight" in sd:
+        _set(p, "conv1d_out/kernel", np.ascontiguousarray(
+            sd[f"{tprefix}.conv1d.weight"][:, :, 0].T))
+        _set(p, "conv1d_out/bias", sd[f"{tprefix}.conv1d.bias"])
+
+
+def sond_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """DiarSondModel (reference sond/e2e_diar_sond.py:40) state_dict ->
+    models/sond/reference_arch.DiarSondModel variables (params +
+    batch_stats).  Covers ResNet34Diar/ResNet34SpL2RegDiar speech
+    encoders, SAN speaker encoder / cd scorer, FsmnEncoder post net; the
+    cos/dot ci scorers are parameter-free."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    enc_p: Dict[str, Any] = {}
+    enc_s: Dict[str, Any] = {}
+    _sond_resnet(sd, "encoder", enc_p, enc_s)
+    p["encoder"], s["encoder"] = enc_p, enc_s
+    if any(k.startswith("speaker_encoder.") for k in sd):
+        spk: Dict[str, Any] = {}
+        _sond_san(sd, "speaker_encoder", spk)
+        p["speaker_encoder"] = spk
+    cd: Dict[str, Any] = {}
+    _sond_san(sd, "cd_scorer", cd)
+    p["cd_scorer"] = cd
+    pn: Dict[str, Any] = {}
+    _sond_fsmn(sd, "decoder", pn)
+    p["post_net"] = pn
+    return {"params": p, "batch_stats": s}

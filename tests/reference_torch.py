@@ -89,6 +89,27 @@ def install_stubs():
         "ConfigStore", (), {"instance": classmethod(lambda c: c())}))
     _stub("requests")
     _stub("oss2")
+    # legacy modelscope-era base classes the sond/sa_asr models import but
+    # this reference tree no longer ships — minimal torch Module stand-ins
+    import torch as _torch
+
+    class _AbsModule(_torch.nn.Module):
+        pass
+
+    _stub("funasr.models.decoder.abs_decoder", AbsDecoder=_AbsModule)
+    d = sys.modules["funasr.models.decoder.abs_decoder"]
+    _stub("funasr.models.decoder", abs_decoder=d)
+    _stub("funasr.models.encoder.abs_encoder", AbsEncoder=_AbsModule)
+    e = sys.modules["funasr.models.encoder.abs_encoder"]
+    _stub("funasr.models.encoder", abs_encoder=e)
+    _stub("funasr.frontends.abs_frontend", AbsFrontend=_AbsModule)
+    _stub("funasr.models.specaug.abs_specaug", AbsSpecAug=_AbsModule)
+    _stub("funasr.models.specaug.abs_profileaug", AbsProfileAug=_AbsModule)
+    _stub("funasr.layers.abs_normalize", AbsNormalize=_AbsModule)
+    _stub("funasr.layers", abs_normalize=sys.modules[
+        "funasr.layers.abs_normalize"])
+    _stub("funasr.models.base_model", FunASRModel=_AbsModule)
+    _stub("funasr.utils.hinter", hint_once=lambda *a, **k: None)
 
 
 def load_reference(module: str):
@@ -98,4 +119,25 @@ def load_reference(module: str):
         sys.path.insert(0, REF_PATH)
     import importlib
 
+    # legacy import paths some reference files use for modules that live
+    # elsewhere in this tree (sond's pooling package)
+    # `from funasr.models.ctc import CTC` (the package re-exports nothing
+    # in this tree; the class lives in funasr.models.ctc.ctc)
+    try:
+        import funasr.models.ctc as _ctc_pkg  # noqa
+
+        if not hasattr(_ctc_pkg, "CTC"):
+            from funasr.models.ctc.ctc import CTC as _CTC
+
+            _ctc_pkg.CTC = _CTC
+    except Exception:
+        pass
+    if "funasr.models.pooling.statistic_pooling" not in sys.modules:
+        try:
+            real = importlib.import_module(
+                "funasr.models.sond.pooling.statistic_pooling")
+            _stub("funasr.models.pooling", statistic_pooling=real)
+            sys.modules["funasr.models.pooling.statistic_pooling"] = real
+        except Exception:
+            pass
     return importlib.import_module(module)
