@@ -98,13 +98,14 @@ def main():
     # B=8 = the pipeline column's per-VAD-segment batch; B=32 = the
     # saturated serving batch (the single-chip analogue of the
     # reference's 32-thread CPU server concurrency)
-    sizes = (2,) if TINY else (8, 32, 64)
+    sizes = (2,) if TINY else (8, 16, 32)
     rows = {B: measure(B) for B in sizes}
-    # headline = the best operating point (since the r4 unroll the step is
-    # compute-bound by B=32, so small batches can win on latency AND rate)
+    # headline = the best operating point (after the r5 top_k fix the
+    # step is KV-cache-bandwidth-bound: per-utterance cost grows mildly
+    # with N = B*beam, so B=8 wins on rate AND latency)
     B_head = max(rows, key=lambda b: rows[b][0])
     rate, t_beam, compile_s = rows[B_head]
-    print(json.dumps({
+    out = {
         "metric": "hybrid_beam_audio_seconds_per_s",
         "value": round(rate, 1),
         "unit": "audio-s/s",
@@ -121,7 +122,14 @@ def main():
             "vs_xeon32_onnx_server": round(rate / 562.0, 1),
             "note": "random weights; slope-timed K=1 vs K=3",
         },
-    }))
+    }
+    import os
+
+    if not TINY and not CTC0:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_BEAM.json"), "w") as f:
+            json.dump(out, f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -694,6 +694,7 @@ class HybridEngine(BatchedAsrEngine):
         self._run = _run
         self.beam = beam
         self.maxlen = maxlen
+        self._ctc_w = decoding_ctc_weight
 
     def decode_fn(self, params, wav, lens):
         """Export surface: top-1 beam hypothesis."""
@@ -701,37 +702,75 @@ class HybridEngine(BatchedAsrEngine):
                                       self.maxlen)
         return toks[:, 0], tok_lens[:, 0]
 
-    def transcribe(self, wavs: Sequence[np.ndarray], nbest: int = 1, **kw
+    def transcribe(self, wavs: Sequence[np.ndarray], nbest: int = 1,
+                   with_timestamp: bool = False, vad_offsets=None, **kw
                    ) -> List[Dict[str, Any]]:
         """``nbest > 1`` additionally returns the top-K hypotheses with
         scores under ``"nbest"`` — the tensor beam's answer to the
         reference WFST decoder's lattice/n-best outputs
-        (runtime/onnxruntime/src/wfst-decoder.cpp GetNBestLattice role)."""
+        (runtime/onnxruntime/src/wfst-decoder.cpp GetNBestLattice role).
+        ``with_timestamp=True`` CTC-force-aligns EVERY returned
+        hypothesis so each n-best entry carries its own ``timestamp``
+        list, like the lattice-backed word timings."""
         if not len(wavs):
             return []
         wav_d, lens_d = self._pack(wavs)
-        toks, tok_lens, scores = self._run(self.params, wav_d, lens_d,
-                                           self.beam, self.maxlen)
+        align = enc_lens = None
+        if with_timestamp:
+            if not hasattr(self, "_run_align"):
+                @functools.partial(jax.jit,
+                                   static_argnames=("beam", "maxlen"))
+                def _ra(params, wav, lens, beam, maxlen):
+                    feats, flens = self.frontend.device_features(wav, lens)
+                    return self.module.apply(
+                        params, feats, flens, beam=beam, maxlen=maxlen,
+                        decoding_ctc_weight=self._ctc_w,
+                        method=self.module.decode_beam_align)
+
+                self._run_align = _ra
+            toks, tok_lens, scores, align, enc_lens = self._run_align(
+                self.params, wav_d, lens_d, self.beam, self.maxlen)
+            align = np.asarray(align)
+            enc_lens = np.asarray(enc_lens)
+        else:
+            toks, tok_lens, scores = self._run(self.params, wav_d, lens_d,
+                                               self.beam, self.maxlen)
         toks = np.asarray(toks)
         tok_lens = np.asarray(tok_lens)
         scores = np.asarray(scores)
         nbest = max(1, min(int(nbest), self.beam))
+
+        def frame_ms(i):
+            # encoder frame duration from the true fbank-frame count and
+            # the encoder's output length (LFR x conv subsampling)
+            nf = max((len(wavs[i]) - 400) // 160 + 1, 1)
+            stride = max(int(round(nf / max(int(enc_lens[i]), 1))), 1)
+            return 10 * stride
+
+        def hyp_result(i, k):
+            ids = toks[i, k, : int(tok_lens[i, k])].tolist()
+            words = self.tokenizer.ids2tokens(ids)
+            res: Dict[str, Any] = {"score": float(scores[i, k])}
+            if align is not None:
+                offset = (0 if vad_offsets is None or not len(vad_offsets)
+                          else vad_offsets[i])
+                ts = _ctc_align_timestamps(
+                    align[i, k, : int(enc_lens[i])],
+                    words, offset_ms=offset, frame_ms=frame_ms(i))
+                text, ts_kept, raw = sentence_postprocess(words, ts)
+                res.update(text=text, timestamp=ts_kept, raw_tokens=raw)
+            else:
+                text, raw = sentence_postprocess(words)
+                res.update(text=text, raw_tokens=raw)
+            res["tokens"] = ids
+            return res
+
         results = []
         for i in range(len(wavs)):
-            ids = toks[i, 0, : int(tok_lens[i, 0])].tolist()
-            words = self.tokenizer.ids2tokens(ids)
-            text, raw = sentence_postprocess(words)
-            res = {"text": text, "raw_tokens": raw,
-                   "score": float(scores[i, 0])}
+            res = hyp_result(i, 0)
+            res.pop("tokens")
             if nbest > 1:
-                hyps = []
-                for k in range(nbest):
-                    ids_k = toks[i, k, : int(tok_lens[i, k])].tolist()
-                    text_k, _ = sentence_postprocess(
-                        self.tokenizer.ids2tokens(ids_k))
-                    hyps.append({"text": text_k, "score": float(scores[i, k]),
-                                 "tokens": ids_k})
-                res["nbest"] = hyps
+                res["nbest"] = [hyp_result(i, k) for k in range(nbest)]
             results.append(res)
         return results
 

@@ -261,8 +261,11 @@ class SanmKWS(FsmnKWS):
     def __init__(self, vocab_size: int, input_dim: int = 400,
                  encoder_conf: Optional[Dict] = None, blank_id: int = 0,
                  threshold: float = -5.0, **kwargs):
+        conf = dict(encoder_conf or {})
+        if "sanm_shfit" in conf:  # reference template spelling
+            conf["sanm_shift"] = conf.pop("sanm_shfit")
         self.module = _SanmKWSNet(vocab_size=vocab_size, input_dim=input_dim,
-                                  encoder_conf=encoder_conf)
+                                  encoder_conf=conf)
         self.vocab_size = vocab_size
         self.blank_id = blank_id
         self.threshold = threshold

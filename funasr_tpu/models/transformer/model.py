@@ -179,6 +179,36 @@ class _HybridModel(nn.Module):
             state_reorder_fn=state_reorder_fn,
         )
 
+    def decode_beam_align(
+        self, speech, speech_lengths, beam: int = 10, maxlen: int = 64,
+        decoding_ctc_weight: float = 0.3, length_bonus: float = 0.0,
+        use_cache: bool = True,
+    ):
+        """``decode_beam`` plus a CTC forced alignment of EVERY hypothesis
+        against the encoder frames -> per-hypothesis frame-level token
+        spans (the reference WFST decoder's lattice-backed word timings,
+        runtime/onnxruntime/src/wfst-decoder.cpp — here each n-best entry
+        gets its own alignment).  Returns (tokens (B, K, L), lengths,
+        scores, align (B, K, T) frame label grid, enc_lens (B,))."""
+        res = self.decode_beam(speech, speech_lengths, beam, maxlen,
+                               decoding_ctc_weight, length_bonus,
+                               use_cache)
+        enc, enc_lens = self.encode(speech, speech_lengths, True)
+        logp = jax.nn.log_softmax(
+            self.ctc_lo(enc).astype(jnp.float32), axis=-1)
+        from funasr_tpu.ops.ctc_align import ctc_forced_align
+
+        B, K, L = res.tokens.shape
+        toks = jnp.where(
+            jnp.arange(L)[None, None, :] < res.lengths[:, :, None],
+            res.tokens, self.blank_id).reshape(B * K, L)
+        tlens = res.lengths.reshape(B * K)
+        align = ctc_forced_align(
+            jnp.repeat(logp, K, axis=0), toks,
+            jnp.repeat(enc_lens, K, axis=0), tlens,
+            blank=self.blank_id).reshape(B, K, -1)
+        return res.tokens, res.lengths, res.scores, align, enc_lens
+
 
 @tables.register("model_classes", "Transformer")
 class Transformer(_HybridModel):

@@ -122,7 +122,7 @@ def _ctc_recurrence_associative(xg, xb, phi_shift):
 
 
 def ctc_prefix_step(
-    x: jnp.ndarray,  # (B, T, V) masked ctc log-probs
+    x_t: jnp.ndarray,  # (B, V, T) TRANSPOSED masked ctc log-probs
     r_prev: jnp.ndarray,  # (B, K, T, 2) [nb, b] state of each prefix
     last: jnp.ndarray,  # (B, K) last token of each prefix
     cand: jnp.ndarray,  # (B, K, W) candidate extensions
@@ -131,17 +131,22 @@ def ctc_prefix_step(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score extending each prefix with each candidate.
 
+    ``x_t`` is time-minor ((B, V, T), transposed ONCE outside the decode
+    loop): the per-candidate emission rows then come from a sublane row
+    gather instead of a lane-axis take_along_axis over the vocab — the
+    lane-axis form was the beam's hidden superlinear-in-B cost (r5: the
+    CTC phase measured 79 ms of a 120 ms B=8 batch and 3.4 ms/step at
+    B=32; a V-minor gather of K*W arbitrary vocab columns has no
+    efficient TPU lowering).
+
     Returns (sigma (B,K,W) total prefix scores, r_new (B,K,W,T,2)).
     """
     B, K, T, _ = r_prev.shape
     W = cand.shape[-1]
-    # per-candidate emission logp xg[b,k,w,t] = x[b,t,cand[b,k,w]]: a
-    # broadcasting take_along_axis over the vocab axis — NOT a (B,K,T,V)
-    # repeat of x (which materialized ~0.5 GB/step at bench shapes and
-    # dominated the beam cost before r4)
-    xg = jnp.take_along_axis(x, cand.reshape(B, 1, K * W), axis=2)
-    xg = jnp.moveaxis(xg, 1, 2).reshape(B, K, W, T)
-    xb = x[:, :, blank_id]  # (B, T)
+    # xg[b,k,w,t] = x_t[b, cand[b,k,w], t]: row gather on the sublane axis
+    xg = jnp.take_along_axis(x_t, cand.reshape(B, K * W, 1), axis=1)
+    xg = xg.reshape(B, K, W, T)
+    xb = x_t[:, blank_id, :]  # (B, T)
 
     r_nb_prev = r_prev[..., 0]  # (B, K, T)
     r_b_prev = r_prev[..., 1]
@@ -254,6 +259,8 @@ def beam_search(
         r0, sigma0 = ctc_init_state(ctc_logp, blank_id)
         r_state = jnp.broadcast_to(r0[:, None], (B, K, T, 2))
         sigma_g = jnp.broadcast_to(sigma0[:, None], (B, K))
+        # time-minor layout for the per-step candidate row gathers
+        ctc_logp_t = jnp.swapaxes(ctc_logp, 1, 2)
     else:
         r_state = jnp.zeros((B, K, 1, 2))
         sigma_g = jnp.zeros((B, K))
@@ -284,13 +291,19 @@ def beam_search(
             lm_term = lm_weight * lm_logp.astype(jnp.float32)
 
         if use_ctc:
-            # pre-beam candidates selected by the fused att(+lm) score
+            # pre-beam candidates selected by the fused att(+lm) score;
+            # top_k returns the candidate scores directly (the old
+            # take_along_axis over the vocab lanes re-gathered them)
             fused = att_w * logp + lm_term
-            _, cand = lax.top_k(fused, W)  # (B, K, W)
-            cand_fused = jnp.take_along_axis(fused, cand, axis=-1)
+            # top_k on the 2-D reshape: the 3-D (B, K, V) form lowers ~7x
+            # slower on TPU (0.64 vs 0.088 ms/step at bench shapes — it
+            # was the beam's hidden CTC-path cost, r5 profile)
+            cf2, c2 = lax.top_k(fused.reshape(B * K, V), W)
+            cand_fused = cf2.reshape(B, K, W)
+            cand = c2.reshape(B, K, W)
             pe = jnp.broadcast_to(step == 0, (B, K))
             sigma, r_new = ctc_prefix_step(
-                ctc_logp, r_state, last, cand, pe, blank_id
+                ctc_logp_t, r_state, last, cand, pe, blank_id
             )
             # eos is "prefix complete", not a CTC symbol: its score is the
             # full-utterance CTC probability of the prefix itself

@@ -164,8 +164,14 @@ class CachedTransformerDecoder:
 
         self.pe = transformer_encoding(maxlen + 1, d)
 
+    def _cache_len(self) -> int:
+        # exact maxlen+1: a 128-aligned buffer was A/B'd on the real chip
+        # and LOST (B=8 att phase 40.6 -> 51.6 ms) — the step is KV-cache
+        # bandwidth-bound, so buffer bytes beat tile alignment
+        return self.maxlen + 1
+
     def init_state(self) -> DecoderState:
-        shape = (self.L, self.N, self.maxlen + 1, self.F)
+        shape = (self.L, self.N, self._cache_len(), self.F)
         z = jnp.zeros(shape, self.dtype)
         return DecoderState(k=z, v=z)
 
@@ -177,13 +183,13 @@ class CachedTransformerDecoder:
         returns (log-probs (N, V) fp32, updated state).
         """
         p, dtype = self.p, self.dtype
+        M = self._cache_len()
         emb = p["embed"]["embedding"][y_tok].astype(dtype)  # (N, d)
         x = emb * (self.d ** 0.5) + lax.dynamic_slice_in_dim(
             self.pe, pos, 1, axis=0).astype(dtype)
         x = x[:, None, :]  # (N, 1, d)
-        kv_valid = (jnp.arange(self.maxlen + 1)[None, :]
-                    <= pos)  # (1, M)
-        kv_valid = jnp.broadcast_to(kv_valid, (self.N, self.maxlen + 1))
+        kv_valid = (jnp.arange(M)[None, :] <= pos)  # (1, M)
+        kv_valid = jnp.broadcast_to(kv_valid, (self.N, M))
 
         def layer(x, xs):
             lp, wqkv, bqkv, ck_l, cv_l, k_l, v_l = xs
@@ -261,20 +267,24 @@ class CachedTransformerLM:
              sa["linear_v"]["bias"]], axis=1).astype(dtype)
         self.pe = transformer_encoding(maxlen + 1, self.att)
 
+    def _cache_len(self) -> int:
+        return self.maxlen + 1  # see CachedTransformerDecoder._cache_len
+
     def init_state(self) -> DecoderState:
-        z = jnp.zeros((self.L, self.N, self.maxlen + 1, self.F), self.dtype)
+        z = jnp.zeros((self.L, self.N, self._cache_len(), self.F),
+                      self.dtype)
         return DecoderState(k=z, v=z)
 
     def step(self, y_tok: jnp.ndarray, pos, state: DecoderState):
         p, dtype = self.p, self.dtype
+        M = self._cache_len()
         emb = p["embed"]["embedding"][y_tok].astype(dtype)
         x = _dense(emb, p["input_layer"], dtype)
         x = x * (self.att ** 0.5) + lax.dynamic_slice_in_dim(
             self.pe, pos, 1, axis=0).astype(dtype)
         x = x[:, None, :]
         kv_valid = jnp.broadcast_to(
-            jnp.arange(self.maxlen + 1)[None, :] <= pos,
-            (self.N, self.maxlen + 1))
+            jnp.arange(M)[None, :] <= pos, (self.N, M))
 
         def layer(x, xs):
             lp, wqkv, bqkv, k_l, v_l = xs

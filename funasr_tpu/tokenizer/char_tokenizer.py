@@ -12,13 +12,26 @@ from typing import Dict, Iterable, List, Optional, Union
 from funasr_tpu.registry import tables
 
 
+def _read_text_auto(path: str) -> str:
+    """Read a vocab-style text file, transparently converting legacy GBK
+    files to unicode (reference runtime encode_converter.cpp
+    X_GBK2UTF8: the C++ runtime ships GBK-encoded lexicons/vocabs for
+    some zh models; files that fail strict UTF-8 are retried as GBK/
+    GB18030, which is a superset covering GBK and GB2312)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("gb18030")
+
+
 def load_token_list(path: str) -> List[str]:
     toks = []
-    with open(path, "r", encoding="utf-8") as f:
-        for line in f:
-            t = line.rstrip("\n").split()
-            if t:
-                toks.append(t[0])
+    for line in _read_text_auto(path).split("\n"):
+        t = line.rstrip("\n").split()
+        if t:
+            toks.append(t[0])
     return toks
 
 

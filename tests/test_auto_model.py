@@ -518,3 +518,31 @@ def test_transcribe_from_fbank_engine_parity(rng):
                           vad_offsets=[s for s, _ in segments])
     assert [r["text"] for r in got] == [r["text"] for r in want]
     assert [r["timestamp"] for r in got] == [r["timestamp"] for r in want]
+
+
+def test_hybrid_nbest_with_timestamps(rng):
+    """generate(nbest=K) entries each carry their own CTC-forced-aligned
+    timestamps (VERDICT r4 item 8 — the WFST lattice word-timing role)."""
+    cfg = dict(
+        model="Conformer",
+        vocab_size=len(VOCAB),
+        tokenizer_conf={"token_list": VOCAB},
+        frontend_conf=dict(n_mels=20, lfr_m=1, lfr_n=1),
+        input_size=20,
+        encoder_conf=dict(output_size=16, attention_heads=2,
+                          linear_units=32, num_blocks=2,
+                          cnn_module_kernel=5, dropout_rate=0.0),
+        decoder_conf=dict(attention_heads=2, linear_units=32, num_blocks=1,
+                          dropout_rate=0.0),
+        model_conf=dict(ctc_weight=0.3),
+    )
+    am = AutoModel(model=cfg)
+    res = am.generate([_wav(rng, 1.5)], nbest=3, with_timestamp=True)[0]
+    assert "timestamp" in res and "nbest" in res
+    assert len(res["nbest"]) == 3
+    for hyp in res["nbest"]:
+        assert "timestamp" in hyp and "score" in hyp
+        assert len(hyp["timestamp"]) == len(hyp["raw_tokens"])
+        assert all(e >= b >= 0 for b, e in hyp["timestamp"])
+    # 1-best timestamps match the first n-best entry
+    assert res["timestamp"] == res["nbest"][0]["timestamp"]

@@ -55,8 +55,9 @@ def test_ctc_prefix_step_matches_oracle(rng):
     # extend empty prefix with candidates [1, 2, 3]
     r_prev = r0[:, None]  # (1,1,T,2)
     cand = jnp.array([[[1, 2, 3]]])
+    x_t = jnp.swapaxes(x, 1, 2)  # ctc_prefix_step takes (B, V, T)
     sigma, r_new = ctc_prefix_step(
-        x, r_prev, jnp.array([[0]]), cand, jnp.array([[True]]))
+        x_t, r_prev, jnp.array([[0]]), cand, jnp.array([[True]]))
     for w, c in enumerate([1, 2, 3]):
         np.testing.assert_allclose(
             float(sigma[0, 0, w]), ctc_prefix_score_oracle(logp[0], [c]),
@@ -66,7 +67,7 @@ def test_ctc_prefix_step_matches_oracle(rng):
     r_prev2 = r_new[:, :, 1]  # state of prefix [2]
     cand2 = jnp.array([[[1, 2, 4]]])
     sigma2, _ = ctc_prefix_step(
-        x, r_prev2, jnp.array([[2]]), cand2, jnp.array([[False]]))
+        x_t, r_prev2, jnp.array([[2]]), cand2, jnp.array([[False]]))
     for w, c in enumerate([1, 2, 4]):
         np.testing.assert_allclose(
             float(sigma2[0, 0, w]), ctc_prefix_score_oracle(logp[0], [2, c]),

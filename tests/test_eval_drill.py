@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(__file__))
 from reference_torch import load_reference  # noqa: E402
 
 FULL = os.environ.get("FUNASR_TPU_EVAL_DRILL_FULL", "") == "1"
-# flagship-width by default under -m slow; FULL=1 uses the real
-# Paraformer-large depth (50+16 blocks, ~220M params — minutes on CPU)
+# flagship-width by default under -m slow; the FULL-DEPTH drill (real
+# Paraformer-large 50+16 blocks, ~220M params — minutes on CPU) runs as
+# its own slow test below (VERDICT r4 item 6: no env opt-in needed);
+# FUNASR_TPU_EVAL_DRILL_FULL=1 additionally deepens the default tests
 ENC_BLOCKS, DEC_BLOCKS, D, FFN, HEADS = \
     (50, 16, 512, 2048, 4) if FULL else (4, 2, 512, 2048, 4)
 VOCAB = 8404
@@ -48,8 +50,10 @@ def _write_cmvn(path, dim):
                 " ".join(f"{v:.6f}" for v in varss) + " ]\n</Nnet>\n")
 
 
-def _ref_paraformer_sd():
+def _ref_paraformer_sd(enc_blocks=None, dec_blocks=None):
     """Reference-code Paraformer with the real parameter LAYOUT."""
+    enc_blocks = enc_blocks or ENC_BLOCKS
+    dec_blocks = dec_blocks or DEC_BLOCKS
     load_reference("funasr.models.sanm.encoder")
     load_reference("funasr.models.paraformer.decoder")
     load_reference("funasr.models.paraformer.cif_predictor")
@@ -58,12 +62,12 @@ def _ref_paraformer_sd():
     m = pm.Paraformer(
         encoder="SANMEncoder",
         encoder_conf=dict(output_size=D, attention_heads=HEADS,
-                          linear_units=FFN, num_blocks=ENC_BLOCKS,
+                          linear_units=FFN, num_blocks=enc_blocks,
                           dropout_rate=0.1, input_layer="pe",
                           kernel_size=11, sanm_shfit=0),
         decoder="ParaformerSANMDecoder",
         decoder_conf=dict(attention_heads=HEADS, linear_units=FFN,
-                          num_blocks=DEC_BLOCKS, att_layer_num=DEC_BLOCKS,
+                          num_blocks=dec_blocks, att_layer_num=dec_blocks,
                           kernel_size=11, sanm_shfit=0),
         predictor="CifPredictorV2",
         predictor_conf=dict(idim=D, threshold=1.0, l_order=1, r_order=1,
@@ -90,19 +94,18 @@ def _token_list():
             + [chr(0x4E00 + i) for i in range(VOCAB - 3)])
 
 
-@pytest.mark.slow
-def test_eval_drill_paraformer(tmp_path, rng):
+def _run_paraformer_drill(tmp_path, rng, enc_blocks, dec_blocks):
     """checkpoint dir -> convert -> decode scp -> CER, via the CLI mains."""
-    sd = _ref_paraformer_sd()
+    sd = _ref_paraformer_sd(enc_blocks, dec_blocks)
     cfg = dict(
         model="Paraformer", input_size=560, vocab_size=VOCAB,
         encoder="SANMEncoder",
         encoder_conf=dict(output_size=D, attention_heads=HEADS,
-                          linear_units=FFN, num_blocks=ENC_BLOCKS,
+                          linear_units=FFN, num_blocks=enc_blocks,
                           kernel_size=11, sanm_shfit=0),
         decoder="ParaformerSANMDecoder",
         decoder_conf=dict(attention_heads=HEADS, linear_units=FFN,
-                          num_blocks=DEC_BLOCKS, att_layer_num=DEC_BLOCKS,
+                          num_blocks=dec_blocks, att_layer_num=dec_blocks,
                           kernel_size=11, sanm_shfit=0),
         predictor="CifPredictorV2",
         predictor_conf=dict(idim=D, threshold=1.0, l_order=1, r_order=1,
@@ -163,6 +166,19 @@ def test_eval_drill_paraformer(tmp_path, rng):
         wer_main(["--ref", str(ref), "--hyp", str(hyp), "--cer"])
     body = buf.getvalue()
     assert "%" in body or "err" in body.lower(), body
+
+
+@pytest.mark.slow
+def test_eval_drill_paraformer(tmp_path, rng):
+    _run_paraformer_drill(tmp_path, rng, ENC_BLOCKS, DEC_BLOCKS)
+
+
+@pytest.mark.slow
+def test_eval_drill_paraformer_full_depth(tmp_path, rng):
+    """The FULL 220M-param convert->decode->CER chain at real
+    Paraformer-large depth (50 encoder + 16 decoder blocks) — part of the
+    default slow tier, no env opt-in (VERDICT r4 item 6)."""
+    _run_paraformer_drill(tmp_path, rng, 50, 16)
 
 
 @pytest.mark.slow

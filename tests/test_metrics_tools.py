@@ -209,3 +209,17 @@ def test_sentence_postprocess_cjk_fast_path():
     # mixed single chars (one ascii) must NOT take the fast path
     text4, words4 = sentence_postprocess(list("你a好"))
     assert text4 == "你 a好"
+
+
+def test_token_list_gbk_transcoding(tmp_path):
+    """GBK-encoded vocab files load transparently (reference runtime
+    encode_converter.cpp X_GBK2UTF8 role)."""
+    from funasr_tpu.tokenizer.char_tokenizer import load_token_list
+
+    toks = ["<blank>", "你", "好", "世", "界"]
+    utf8 = tmp_path / "vocab_utf8.txt"
+    utf8.write_text("\n".join(toks), encoding="utf-8")
+    gbk = tmp_path / "vocab_gbk.txt"
+    gbk.write_bytes("\n".join(toks).encode("gbk"))
+    assert load_token_list(str(utf8)) == toks
+    assert load_token_list(str(gbk)) == toks
