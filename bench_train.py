@@ -43,8 +43,17 @@ import numpy as np
 import optax
 
 TINY = "--tiny" in sys.argv
-MICRO_B = 2 if TINY else 16
-ACCUM = 2 if TINY else 4
+
+
+def _arg(name, default):
+    for a in sys.argv:
+        if a.startswith(f"--{name}="):
+            return int(a.split("=")[1])
+    return default
+
+
+MICRO_B = 2 if TINY else _arg("micro", 16)
+ACCUM = 2 if TINY else _arg("accum", 4)
 UTT_S = 15
 T_LFR = 32 if TINY else 256     # 15 s -> 250 LFR6 frames, padded 256
 U = 8 if TINY else 48           # label length (AISHELL ~3.2 char/s)
