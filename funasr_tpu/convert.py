@@ -1378,3 +1378,178 @@ def sond_from_torch(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     _sond_fsmn(sd, "decoder", pn)
     p["post_net"] = pn
     return {"params": p, "batch_stats": s}
+
+
+def _std_transformer_decoder_tree(sd, prefix: str = "decoder"
+                                  ) -> Dict[str, Any]:
+    """Reference transformer/decoder.py BaseTransformerDecoder (embed +
+    [norm1 self_attn norm2 src_attn norm3 feed_forward] x N + after_norm
+    + output_layer) -> models/transformer/decoder.TransformerDecoder."""
+    dec: Dict[str, Any] = {}
+    dec["embed"] = {"embedding": sd[f"{prefix}.embed.0.weight"]}
+    n = _count_layers(sd, f"{prefix}.decoders")
+    layers = []
+    for i in range(n):
+        p = f"{prefix}.decoders.{i}"
+        lt: Dict[str, Any] = {}
+        for nm in ("norm1", "norm2", "norm3"):
+            _norm(sd, f"{p}.{nm}", lt, nm)
+        for att in ("self_attn", "src_attn"):
+            for q in ("linear_q", "linear_k", "linear_v", "linear_out"):
+                _linear(sd, f"{p}.{att}.{q}", lt, f"{att}/{q}")
+        _linear(sd, f"{p}.feed_forward.w_1", lt, "feed_forward/w_1")
+        _linear(sd, f"{p}.feed_forward.w_2", lt, "feed_forward/w_2")
+        layers.append(lt)
+    dec["decoders"] = _stack_layers(layers)
+    _norm(sd, f"{prefix}.after_norm", dec, "after_norm")
+    _linear(sd, f"{prefix}.output_layer", dec, "output_layer")
+    return dec
+
+
+def mfcca_from_torch(sd: Mapping[str, np.ndarray],
+                     n_mels_after_conv: int) -> Dict[str, Any]:
+    """Reference MFCCA (mfcca/e2e_asr_mfcca.py:41) state_dict ->
+    models/mfcca/reference_arch.MFCCAModel variables.
+
+    ``n_mels_after_conv``: frequency bins after the two stride-2 convs
+    (same channel-major flatten permutation as conformer_from_torch)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    enc: Dict[str, Any] = {}
+    enc_s: Dict[str, Any] = {}
+    _conv2d(sd, "encoder.embed.conv.0", enc, "embed_conv0", bias=True)
+    _conv2d(sd, "encoder.embed.conv.2", enc, "embed_conv1", bias=True)
+    W = sd["encoder.embed.out.0.weight"]  # (D, C*F) channel-major
+    F = n_mels_after_conv
+    C = W.shape[1] // F
+    perm = np.asarray([c * F + f for c in range(C) for f in range(F)])
+    del perm  # our reshape is ALSO channel-major (transpose(0,1,3,2)):
+    # torch (b,c,t,f)->transpose(1,2)->(b,t,c,f)->flatten == ours
+    # (b,t,f,c)->transpose(0,1,3,2)->(b,t,c,f)->flatten — no permutation
+    _set(enc, "embed_out/kernel", np.ascontiguousarray(W.T))
+    _set(enc, "embed_out/bias", sd["encoder.embed.out.0.bias"])
+    i = 0
+    while f"encoder.encoders.{i}.norm_mha.weight" in sd:
+        pl = f"encoder.encoders.{i}"
+        jl = f"layer_{i}"
+        _norm(sd, f"{pl}.norm_mha", enc, f"{jl}/norm_mha_cc")
+        for q in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            _linear(sd, f"{pl}.encoder_cros_channel_atten.{q}", enc,
+                    f"{jl}/cc_attn/{q}")
+        csa = f"{pl}.encoder_csa"
+        for nm in ("norm_mha", "norm_ff", "norm_conv", "norm_final",
+                   "norm_ff_macaron"):
+            if f"{csa}.{nm}.weight" in sd:
+                _norm(sd, f"{csa}.{nm}", enc, f"{jl}/{nm}")
+        att = f"{csa}.self_attn"
+        for q in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            _linear(sd, f"{att}.{q}", enc, f"{jl}/self_attn/{q}")
+        _set(enc, f"{jl}/self_attn/linear_pos/kernel",
+             np.ascontiguousarray(sd[f"{att}.linear_pos.weight"].T))
+        _set(enc, f"{jl}/self_attn/pos_bias_u", sd[f"{att}.pos_bias_u"])
+        _set(enc, f"{jl}/self_attn/pos_bias_v", sd[f"{att}.pos_bias_v"])
+        _linear(sd, f"{csa}.feed_forward.w_1", enc, f"{jl}/ff_w1")
+        _linear(sd, f"{csa}.feed_forward.w_2", enc, f"{jl}/ff_w2")
+        if f"{csa}.feed_forward_macaron.w_1.weight" in sd:
+            _linear(sd, f"{csa}.feed_forward_macaron.w_1", enc,
+                    f"{jl}/ff_macaron_w1")
+            _linear(sd, f"{csa}.feed_forward_macaron.w_2", enc,
+                    f"{jl}/ff_macaron_w2")
+        cm = f"{csa}.conv_module"
+        if f"{cm}.pointwise_conv1.weight" in sd:
+            _set(enc, f"{jl}/conv_module/pointwise_conv1/kernel",
+                 np.ascontiguousarray(
+                     sd[f"{cm}.pointwise_conv1.weight"][:, :, 0].T))
+            _set(enc, f"{jl}/conv_module/pointwise_conv1/bias",
+                 sd[f"{cm}.pointwise_conv1.bias"])
+            _set(enc, f"{jl}/conv_module/pointwise_conv2/kernel",
+                 np.ascontiguousarray(
+                     sd[f"{cm}.pointwise_conv2.weight"][:, :, 0].T))
+            _set(enc, f"{jl}/conv_module/pointwise_conv2/bias",
+                 sd[f"{cm}.pointwise_conv2.bias"])
+            _set(enc, f"{jl}/conv_module/depthwise_conv",
+                 np.ascontiguousarray(np.transpose(
+                     sd[f"{cm}.depthwise_conv.weight"], (2, 1, 0))))
+            _set(enc, f"{jl}/conv_module/depthwise_conv_bias",
+                 sd[f"{cm}.depthwise_conv.bias"])
+            _set(enc, f"{jl}/conv_module/norm/scale",
+                 sd[f"{cm}.norm.weight"])
+            _set(enc, f"{jl}/conv_module/norm/bias", sd[f"{cm}.norm.bias"])
+            _set(enc_s, f"{jl}/conv_module/norm/mean",
+                 sd[f"{cm}.norm.running_mean"])
+            _set(enc_s, f"{jl}/conv_module/norm/var",
+                 sd[f"{cm}.norm.running_var"])
+        i += 1
+    for cname in ("conv1", "conv2", "conv3", "conv4"):
+        _conv2d(sd, f"encoder.{cname}", enc, cname, bias=True)
+    _norm(sd, "encoder.after_norm", enc, "after_norm")
+    p["encoder"], s["encoder"] = enc, enc_s
+    if "decoder.embed.0.weight" in sd:
+        p["decoder"] = _std_transformer_decoder_tree(sd, "decoder")
+    if "ctc.ctc_lo.weight" in sd:
+        ctc: Dict[str, Any] = {}
+        _linear(sd, "ctc.ctc_lo", ctc, "L")
+        p["ctc_lo"] = ctc["L"]
+    return {"params": p, "batch_stats": s}
+
+
+def lcbnet_from_torch(sd: Mapping[str, np.ndarray],
+                      n_mels_after_conv: int) -> Dict[str, Any]:
+    """Reference LCBNet (lcbnet/model.py:28) state_dict ->
+    models/lcbnet/reference_arch.LCBNetModel variables: conformer audio
+    encoder (reuses conformer_from_torch), TransformerTextEncoder,
+    SelfSrcAttention fusion, ConvPredictor bias head, standard
+    TransformerDecoder + CTC."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    enc_vars = conformer_from_torch(enc_sd, n_mels_after_conv)
+    p: Dict[str, Any] = {"encoder": enc_vars["params"]}
+    s: Dict[str, Any] = {"encoder": enc_vars["batch_stats"]}
+
+    te: Dict[str, Any] = {}
+    te["embed"] = {"embedding": sd["text_encoder.embed.0.weight"]}
+    i = 0
+    while f"text_encoder.encoders.{i}.norm1.weight" in sd:
+        tp = f"text_encoder.encoders.{i}"
+        _norm(sd, f"{tp}.norm1", te, f"l{i}_norm1")
+        _norm(sd, f"{tp}.norm2", te, f"l{i}_norm2")
+        for q in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            _linear(sd, f"{tp}.self_attn.{q}", te, f"l{i}_self_attn/{q}")
+        _linear(sd, f"{tp}.feed_forward.w_1", te, f"l{i}_ff_w1")
+        _linear(sd, f"{tp}.feed_forward.w_2", te, f"l{i}_ff_w2")
+        i += 1
+    _norm(sd, "text_encoder.after_norm", te, "after_norm")
+    p["text_encoder"] = te
+
+    fu: Dict[str, Any] = {}
+    for nm in ("norm1", "norm2", "norm3"):
+        _norm(sd, f"fusion_encoder.{nm}", fu, nm)
+    for att in ("self_attn", "src_attn"):
+        for q in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            _linear(sd, f"fusion_encoder.{att}.{q}", fu, f"{att}/{q}")
+    _linear(sd, "fusion_encoder.feed_forward.w_1", fu, "ff_w1")
+    _linear(sd, "fusion_encoder.feed_forward.w_2", fu, "ff_w2")
+    p["fusion_encoder"] = fu
+
+    bp: Dict[str, Any] = {}
+    for q in ("linear_q", "linear_k", "linear_v", "linear_out"):
+        _linear(sd, f"bias_predictor.atten.{q}", bp, f"atten/{q}")
+    _norm(sd, "bias_predictor.norm1", bp, "norm1")
+    _norm(sd, "bias_predictor.norm2", bp, "norm2")
+    _linear(sd, "bias_predictor.feed_forward.w_1", bp, "ff_w1")
+    _linear(sd, "bias_predictor.feed_forward.w_2", bp, "ff_w2")
+    _set(bp, "conv1d", np.ascontiguousarray(np.transpose(
+        sd["bias_predictor.conv1d.weight"], (2, 1, 0))))
+    _set(bp, "conv1d_bias", sd["bias_predictor.conv1d.bias"])
+    _linear(sd, "bias_predictor.output_linear", bp, "output_linear")
+    p["bias_predictor"] = bp
+
+    if "decoder.embed.0.weight" in sd:
+        p["decoder"] = _std_transformer_decoder_tree(sd, "decoder")
+    if "ctc.ctc_lo.weight" in sd:
+        ctc: Dict[str, Any] = {}
+        _linear(sd, "ctc.ctc_lo", ctc, "L")
+        p["ctc_lo"] = ctc["L"]
+    return {"params": p, "batch_stats": s}

@@ -31,7 +31,7 @@ from funasr_tpu.registry import tables
 Dtype = Any
 
 
-@tables.register("model_classes", "LCBNet")
+@tables.register("model_classes", "LCBNetLite")
 class LCBNet(nn.Module):
     vocab_size: int
     input_size: int = 80

@@ -104,7 +104,7 @@ class MFCCAEncoder(nn.Module):
     # _HybridModel reads encoder.output_size
 
 
-@tables.register("model_classes", "MFCCA")
+@tables.register("model_classes", "MFCCALite")
 class MFCCA(_HybridModel):
     """Multichannel hybrid CTC/attention model; ``speech`` is
     (B, C, T, F)."""

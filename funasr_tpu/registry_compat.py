@@ -119,22 +119,11 @@ def install():
                  "SANMEncoderExport", "SANMVadEncoder",
                  "SANMVadEncoderExport"):
         _alias("encoder_classes", name, "encoder_classes", "SANMEncoder")
-    # lcbnet text/fusion/bias components live inside the LCBNet module here
-    # (models/lcbnet/model.py); the names resolve for config parity but a
-    # STANDALONE build has different semantics than the reference
-    # component (generic TransformerEncoder vs the fusion/bias-specific
-    # stacks), so instantiating one warns instead of silently binding —
-    # the r4 ChunkConformerEncoder alias lesson (VERDICT r4 weak #5;
-    # behavioral-alias audit, r4 item 9)
-    for name in ("TransformerTextEncoder", "FusionSANEncoder",
-                 "ConvBiasPredictor"):
-        _alias_warn(
-            "encoder_classes", name, "encoder_classes",
-            "TransformerEncoder",
-            f"registry alias {name!r} resolves to the generic "
-            "TransformerEncoder for config parity; the reference "
-            "component's behavior lives inside models/lcbnet — use the "
-            "LCBNet model class for the real fusion/bias semantics")
+    # lcbnet text/fusion/bias components are REAL classes since r5
+    # (models/lcbnet/reference_arch.py registers the reference names
+    # TransformerTextEncoder / FusionSANEncoder / ConvBiasPredictor
+    # directly — the r4 behavioral aliases are gone; _alias_warn remains
+    # the pattern for any future behavior-changing alias)
     for name in ("FSMNConvert", "FSMNExport"):
         _alias("encoder_classes", name, "encoder_classes", "FSMN")
     _alias("encoder_classes", "FSMNMTConvert", "encoder_classes", "FSMNMT")

@@ -132,6 +132,16 @@ def load_reference(module: str):
             _ctc_pkg.CTC = _CTC
     except Exception:
         pass
+    if "funasr.models.encoder.encoder_layer_mfcca" not in sys.modules:
+        try:  # legacy path for the mfcca layer module
+            real = importlib.import_module(
+                "funasr.models.mfcca.encoder_layer_mfcca")
+            sys.modules["funasr.models.encoder.encoder_layer_mfcca"] = real
+            if "funasr.models.encoder" in sys.modules:
+                sys.modules["funasr.models.encoder"].encoder_layer_mfcca \
+                    = real
+        except Exception:
+            pass
     if "funasr.models.pooling.statistic_pooling" not in sys.modules:
         try:
             real = importlib.import_module(
