@@ -6,9 +6,9 @@ What runs: the REAL jitted train step (train/train_step.make_train_step:
 fwd + bwd + grad-accum scan + global-norm clip + non-finite skip + adamw
 update) on the Paraformer-large architecture (220M params, the
 __graft_entry__._flagship config), bf16 compute / fp32 params, at a
-64 x 15 s-equivalent global batch (micro-batch 16 x accum 4 — the
-reference AISHELL paraformer recipe trains with accum_grad, template
-batch 64-equivalent).
+64 x 15 s-equivalent global batch (micro-batch 32 x accum 2; the
+reference AISHELL paraformer recipe trains with accum_grad at a
+64-equivalent batch).
 
 Timing: same K-slope discipline as bench.py (chain K train steps inside
 one jitted fori_loop carrying TrainState; the per-iteration input is
@@ -52,8 +52,10 @@ def _arg(name, default):
     return default
 
 
-MICRO_B = 2 if TINY else _arg("micro", 16)
-ACCUM = 2 if TINY else _arg("accum", 4)
+# defaults A/B'd on-chip: 32x2 (579 ms/step, 1,657 audio-s/s) edges
+# 16x4 (589 ms, 1,629); both are the same 64 x 15 s global batch
+MICRO_B = 2 if TINY else _arg("micro", 32)
+ACCUM = 2 if TINY else _arg("accum", 2)
 UTT_S = 15
 T_LFR = 32 if TINY else 256     # 15 s -> 250 LFR6 frames, padded 256
 U = 8 if TINY else 48           # label length (AISHELL ~3.2 char/s)
