@@ -164,36 +164,26 @@ def main():
     def vfront_k(wav, lens, k):
         def body(i, acc):
             w = wav + i.astype(jnp.float32) * 1e-9
-            raw, rlens, feats, flens, db = ve._front_shared(w, lens)
-            return (acc + jnp.sum(raw) + jnp.sum(feats) + jnp.sum(db)
+            raw, rlens, post, flens, db = ve._front_shared(w, lens)
+            return (acc + jnp.sum(raw) + jnp.sum(post) + jnp.sum(db)
                     + jnp.sum(rlens + flens).astype(jnp.float32))
         return jax.lax.fori_loop(0, k, body, jnp.zeros(()))
 
     np.asarray(vfront_k(wav_d, vlens, 1)); np.asarray(vfront_k(wav_d, vlens, 6))
+    # fbank + LFR + decibels + FSMN scorer run as ONE fused program (r5.1:
+    # the LFR'd feature tensor no longer round-trips HBM between two
+    # dispatches); the slope is the whole VAD device stage
     t_vfront = slope(lambda k: np.asarray(vfront_k(wav_d, vlens, k)))
 
-    raw, rlens_d, feats, flens, db_d = ve._front_shared(wav_d, vlens)
+    raw, rlens_d, post_d, flens, db_d = ve._front_shared(wav_d, vlens)
     raw = jax.device_put(np.asarray(raw)[0])  # (F, n_mels) grid
     total_frames = int(rlens_d[0])
-    feats = jax.device_put(np.asarray(feats))
-    vp = vadm.params
-
-    @jax.jit
-    def vscore_k(params, feats, k):
-        def body(i, acc):
-            post = vadm.scorer.apply(params,
-                                     feats + i.astype(jnp.float32) * 1e-8)
-            return acc + jnp.sum(post)
-        return jax.lax.fori_loop(0, k, body, jnp.zeros(()))
-
-    np.asarray(vscore_k(vp, feats, 1)); np.asarray(vscore_k(vp, feats, 12))
-    t_vscore = slope(lambda k: np.asarray(vscore_k(vp, feats, k)),
-                     k_big=12, reps=4)
-    t_vad_dev = t_vfront + t_vscore
+    t_vscore = 0.0  # fused into t_vfront
+    t_vad_dev = t_vfront
 
     # VAD host: sil-probs + state machine + merge (real code, real frame
     # count; decisions are random-weight but cost is not).
-    post_h = np.asarray(vadm.score(feats))
+    post_h = np.asarray(post_d)
     db_h = np.asarray(db_d)[0]
 
     def vad_host():

@@ -890,7 +890,11 @@ class VadEngine:
                 raw, rlens = self.frontend.raw_fbank(wav, lens)
                 db = frame_decibel_device(wav)
             feats, flens = self.frontend.features_from_fbank(raw, rlens)
-            return raw, rlens, feats, flens, db
+            # FSMN scorer fused into the same program: the LFR'd feature
+            # tensor never round-trips HBM between two dispatches (and a
+            # program boundary's fixed cost goes away)
+            post = self.model.score(feats)
+            return raw, rlens, post, flens, db
 
         self._front_shared = _front_shared
 
@@ -902,12 +906,13 @@ class VadEngine:
 
     def segments_shared(self, wav: np.ndarray):
         """(segments, raw_fbank (F, n_mels) device array) in one device
-        program — the raw grid feeds the ASR stage's shared frontend."""
+        program (fbank + LFR + decibels + FSMN scorer fused) — the raw
+        grid feeds the ASR stage's shared frontend."""
         lens = jnp.asarray([len(wav)], jnp.int32)
-        raw, rlens, feats, flens, db = self._front_shared(
+        raw, rlens, post, flens, db = self._front_shared(
             jnp.asarray(wav[None, :]), lens)
-        segs = self.model.segments_offline(feats, wav,
-                                           decibels=np.asarray(db)[0])
+        segs = self.model.segments_from_posteriors(
+            np.asarray(post), decibels=np.asarray(db)[0])
         # raw stays padded on device (slicing to rlens would compile one
         # tiny program per distinct length); callers bound frame use with
         # the returned true frame count

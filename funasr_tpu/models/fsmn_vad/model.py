@@ -441,9 +441,17 @@ class FsmnVADStreaming:
         ``decibels``: optional precomputed per-frame energies (the
         VadEngine computes them on-device alongside the features)."""
         post = self.score(feats)
-        sil = self.sil_probs(post)[0]
         db = compute_decibel(waveform) if decibels is None \
             else np.asarray(decibels)
+        return self.segments_from_posteriors(np.asarray(post), db)
+
+    def segments_from_posteriors(self, post: np.ndarray,
+                                 decibels: np.ndarray) -> List[List[int]]:
+        """State machine on precomputed scorer posteriors (batch of 1) —
+        the shared-frontend engine fuses the scorer into the frontend
+        program and hands the posteriors straight here."""
+        sil = self.sil_probs(post)[0]
+        db = np.asarray(decibels)
         n = min(len(sil), len(db))
         sm = self.new_state()
         sm.feed(sil[:n], db[:n], is_final=True)
