@@ -20,10 +20,19 @@ Reference baselines: the A10 libtorch single-stream pipeline RTF 0.0076
 
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# serving beam config: per-row int8 self-attn KV cache (the AR step's
+# bandwidth lever — ops/cached_decoder.int8_kv_enabled).  Restores batch
+# scaling: r5 A/B per_batch 8/16/32 = 1907/1831/1933 audio-s/s with it
+# vs 1908/1603/1431 without (the bf16 cache is bandwidth-bound in N).
+# FUNASR_TPU_INT8_KV=0 opts out.  Token effect bounded like the int8
+# matmuls (tests/test_beam_search.py::test_int8_kv_cache_beam_close_to_bf16).
+os.environ.setdefault("FUNASR_TPU_INT8_KV", "1")
 
 import funasr_tpu  # noqa: F401  (re-applies JAX_PLATFORMS)
 import jax
@@ -119,12 +128,11 @@ def main():
             "per_batch": {str(B): {"audio_s_per_s": round(r, 1),
                                    "latency_ms": round(1e3 * t, 1)}
                           for B, (r, t, _) in rows.items()},
+            "int8_kv_cache": os.environ.get("FUNASR_TPU_INT8_KV") == "1",
             "vs_xeon32_onnx_server": round(rate / 562.0, 1),
             "note": "random weights; slope-timed K=1 vs K=3",
         },
     }
-    import os
-
     if not TINY and not CTC0:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_BEAM.json"), "w") as f:

@@ -109,10 +109,38 @@ def _mha_step_shared(q, k, v, key_valid, n_head, beam, dtype):
 
 
 class DecoderState(NamedTuple):
-    """Per-hypothesis cache: projected self-attn K/V, layer-stacked."""
+    """Per-hypothesis cache: projected self-attn K/V, layer-stacked.
 
-    k: jnp.ndarray  # (L, N, M, F)
+    With the int8 cache (``FUNASR_TPU_INT8_KV=1``) ``k``/``v`` hold int8
+    codes and ``k_scale``/``v_scale`` the per-(layer, row, position)
+    dequant scales; otherwise scales are unused zero-size arrays."""
+
+    k: jnp.ndarray  # (L, N, M, F) compute-dtype or int8
     v: jnp.ndarray  # (L, N, M, F)
+    k_scale: jnp.ndarray = jnp.zeros((0,))  # (L, N, M) fp32 (int8 mode)
+    v_scale: jnp.ndarray = jnp.zeros((0,))
+
+
+def _q8_rows(x):
+    """Per-row symmetric int8: x (N, 1, F) -> (codes int8, scale fp32
+    (N, 1))."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(a, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_kv_enabled() -> bool:
+    """Opt-in int8 self-attention KV cache for the AR beam: halves the
+    per-step HBM stream the step is bound by (reorder gather + attention
+    read of the (L, N, M, F) buffers).  Changes scores by the per-row
+    int8 rounding (~0.4% relative), so it is a SEPARATE knob from the
+    serving matmul int8 flag — the cached-vs-full beam parity contract
+    holds with it off (default)."""
+    import os
+
+    return os.environ.get("FUNASR_TPU_INT8_KV", "") == "1"
 
 
 class CachedTransformerDecoder:
@@ -123,15 +151,18 @@ class CachedTransformerDecoder:
     """
 
     def __init__(self, dec_params, memory, memory_lengths, *, n_head,
-                 maxlen, dtype=jnp.float32, beam=1):
+                 maxlen, dtype=jnp.float32, beam=1, int8_kv=None):
         """memory (B, T, D) is per UTTERANCE (un-repeated); ``beam`` makes
         the hypothesis axis N = B*beam for the self-KV caches while cross
-        K/V stay beam-shared (see ``_mha_step_shared``)."""
+        K/V stay beam-shared (see ``_mha_step_shared``).  ``int8_kv``
+        (default: the FUNASR_TPU_INT8_KV env flag) stores the self-attn
+        cache as per-row int8 — see ``int8_kv_enabled``."""
         self.p = dec_params
         self.n_head = n_head
         self.maxlen = maxlen
         self.dtype = dtype
         self.beam = beam
+        self.int8_kv = int8_kv_enabled() if int8_kv is None else int8_kv
         B, T, _ = memory.shape
         N = B * beam
         self.N = N
@@ -172,6 +203,10 @@ class CachedTransformerDecoder:
 
     def init_state(self) -> DecoderState:
         shape = (self.L, self.N, self._cache_len(), self.F)
+        if self.int8_kv:
+            z = jnp.zeros(shape, jnp.int8)
+            sc = jnp.zeros(shape[:3], jnp.float32)
+            return DecoderState(k=z, v=z, k_scale=sc, v_scale=sc)
         z = jnp.zeros(shape, self.dtype)
         return DecoderState(k=z, v=z)
 
@@ -192,7 +227,10 @@ class CachedTransformerDecoder:
         kv_valid = jnp.broadcast_to(kv_valid, (self.N, M))
 
         def layer(x, xs):
-            lp, wqkv, bqkv, ck_l, cv_l, k_l, v_l = xs
+            if self.int8_kv:
+                lp, wqkv, bqkv, ck_l, cv_l, k_l, v_l, ks_l, vs_l = xs
+            else:
+                lp, wqkv, bqkv, ck_l, cv_l, k_l, v_l = xs
             h = _ln(x, lp["norm1"]).astype(dtype)
             # fused QKV: one (D, 3F) matmul instead of three — per-step
             # cost here is kernel-dispatch-bound, not FLOP-bound; the
@@ -200,9 +238,25 @@ class CachedTransformerDecoder:
             qkv = maybe_int8_dot_general(
                 h.astype(dtype), wqkv, (((2,), (0,)), ((), ()))) + bqkv
             qs, ks, vs = jnp.split(qkv, 3, axis=-1)
-            k_l = lax.dynamic_update_slice_in_dim(k_l, ks, pos, axis=1)
-            v_l = lax.dynamic_update_slice_in_dim(v_l, vs, pos, axis=1)
-            ctx = _mha_step(qs, k_l, v_l, kv_valid, self.n_head, dtype)
+            if self.int8_kv:
+                kq, ksc = _q8_rows(ks)
+                vq, vsc = _q8_rows(vs)
+                k_l = lax.dynamic_update_slice_in_dim(k_l, kq, pos, axis=1)
+                v_l = lax.dynamic_update_slice_in_dim(v_l, vq, pos, axis=1)
+                ks_l = lax.dynamic_update_slice_in_dim(ks_l, ksc, pos,
+                                                       axis=1)
+                vs_l = lax.dynamic_update_slice_in_dim(vs_l, vsc, pos,
+                                                       axis=1)
+                k_de = (k_l.astype(dtype)
+                        * ks_l[..., None].astype(dtype))
+                v_de = (v_l.astype(dtype)
+                        * vs_l[..., None].astype(dtype))
+                ctx = _mha_step(qs, k_de, v_de, kv_valid, self.n_head,
+                                dtype)
+            else:
+                k_l = lax.dynamic_update_slice_in_dim(k_l, ks, pos, axis=1)
+                v_l = lax.dynamic_update_slice_in_dim(v_l, vs, pos, axis=1)
+                ctx = _mha_step(qs, k_l, v_l, kv_valid, self.n_head, dtype)
             x = x + _dense(ctx, lp["self_attn"]["linear_out"], dtype)
             h = _ln(x, lp["norm2"]).astype(dtype)
             q2 = _dense(h, lp["src_attn"]["linear_q"], dtype)
@@ -213,24 +267,42 @@ class CachedTransformerDecoder:
             h = _dense(h, lp["feed_forward"]["w_1"], dtype)
             h = jax.nn.relu(h)
             h = _dense(h, lp["feed_forward"]["w_2"], dtype)
+            if self.int8_kv:
+                return x + h, (k_l, v_l, ks_l, vs_l)
             return x + h, (k_l, v_l)
 
         # unroll: the per-layer step is ~10 tiny ops; inlining all layers
         # lets XLA fuse across them (the beam step is dispatch-bound,
         # docs/ROOFLINE.md r4 section)
-        x, (k_new, v_new) = lax.scan(
-            layer, x, (p["decoders"], self.wqkv, self.bqkv,
-                       self.ck, self.cv, state.k, state.v),
-            unroll=True)
+        if self.int8_kv:
+            x, outs = lax.scan(
+                layer, x,
+                (p["decoders"], self.wqkv, self.bqkv, self.ck, self.cv,
+                 state.k, state.v, state.k_scale, state.v_scale),
+                unroll=True)
+            k_new, v_new, ks_new, vs_new = outs
+            new_state = DecoderState(k=k_new, v=v_new, k_scale=ks_new,
+                                     v_scale=vs_new)
+        else:
+            x, (k_new, v_new) = lax.scan(
+                layer, x, (p["decoders"], self.wqkv, self.bqkv,
+                           self.ck, self.cv, state.k, state.v),
+                unroll=True)
+            new_state = DecoderState(k=k_new, v=v_new)
         x = _ln(x, p["after_norm"]).astype(dtype)
         logits = _dense(x, p["output_layer"], dtype)[:, 0]  # (N, V)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return logp, DecoderState(k=k_new, v=v_new)
+        return logp, new_state
 
     @staticmethod
     def reorder_state(state: DecoderState, src_flat: jnp.ndarray
                       ) -> DecoderState:
         """Gather the cache along the hypothesis axis (N,) after top-k."""
+        if state.k_scale.size:
+            return DecoderState(k=state.k[:, src_flat],
+                                v=state.v[:, src_flat],
+                                k_scale=state.k_scale[:, src_flat],
+                                v_scale=state.v_scale[:, src_flat])
         return DecoderState(k=state.k[:, src_flat], v=state.v[:, src_flat])
 
 

@@ -311,3 +311,36 @@ def test_cached_beam_quant_flag_invariant(rng):
     np.testing.assert_allclose(np.asarray(res_q.scores),
                                np.asarray(res_fp.scores), rtol=2e-3,
                                atol=2e-3)
+
+
+def test_int8_kv_cache_beam_close_to_bf16(rng, monkeypatch):
+    """FUNASR_TPU_INT8_KV=1 (per-row int8 self-attn KV cache — the AR
+    step's bandwidth lever) yields near-identical beam results: same
+    top-1 tokens on this case, scores within the int8 rounding band.
+    Off by default: the exact cached-vs-full parity contract holds
+    without it."""
+    import numpy as np
+
+    from funasr_tpu.registry import tables
+
+    cfg = dict(vocab_size=20, input_size=16,
+               encoder_conf=dict(output_size=16, attention_heads=2,
+                                 linear_units=32, num_blocks=1,
+                                 cnn_module_kernel=5, dropout_rate=0.0),
+               decoder_conf=dict(attention_heads=2, linear_units=32,
+                                 num_blocks=1, dropout_rate=0.0),
+               ctc_weight=0.3)
+    m = tables.get("model_classes", "Conformer")(**cfg)
+    sp = jnp.asarray(rng.standard_normal((2, 40, 16)), jnp.float32)
+    sl = jnp.asarray([40, 30], jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), sp, sl,
+                    jnp.asarray(rng.integers(3, 20, (2, 5)), jnp.int32),
+                    jnp.asarray([5, 4], jnp.int32))
+    t1, l1, s1 = m.apply(params, sp, sl, beam=4, maxlen=8,
+                         decoding_ctc_weight=0.3, method=m.decode_beam)
+    monkeypatch.setenv("FUNASR_TPU_INT8_KV", "1")
+    t2, l2, s2 = m.apply(params, sp, sl, beam=4, maxlen=8,
+                         decoding_ctc_weight=0.3, method=m.decode_beam)
+    np.testing.assert_array_equal(np.asarray(t1[:, 0]),
+                                  np.asarray(t2[:, 0]))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0.1)
