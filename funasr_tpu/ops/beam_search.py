@@ -22,10 +22,11 @@ Frame masking: CTC log-probs must be prepared with ``mask_ctc_frames`` so
 padded frames are (blank: 0, others: -inf) — they then leave prefix scores
 unchanged.
 
-Measured on the real chip (BENCH_BEAM.json): 1,028 audio-s/s at B=8
-(the best operating point — the unrolled cached step is compute-bound by
-B=32, where ~850-930 holds) for the full conformer_hybrid config (r3
-full-prefix form: 72.1; reference 32-thread Xeon ONNX server: 562).
+Measured on the real chip (BENCH_BEAM.json, r5): 1,933 audio-s/s at
+B=32 with the int8 KV cache (per_batch 8/16/32 = 1,894/1,829/1,933) for
+the full conformer_hybrid config — r4: 1,028 (B=8, bf16 cache, 3-D
+top_k); r3 full-prefix form: 72.1; reference 32-thread Xeon ONNX
+server: 562.
 """
 
 from __future__ import annotations
@@ -297,8 +298,17 @@ def beam_search(
             fused = att_w * logp + lm_term
             # top_k on the 2-D reshape: the 3-D (B, K, V) form lowers ~7x
             # slower on TPU (0.64 vs 0.088 ms/step at bench shapes — it
-            # was the beam's hidden CTC-path cost, r5 profile)
-            cf2, c2 = lax.top_k(fused.reshape(B * K, V), W)
+            # was the beam's hidden CTC-path cost, r5 profile).
+            # FUNASR_TPU_APPROX_PREBEAM=1 swaps in approx_max_k for the
+            # pre-beam candidate pick (espnet's pre-beam is itself a
+            # pruning heuristic; the approximate variant's recall target
+            # is 0.95 per missing bucket — measured ~3x faster at W=16).
+            import os as _os
+
+            if _os.environ.get("FUNASR_TPU_APPROX_PREBEAM") == "1":
+                cf2, c2 = lax.approx_max_k(fused.reshape(B * K, V), W)
+            else:
+                cf2, c2 = lax.top_k(fused.reshape(B * K, V), W)
             cand_fused = cf2.reshape(B, K, W)
             cand = c2.reshape(B, K, W)
             pe = jnp.broadcast_to(step == 0, (B, K))

@@ -344,3 +344,34 @@ def test_int8_kv_cache_beam_close_to_bf16(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(t1[:, 0]),
                                   np.asarray(t2[:, 0]))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0.1)
+
+
+def test_approx_prebeam_flag_runs(rng, monkeypatch):
+    """FUNASR_TPU_APPROX_PREBEAM=1 (approx_max_k candidate pick, ~9%
+    faster CTC phase on TPU) produces a valid sorted beam.  Opt-in: the
+    approximate pick can drop a candidate exact top-W would keep, so the
+    default stays exact."""
+    import numpy as np
+
+    from funasr_tpu.registry import tables
+
+    cfg = dict(vocab_size=20, input_size=16,
+               encoder_conf=dict(output_size=16, attention_heads=2,
+                                 linear_units=32, num_blocks=1,
+                                 cnn_module_kernel=5, dropout_rate=0.0),
+               decoder_conf=dict(attention_heads=2, linear_units=32,
+                                 num_blocks=1, dropout_rate=0.0),
+               ctc_weight=0.3)
+    m = tables.get("model_classes", "Conformer")(**cfg)
+    sp = jnp.asarray(rng.standard_normal((2, 40, 16)), jnp.float32)
+    sl = jnp.asarray([40, 30], jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), sp, sl,
+                    jnp.asarray(rng.integers(3, 20, (2, 5)), jnp.int32),
+                    jnp.asarray([5, 4], jnp.int32))
+    monkeypatch.setenv("FUNASR_TPU_APPROX_PREBEAM", "1")
+    toks, lens, scores = m.apply(params, sp, sl, beam=4, maxlen=8,
+                                 decoding_ctc_weight=0.3,
+                                 method=m.decode_beam)
+    s = np.asarray(scores)
+    assert np.all(np.isfinite(s))
+    assert np.all(np.diff(s, axis=1) <= 1e-5)
