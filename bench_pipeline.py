@@ -488,9 +488,11 @@ def main():
                      " and the saturated 960 s serving batch"),
         },
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_PIPELINE.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    if not TINY:  # CLAUDE.md trap: tiny smoke runs must never clobber
+        # the real-chip artifact
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_PIPELINE.json"), "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 
