@@ -25,7 +25,7 @@ does with ``batch_beam_search``'s index_select).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -117,8 +117,11 @@ class DecoderState(NamedTuple):
 
     k: jnp.ndarray  # (L, N, M, F) compute-dtype or int8
     v: jnp.ndarray  # (L, N, M, F)
-    k_scale: jnp.ndarray = jnp.zeros((0,))  # (L, N, M) fp32 (int8 mode)
-    v_scale: jnp.ndarray = jnp.zeros((0,))
+    # None outside int8 mode (NOT a zero-size array: a module-level
+    # jnp default would initialize the backend at import time, before
+    # the CLI's JAX_PLATFORMS handling)
+    k_scale: Optional[jnp.ndarray] = None  # (L, N, M) fp32 (int8 mode)
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def _q8_rows(x):
@@ -298,7 +301,7 @@ class CachedTransformerDecoder:
     def reorder_state(state: DecoderState, src_flat: jnp.ndarray
                       ) -> DecoderState:
         """Gather the cache along the hypothesis axis (N,) after top-k."""
-        if state.k_scale.size:
+        if state.k_scale is not None:
             return DecoderState(k=state.k[:, src_flat],
                                 v=state.v[:, src_flat],
                                 k_scale=state.k_scale[:, src_flat],
