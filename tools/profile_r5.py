@@ -23,9 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# persistent cache only on the accelerator: XLA:CPU AOT entries pin
+# host machine features and SIGILL after a sandbox host migration
+# (observed r5 — a stale cache segfaulted CPU compiles suite-wide)
+if "cpu" not in (os.environ.get("JAX_PLATFORMS") or ""):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import jax.numpy as jnp
 import numpy as np
