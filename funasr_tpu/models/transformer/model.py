@@ -123,7 +123,7 @@ class _HybridModel(nn.Module):
     def decode_beam(
         self, speech, speech_lengths, beam: int = 10, maxlen: int = 64,
         decoding_ctc_weight: float = 0.3, length_bonus: float = 0.0,
-        use_cache: bool = True,
+        use_cache: bool = True, cache_stages: int = 4,
     ):
         """Joint CTC/attention beam decode -> (tokens (B,K,L), lengths, scores).
 
@@ -132,6 +132,12 @@ class _HybridModel(nn.Module):
         transformer/decoder.py:334 ``batch_score`` cache semantics) when
         the decoder is the plain TransformerDecoder; other decoder kinds
         (RWKV/conv) fall back to full-prefix rescoring.
+
+        ``cache_stages`` splits the decode into that many while_loop
+        stages with the KV cache buffer grown at each boundary (exact
+        numerics; the cached step's cost scales with the buffer length —
+        ops/beam_search.py ``cache_stages``).  1 disables; short decodes
+        (maxlen < 32) run single-stage regardless.
         """
         enc, enc_lens = self.encode(speech, speech_lengths, True)
         B = enc.shape[0]
@@ -171,12 +177,21 @@ class _HybridModel(nn.Module):
             )
             ctc_logp = mask_ctc_frames(ctc_logp, enc_lens, self.blank_id)
 
+        stage_bounds = None
+        state_grow_fn = None
+        if step_score_fn is not None and cache_stages > 1 and maxlen >= 32:
+            from funasr_tpu.ops.cached_decoder import resize_state
+
+            stage_bounds = [maxlen * (i + 1) // cache_stages
+                            for i in range(cache_stages)]
+            state_grow_fn = resize_state
         return beam_search(
             decode_fn, B, beam, self.vocab_size, self.sos, self.eos, maxlen,
             ctc_logp=ctc_logp, ctc_weight=decoding_ctc_weight,
             length_bonus=length_bonus, blank_id=self.blank_id,
             step_score_fn=step_score_fn, dec_state=dec_state,
             state_reorder_fn=state_reorder_fn,
+            cache_stages=stage_bounds, state_grow_fn=state_grow_fn,
         )
 
     def decode_beam_align(

@@ -213,6 +213,9 @@ def beam_search(
     lm_step_fn: Optional[Callable] = None,
     lm_state=None,
     lm_reorder_fn: Optional[Callable] = None,
+    cache_stages=None,  # increasing step bounds, e.g. (24, 48, 72, 96)
+    state_grow_fn: Optional[Callable] = None,  # (state, new_len) -> state
+    lm_state_grow_fn: Optional[Callable] = None,
 ) -> BeamResult:
     """Batched fixed-beam search; jit-compatible (static maxlen/beam).
 
@@ -233,6 +236,15 @@ def beam_search(
     The decode loop is a ``lax.while_loop`` that exits as soon as every
     hypothesis has emitted eos (the reference's ``end_detect``), which the
     fixed-trip scan it replaced could not.
+
+    ``cache_stages`` (incremental path only, with ``state_grow_fn``) runs
+    the decode as consecutive while_loops with the cache buffer resized to
+    each stage's step bound: the cached step is KV-cache-bandwidth-bound
+    (docs/ROOFLINE.md r5 — per-step reorder + attention traffic scales
+    with the buffer length M), and a fixed maxlen-sized buffer pays full-M
+    traffic from step 0.  Staging cuts the mean M roughly in half with
+    EXACT numerics (masked rows contribute exact zeros either way); the
+    early-exit check runs per stage as before.
     """
     B, K, V = batch, beam, vocab
     incremental = step_score_fn is not None
@@ -325,26 +337,46 @@ def beam_search(
             combined = (cand_fused
                         + ctc_weight * (sigma - sigma_g[:, :, None])
                         + length_bonus)
-            # scatter candidate scores into a (B, K, V) grid
-            total_ext = jax.vmap(
-                jax.vmap(lambda idx, val: jnp.full((V,), NEG_INF).at[idx].set(val))
-            )(cand, combined)
+            if use_hw:
+                combined = combined + hotword_weight * jax.vmap(
+                    jax.vmap(lambda s, c: hw_bonus[s][c]))(hw_state, cand)
+            # CANDIDATE-SPACE selection: every non-candidate extension is
+            # NEG_INF by construction (pre-beam pruning), so the final
+            # top-k runs over the (B, K*(W+1)) candidate scores directly
+            # instead of scattering them into a (B, K, V) grid and
+            # top-k'ing K*V lanes — exact same hypothesis set, ~250x
+            # smaller selection problem.  Column W is the forced eos
+            # extension of FINISHED hyps (zero cost, reference
+            # end-detect semantics); for running hyps eos is only
+            # reachable as a regular pre-beam candidate, as before.
+            Wc = W + 1
+            ext = jnp.where(finished[:, :, None], NEG_INF, combined)
+            eos_col = jnp.where(finished, 0.0, NEG_INF)[:, :, None]
+            ext = jnp.concatenate([ext, eos_col], axis=2)  # (B, K, W+1)
+            total = scores[:, :, None] + ext
+            top_scores, top_idx = lax.top_k(total.reshape(B, K * Wc), K)
+            src_hyp = top_idx // Wc  # (B, K)
+            w_idx = top_idx % Wc
+            w_sel = jnp.minimum(w_idx, W - 1)
+            cand_src = jnp.take_along_axis(
+                cand, src_hyp[:, :, None], axis=1)  # (B, K, W) of src rows
+            tok = jnp.where(
+                w_idx == W, eos,
+                jax.vmap(jax.vmap(lambda c, w: c[w]))(cand_src, w_sel))
         else:
             total_ext = logp + lm_term + length_bonus
+            if use_hw:
+                total_ext = total_ext + hotword_weight * hw_bonus[hw_state]
+            # finished hyps may only extend with eos at zero cost
+            eos_only = jnp.full((V,), NEG_INF).at[eos].set(0.0)
+            total_ext = jnp.where(finished[:, :, None], eos_only[None, None],
+                                  total_ext)
+            total = scores[:, :, None] + total_ext  # (B, K, V)
 
-        if use_hw:
-            total_ext = total_ext + hotword_weight * hw_bonus[hw_state]
-
-        # finished hyps may only extend with eos at zero cost
-        eos_only = jnp.full((V,), NEG_INF).at[eos].set(0.0)
-        total_ext = jnp.where(finished[:, :, None], eos_only[None, None],
-                              total_ext)
-        total = scores[:, :, None] + total_ext  # (B, K, V)
-
-        flat = total.reshape(B, K * V)
-        top_scores, top_idx = lax.top_k(flat, K)  # (B, K)
-        src_hyp = top_idx // V  # (B, K)
-        tok = top_idx % V
+            flat = total.reshape(B, K * V)
+            top_scores, top_idx = lax.top_k(flat, K)  # (B, K)
+            src_hyp = top_idx // V  # (B, K)
+            tok = top_idx % V
 
         def gather_hyp(x):
             return jnp.take_along_axis(
@@ -368,15 +400,13 @@ def beam_search(
         if use_ctc:
             r_state_g = gather_hyp(r_state)
             sigma_g2 = jnp.take_along_axis(sigma_g, src_hyp, axis=1)
-            # position of the chosen token within the candidate list
-            cand_g = gather_hyp(cand)
             r_new_g = gather_hyp(r_new)
             sig_new_g = jnp.take_along_axis(sigma, src_hyp[..., None], axis=1)
-            match = cand_g == tok[:, :, None]  # (B, K, W)
-            w_idx = jnp.argmax(match, axis=-1)  # (B, K)
-            took_cand = jnp.any(match, axis=-1) & ~finished & (tok != eos)
-            r_sel = jax.vmap(jax.vmap(lambda r, i: r[i]))(r_new_g, w_idx)
-            sig_sel = jax.vmap(jax.vmap(lambda s, i: s[i]))(sig_new_g, w_idx)
+            # the chosen candidate column comes straight from the
+            # candidate-space top-k (w_idx); column W = forced eos
+            took_cand = (w_idx < W) & ~finished & (tok != eos)
+            r_sel = jax.vmap(jax.vmap(lambda r, i: r[i]))(r_new_g, w_sel)
+            sig_sel = jax.vmap(jax.vmap(lambda s, i: s[i]))(sig_new_g, w_sel)
             r_state = jnp.where(took_cand[:, :, None, None], r_sel, r_state_g)
             sigma_g = jnp.where(took_cand, sig_sel, sigma_g2)
 
@@ -390,21 +420,37 @@ def beam_search(
         return (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
                 dstate, lstate)
 
-    carry = (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
-             dec_state, lm_state)
-
-    def loop_cond(sc):
-        step, carry = sc
-        return (step < maxlen) & ~jnp.all(carry[2])
+    if incremental and cache_stages and state_grow_fn is not None:
+        bounds = sorted({int(b) for b in cache_stages if 0 < b < maxlen})
+        bounds.append(maxlen)
+    else:
+        bounds = [maxlen]
 
     def loop_body(sc):
         step, carry = sc
         return step + 1, step_fn(carry, step)
 
-    _, carry = lax.while_loop(loop_cond, loop_body,
-                              (jnp.asarray(0, jnp.int32), carry))
-    (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
-     dec_state, lm_state) = carry
+    step = jnp.asarray(0, jnp.int32)
+    for hi in bounds:
+        if len(bounds) > 1:
+            dec_state = state_grow_fn(dec_state, hi)
+            if lm_incremental and lm_state_grow_fn is not None:
+                lm_state = lm_state_grow_fn(lm_state, hi)
+        carry = (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
+                 dec_state, lm_state)
+
+        def loop_cond(sc, _hi=hi):
+            step, carry = sc
+            return (step < _hi) & ~jnp.all(carry[2])
+
+        step, carry = lax.while_loop(loop_cond, loop_body, (step, carry))
+        (ys, scores, finished, lengths, r_state, sigma_g, hw_state,
+         dec_state, lm_state) = carry
+    if len(bounds) > 1:
+        # the forced-eos rescore below writes at position maxlen
+        dec_state = state_grow_fn(dec_state, maxlen + 1)
+        if lm_incremental and lm_state_grow_fn is not None:
+            lm_state = lm_state_grow_fn(lm_state, maxlen + 1)
 
     # forced-eos finalization: hypotheses still running at maxlen must pay
     # the eos term before ranking against finished ones (the reference

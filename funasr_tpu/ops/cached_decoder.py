@@ -81,6 +81,57 @@ def _mha_step(q, k, v, key_valid, n_head, dtype):
     return ctx.transpose(0, 2, 1, 3).reshape(N, 1, F)
 
 
+def _mha_step_int8(q, k8, ks, v8, vs, key_valid, n_head, dtype):
+    """Single-query attention over a per-row int8 KV cache.
+
+    Same math as dequantize-then-``_mha_step``, but the row scales are
+    applied to the SCORES (k) and the attention WEIGHTS (v) instead of
+    materialising dequantized (N, M, F) buffers:
+    ``q·(k8*ks) == (q·k8)*ks`` and ``sum_m a_m*(v8_m*vs_m) ==
+    sum_m (a_m*vs_m)*v8_m`` row-exactly — leaving pure int8->compute
+    converts on the cache reads, which XLA fuses into the dot operands
+    (the dequant multiply forced a separate full-width materialisation).
+    """
+    N, _, F = q.shape
+    d_k = F // n_head
+    qh = _heads(q, n_head) * (d_k ** -0.5)          # (N, H, 1, d_k)
+    kh = _heads(k8.astype(dtype), n_head)           # (N, H, M, d_k)
+    vh = _heads(v8.astype(dtype), n_head)
+    scores = jnp.einsum("nhqd,nhkd->nhqk", qh.astype(dtype), kh)
+    scores = scores.astype(jnp.float32) * ks[:, None, None, :]
+    scores = jnp.where(key_valid[:, None, None, :], scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(key_valid[:, None, None, :], attn, 0.0)
+    attn = attn * vs[:, None, None, :]
+    ctx = jnp.einsum("nhqk,nhkd->nhqd", attn.astype(vh.dtype), vh)
+    return ctx.transpose(0, 2, 1, 3).reshape(N, 1, F)
+
+
+def _mha_step_shared_int8(q, k8, ks, v8, vs, key_valid, n_head, beam, dtype):
+    """Beam-shared cross-attention over per-row int8 encoder K/V.
+
+    Same scale placement as ``_mha_step_int8`` (k scales on the scores,
+    v scales on the attention weights — row-exact): q (B*beam, 1, F)
+    against k8/v8 (B, T, F) int8 with ks/vs (B, T) fp32 row scales.
+    Halves the dominant cross-attention HBM stream vs the bf16 K/V.
+    """
+    N, _, F = q.shape
+    B = N // beam
+    d_k = F // n_head
+    qh = (q.reshape(B, beam, n_head, d_k)
+          .transpose(0, 2, 1, 3)) * (d_k ** -0.5)     # (B, H, beam, d_k)
+    kh = _heads(k8.astype(dtype), n_head)             # (B, H, T, d_k)
+    vh = _heads(v8.astype(dtype), n_head)
+    scores = jnp.einsum("bhkd,bhtd->bhkt", qh.astype(dtype), kh)
+    scores = scores.astype(jnp.float32) * ks[:, None, None, :]
+    scores = jnp.where(key_valid[:, None, None, :], scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(key_valid[:, None, None, :], attn, 0.0)
+    attn = attn * vs[:, None, None, :]
+    ctx = jnp.einsum("bhkt,bhtd->bhkd", attn.astype(vh.dtype), vh)
+    return ctx.transpose(0, 2, 1, 3).reshape(N, 1, F)
+
+
 def _mha_step_shared(q, k, v, key_valid, n_head, beam, dtype):
     """Single-query attention with BEAM-SHARED keys/values.
 
@@ -146,6 +197,36 @@ def int8_kv_enabled() -> bool:
     return os.environ.get("FUNASR_TPU_INT8_KV", "") == "1"
 
 
+def resize_state(state: DecoderState, new_len: int) -> DecoderState:
+    """Resize the cache position axis to exactly ``new_len`` rows.
+
+    Zero-pads (growth) or truncates (shrink); the beam's staged cache
+    growth only ever truncates UNWRITTEN rows (stage bounds are >= the
+    step counter), so this is value-preserving for every live position.
+    Identity when the length already matches, so it is safe to call
+    unconditionally at stage boundaries.
+    """
+    cur = state.k.shape[2]
+    if cur == new_len:
+        return state
+
+    def rs(x, pad_shape):
+        if cur < new_len:
+            pad = jnp.zeros(pad_shape, x.dtype)
+            return jnp.concatenate([x, pad], axis=2)
+        return x[:, :, :new_len]
+
+    L, N = state.k.shape[:2]
+    F = state.k.shape[3]
+    k = rs(state.k, (L, N, new_len - cur, F))
+    v = rs(state.v, (L, N, new_len - cur, F))
+    if state.k_scale is not None:
+        ks = rs(state.k_scale, (L, N, new_len - cur))
+        vs = rs(state.v_scale, (L, N, new_len - cur))
+        return DecoderState(k=k, v=v, k_scale=ks, v_scale=vs)
+    return DecoderState(k=k, v=v)
+
+
 class CachedTransformerDecoder:
     """Step scorer over a TransformerDecoder param tree.
 
@@ -185,6 +266,12 @@ class CachedTransformerDecoder:
         self.cv = jax.vmap(
             lambda p: _dense(mem, p, dtype))(dec_params["decoders"]
                                              ["src_attn"]["linear_v"])
+        if self.int8_kv:
+            # per-row int8 cross K/V, quantized ONCE per utterance (the
+            # per-step read of the (L, B, T, F) encoder projections is the
+            # other big per-step HBM stream after the self-attn cache)
+            self.ck, self.cks = _q8_rows(self.ck)
+            self.cv, self.cvs = _q8_rows(self.cv)
         self.mem_valid = (jnp.arange(T)[None, :]
                           < memory_lengths[:, None])  # (B, T)
         sa = dec_params["decoders"]["self_attn"]
@@ -204,8 +291,10 @@ class CachedTransformerDecoder:
         # bandwidth-bound, so buffer bytes beat tile alignment
         return self.maxlen + 1
 
-    def init_state(self) -> DecoderState:
-        shape = (self.L, self.N, self._cache_len(), self.F)
+    def init_state(self, cache_len: Optional[int] = None) -> DecoderState:
+        shape = (self.L, self.N,
+                 self._cache_len() if cache_len is None else cache_len,
+                 self.F)
         if self.int8_kv:
             z = jnp.zeros(shape, jnp.int8)
             sc = jnp.zeros(shape[:3], jnp.float32)
@@ -221,7 +310,12 @@ class CachedTransformerDecoder:
         returns (log-probs (N, V) fp32, updated state).
         """
         p, dtype = self.p, self.dtype
-        M = self._cache_len()
+        # the live buffer length comes from the STATE, not the config:
+        # the beam's staged cache growth (ops/beam_search.py
+        # ``cache_stages``) runs early decode segments on shorter buffers
+        # — the step is KV-bandwidth-bound, so reorder+attention traffic
+        # scales with M
+        M = state.k.shape[2]
         emb = p["embed"]["embedding"][y_tok].astype(dtype)  # (N, d)
         x = emb * (self.d ** 0.5) + lax.dynamic_slice_in_dim(
             self.pe, pos, 1, axis=0).astype(dtype)
@@ -231,7 +325,8 @@ class CachedTransformerDecoder:
 
         def layer(x, xs):
             if self.int8_kv:
-                lp, wqkv, bqkv, ck_l, cv_l, k_l, v_l, ks_l, vs_l = xs
+                (lp, wqkv, bqkv, ck_l, cv_l, cks_l, cvs_l, k_l, v_l,
+                 ks_l, vs_l) = xs
             else:
                 lp, wqkv, bqkv, ck_l, cv_l, k_l, v_l = xs
             h = _ln(x, lp["norm1"]).astype(dtype)
@@ -250,12 +345,8 @@ class CachedTransformerDecoder:
                                                        axis=1)
                 vs_l = lax.dynamic_update_slice_in_dim(vs_l, vsc, pos,
                                                        axis=1)
-                k_de = (k_l.astype(dtype)
-                        * ks_l[..., None].astype(dtype))
-                v_de = (v_l.astype(dtype)
-                        * vs_l[..., None].astype(dtype))
-                ctx = _mha_step(qs, k_de, v_de, kv_valid, self.n_head,
-                                dtype)
+                ctx = _mha_step_int8(qs, k_l, ks_l, v_l, vs_l, kv_valid,
+                                     self.n_head, dtype)
             else:
                 k_l = lax.dynamic_update_slice_in_dim(k_l, ks, pos, axis=1)
                 v_l = lax.dynamic_update_slice_in_dim(v_l, vs, pos, axis=1)
@@ -263,8 +354,13 @@ class CachedTransformerDecoder:
             x = x + _dense(ctx, lp["self_attn"]["linear_out"], dtype)
             h = _ln(x, lp["norm2"]).astype(dtype)
             q2 = _dense(h, lp["src_attn"]["linear_q"], dtype)
-            ctx2 = _mha_step_shared(q2, ck_l, cv_l, self.mem_valid,
-                                    self.n_head, self.beam, dtype)
+            if self.int8_kv:
+                ctx2 = _mha_step_shared_int8(
+                    q2, ck_l, cks_l, cv_l, cvs_l, self.mem_valid,
+                    self.n_head, self.beam, dtype)
+            else:
+                ctx2 = _mha_step_shared(q2, ck_l, cv_l, self.mem_valid,
+                                        self.n_head, self.beam, dtype)
             x = x + _dense(ctx2, lp["src_attn"]["linear_out"], dtype)
             h = _ln(x, lp["norm3"]).astype(dtype)
             h = _dense(h, lp["feed_forward"]["w_1"], dtype)
@@ -281,6 +377,7 @@ class CachedTransformerDecoder:
             x, outs = lax.scan(
                 layer, x,
                 (p["decoders"], self.wqkv, self.bqkv, self.ck, self.cv,
+                 self.cks, self.cvs,
                  state.k, state.v, state.k_scale, state.v_scale),
                 unroll=True)
             k_new, v_new, ks_new, vs_new = outs
@@ -352,7 +449,7 @@ class CachedTransformerLM:
 
     def step(self, y_tok: jnp.ndarray, pos, state: DecoderState):
         p, dtype = self.p, self.dtype
-        M = self._cache_len()
+        M = state.k.shape[2]  # staged cache growth — see the decoder step
         emb = p["embed"]["embedding"][y_tok].astype(dtype)
         x = _dense(emb, p["input_layer"], dtype)
         x = x * (self.att ** 0.5) + lax.dynamic_slice_in_dim(

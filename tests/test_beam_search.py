@@ -283,6 +283,59 @@ def test_cached_beam_matches_full_recompute(rng):
                                   np.asarray(res_f2.tokens))
 
 
+def test_staged_cache_growth_matches_single_stage(rng, monkeypatch):
+    """``cache_stages`` (staged KV-cache growth — early decode segments on
+    shorter buffers, ops/beam_search.py) is a pure buffer-layout change:
+    hypotheses, lengths and scores must match the single-stage decode
+    exactly, in both the fp and the int8-KV cache modes."""
+    model = Conformer(**CONF)
+    B, T = 3, 44
+    speech = jnp.asarray(rng.standard_normal((B, T, 20)), jnp.float32)
+    slens = jnp.array([T, T - 8, T - 16])
+    text = jnp.asarray(rng.integers(3, 16, (B, 5)), jnp.int32)
+    tlens = jnp.array([5, 4, 3])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, slens, text, tlens,
+    )
+    # maxlen >= 32 so decode_beam's auto-staging gate engages
+    kw = dict(beam=4, maxlen=36, decoding_ctc_weight=0.3)
+    for int8_kv in (False, True):
+        monkeypatch.setenv("FUNASR_TPU_INT8_KV", "1" if int8_kv else "0")
+        res_one = model.apply(variables, speech, slens, cache_stages=1,
+                              method=model.decode_beam, **kw)
+        res_stg = model.apply(variables, speech, slens, cache_stages=4,
+                              method=model.decode_beam, **kw)
+        np.testing.assert_array_equal(np.asarray(res_stg.tokens),
+                                      np.asarray(res_one.tokens))
+        np.testing.assert_array_equal(np.asarray(res_stg.lengths),
+                                      np.asarray(res_one.lengths))
+        np.testing.assert_allclose(np.asarray(res_stg.scores),
+                                   np.asarray(res_one.scores),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_resize_state_preserves_rows():
+    from funasr_tpu.ops.cached_decoder import DecoderState, resize_state
+
+    k = jnp.arange(2 * 3 * 4 * 5, dtype=jnp.float32).reshape(2, 3, 4, 5)
+    st = DecoderState(k=k, v=k + 1.0)
+    g = resize_state(st, 7)
+    assert g.k.shape == (2, 3, 7, 5)
+    np.testing.assert_array_equal(np.asarray(g.k[:, :, :4]), np.asarray(k))
+    np.testing.assert_array_equal(np.asarray(g.k[:, :, 4:]), 0.0)
+    s = resize_state(g, 4)
+    np.testing.assert_array_equal(np.asarray(s.k), np.asarray(k))
+    assert resize_state(st, 4) is st
+    # int8 mode carries per-row scales through the resize
+    sti = DecoderState(k=k.astype(jnp.int8), v=k.astype(jnp.int8),
+                       k_scale=jnp.ones((2, 3, 4)),
+                       v_scale=jnp.ones((2, 3, 4)))
+    gi = resize_state(sti, 6)
+    assert gi.k_scale.shape == (2, 3, 6)
+    np.testing.assert_array_equal(np.asarray(gi.k_scale[:, :, 4:]), 0.0)
+
+
 def test_cached_beam_quant_flag_invariant(rng):
     """Serving engines trace decode_beam under the process int8 flag
     (AutoModel quantize=True); the cached step's row counts sit below the
