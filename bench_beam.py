@@ -106,8 +106,10 @@ def main():
 
     # B=8 = the pipeline column's per-VAD-segment batch; B=32 = the
     # saturated serving batch (the single-chip analogue of the
-    # reference's 32-thread CPU server concurrency)
-    sizes = (2,) if TINY else (8, 16, 32)
+    # reference's 32-thread CPU server concurrency); B=64 re-entered the
+    # sweep once candidate-space selection removed the B-scaling
+    # (B, K*V) top_k that made it re-invert in r4
+    sizes = (2,) if TINY else (8, 16, 32, 64)
     rows = {B: measure(B) for B in sizes}
     # headline = the best operating point (after the r5 top_k fix the
     # step is KV-cache-bandwidth-bound: per-utterance cost grows mildly
