@@ -23,6 +23,7 @@ from funasr_tpu.utils.postprocess import (
 )
 from funasr_tpu.utils.timestamp_tools import (
     ts_from_cif_peaks,
+    ts_prediction_lfr6_batch,
     ts_prediction_lfr6_standard,
 )
 
@@ -452,17 +453,20 @@ class BiCifEngine(ParaformerEngine):
         tok_lens = np.asarray(tok_lens)
         us_alphas = np.asarray(us_alphas)
         us_peaks = np.asarray(us_peaks)
-        results = []
-        for i in range(len(wavs)):
+        B = len(wavs)
+        toks_per = []
+        for i in range(B):
             n = int(tok_lens[i])
             ids = [t for t in tokens[i, :n].tolist() if t != self.blank_id]
-            toks = self.tokenizer.ids2tokens(ids)
-            offset = (0 if vad_offsets is None or not len(vad_offsets) else vad_offsets[i])
-            m = int(us_lens[i]) if us_lens is not None \
-                else us_alphas.shape[1]
-            _, ts = ts_prediction_lfr6_standard(
-                us_alphas[i, :m], us_peaks[i, :m], list(toks),
-                vad_offset=offset, build_text=False)
+            toks_per.append(self.tokenizer.ids2tokens(ids))
+        if us_lens is None:
+            us_lens = np.full((B,), us_alphas.shape[1], np.int64)
+        # one batched fire pass for the whole ASR batch (per-call form was
+        # the pipeline's asr_host hot spot, BENCH_PIPELINE r5)
+        ts_lists = ts_prediction_lfr6_batch(
+            us_alphas, us_peaks, toks_per, us_lens, vad_offsets)
+        results = []
+        for toks, ts in zip(toks_per, ts_lists):
             text, ts_kept, words = sentence_postprocess(toks, ts)
             results.append({"text": text, "timestamp": ts_kept,
                             "raw_tokens": words})

@@ -154,6 +154,61 @@ def test_ts_prediction_vectorized_matches_scalar_fuzz():
         assert got2 == want
 
 
+def test_ts_prediction_batch_matches_single_fuzz():
+    """ts_prediction_lfr6_batch (one vectorized fire pass per ASR batch —
+    the pipeline asr_host stage) is row-for-row EXACTLY equal to per-row
+    ts_prediction_lfr6_standard on the padded grid sliced by us_lens,
+    across refire/no-refire/degenerate/zero-alpha/</s>/empty rows."""
+    import numpy as np
+
+    from funasr_tpu.utils.timestamp_tools import (
+        ts_prediction_lfr6_batch, ts_prediction_lfr6_standard)
+
+    rng = np.random.default_rng(11)
+    for case in range(40):
+        B = int(rng.integers(1, 9))
+        T = int(rng.integers(24, 300))
+        alphas = rng.uniform(0.0, 0.2, (B, T))
+        peaks = np.zeros((B, T))
+        lens = rng.integers(12, T + 1, B)
+        toks, offs = [], []
+        for i in range(B):
+            m = int(lens[i])
+            n_tok = int(rng.integers(0, max(m // 4, 2)))
+            kind = (case + i) % 5
+            if kind == 0 and n_tok:  # exact fire count inside [:m]
+                k = min(n_tok + 1, m - 2)
+                if k > 0:
+                    pos = np.sort(rng.choice(np.arange(1, m - 1), k,
+                                             replace=False))
+                    peaks[i, pos] = 1.0
+            elif kind == 1:  # mismatch -> batched renorm refire
+                peaks[i, rng.choice(m, size=min(3, m), replace=False)] = 1.0
+            elif kind == 2:  # sparse -> over-long splits, no renorm
+                pos = np.arange(0, m, 13)[: max(n_tok + 1, 2)]
+                peaks[i, pos] = 1.0
+                alphas[i] = 0.0
+            elif kind == 3:  # degenerate <2 fires
+                if rng.random() < 0.5:
+                    peaks[i, int(rng.integers(m))] = 1.0
+                alphas[i] = 0.0
+            # kind 4: no fires at all, alphas drive the refire
+            # padding beyond us_lens must be IGNORED: poison it
+            peaks[i, m:] = 1.0
+            chars = [f"c{j}" for j in range(n_tok)]
+            if rng.random() < 0.3:
+                chars.append("</s>")
+            toks.append(chars)
+            offs.append(int(rng.choice([0, 120, 5000])))
+        got = ts_prediction_lfr6_batch(alphas, peaks, toks, lens, offs)
+        for i in range(B):
+            m = int(lens[i])
+            _, want = ts_prediction_lfr6_standard(
+                alphas[i, :m].copy(), peaks[i, :m].copy(), list(toks[i]),
+                vad_offset=offs[i], build_text=False)
+            assert got[i] == want, (case, i, got[i], want)
+
+
 def test_split_words_regex_matches_loop():
     """The regex split_words == the reference per-char loop, including the
     U+3000 ideographic-space separator case."""
